@@ -1,0 +1,24 @@
+"""Test harness: force an 8-device virtual CPU mesh before any jax use.
+
+Multi-chip sharding (tp/dp over a Mesh) is validated here on virtual CPU
+devices; the real-TPU path is exercised by bench.py and the driver's
+dryrun (see __graft_entry__.py).
+
+Note: this environment injects a TPU PJRT plugin via sitecustomize that
+overrides the JAX_PLATFORMS env var, so we must also set the platform via
+jax.config (which wins over the plugin's env override).
+"""
+
+import os
+import sys
+
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (xla_flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
