@@ -94,8 +94,7 @@ def load_wav(path: str, sr: int | None = None) -> tuple[np.ndarray, int]:
 def save_wav(path: str, x: np.ndarray, sr: int, *, subtype: str = "pcm16") -> None:
     x = np.asarray(x, dtype=np.float32).reshape(-1)
     if subtype == "pcm16":
-        pcm = np.clip(x, -1.0, 1.0)
-        pcm = np.round(pcm * 32767.0).astype("<i2").tobytes()
+        pcm = np.clip(np.round(x * 32768.0), -32768, 32767).astype("<i2").tobytes()
         bits, fmt_tag = 16, 1
     elif subtype == "float32":
         pcm = x.astype("<f4").tobytes()
