@@ -84,6 +84,7 @@ class S2Config:
     upsample_initial_channel: int = 512
     upsample_kernel_sizes: Sequence[int] = (16, 16, 8, 2, 2)
     gin_channels: int = 512
+    mrte_hidden: int = 512  # MRTE cross-attn width (ref mrte_model.py:13)
     ssl_dim: int = 768
     n_codes: int = 1024
     semantic_frame_rate: str = "25hz"
@@ -163,6 +164,19 @@ class InferenceConfig:
     sample_steps: int = 32  # CFM Euler steps (v3/v4)
     max_ref_sec: float = 10.0
     min_ref_sec: float = 3.0
+
+
+def s2_config_for_version(version: str) -> "S2Config":
+    """Per-version S2 hyperparameters (reference: configs/s2*.json and
+    TTS.py init paths)."""
+    if version not in VERSIONS:
+        raise ValueError(f"unknown version {version!r}")
+    base = S2Config(version=version)
+    if version in ("v2Pro", "v2ProPlus"):
+        base = dataclasses.replace(base, gin_channels=1024)
+    if version == "v2ProPlus":
+        base = dataclasses.replace(base, upsample_initial_channel=768)
+    return base
 
 
 def asdict(cfg: Any) -> dict:
