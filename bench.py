@@ -1,0 +1,112 @@
+"""Benchmark: zero-shot synthesis throughput on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Measures the full v2 zero-shot compute path with production-size models
+(S1: 24L/512d AR decode with KV cache + on-device sampling; S2: VQ decode
+-> TextEncoder/MRTE -> flow reverse -> MRF HiFiGAN x640 upsample), and
+reports RTF (seconds of compute per second of audio synthesized).
+
+Baseline: reference v2ProPlus RTF 0.028 on RTX 4060 Ti (README.md:46-47;
+BASELINE.md). vs_baseline = baseline_rtf / our_rtf (>1 means faster than
+the reference's published number).
+
+Weights are random (no pretrained checkpoints in this environment) — the
+compute graph, shapes and dtypes match the real model, which is what
+determines throughput.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_RTF = 0.028
+
+# benchmark scenario: 20 s of speech (500 semantic tokens @ 25 Hz)
+N_NEW_TOKENS = 500
+PROMPT_TOKENS = 125  # 5 s reference prompt
+TEXT_LEN = 120
+AUDIO_SECONDS = N_NEW_TOKENS / 25.0
+
+
+def main():
+    from gpt_sovits_tpu.models.t2s import T2SDecoder, generate
+    from gpt_sovits_tpu.models.vits import SynthesizerTrn
+    from gpt_sovits_tpu.utils.config import S1Config, s2_config_for_version
+
+    dtype = jnp.bfloat16
+    s1_cfg = S1Config()
+    s1 = T2SDecoder(s1_cfg, dtype=dtype)
+    key = jax.random.PRNGKey(0)
+    s1_params = s1.init(key, method=T2SDecoder.init_all)
+
+    s2_cfg = s2_config_for_version("v2")
+    s2 = SynthesizerTrn(s2_cfg)
+    b = 1
+    text = jnp.zeros((b, TEXT_LEN), jnp.int32)
+    text_lengths = jnp.full((b,), TEXT_LEN, jnp.int32)
+    refer_spec = jax.random.normal(key, (b, 250, s2_cfg.spec_channels)) * 0.3 + 1.0
+    refer_lengths = jnp.full((b,), 250, jnp.int32)
+    s2_params = s2.init(
+        {"params": key, "noise": key, "slice": key},
+        jnp.zeros((b, 100, s2_cfg.ssl_dim)),
+        refer_spec, refer_lengths, text, text_lengths,
+        method=SynthesizerTrn.init_all,
+    )
+
+    phones = jnp.zeros((b, TEXT_LEN), jnp.int32)
+    bert = jnp.zeros((b, TEXT_LEN, s1_cfg.bert_dim), dtype)
+    prompt = jnp.zeros((b, PROMPT_TOKENS), jnp.int32)
+
+    def s1_step(k):
+        return generate(
+            s1, s1_params, phones, text_lengths, bert, prompt,
+            jnp.full((b,), PROMPT_TOKENS, jnp.int32), k,
+            max_new_tokens=N_NEW_TOKENS, top_k=15, top_p=1.0,
+            temperature=1.0, repetition_penalty=1.35,
+            # disable EOS so the loop runs the full N_NEW_TOKENS (fixed work)
+            early_stop_num=N_NEW_TOKENS,
+        )
+
+    codes = jnp.zeros((b, N_NEW_TOKENS), jnp.int32)
+    codes_lengths = jnp.full((b,), N_NEW_TOKENS, jnp.int32)
+
+    @jax.jit
+    def s2_step(codes):
+        return s2.apply(
+            s2_params, codes, codes_lengths, text, text_lengths,
+            refer_spec, refer_lengths, method=SynthesizerTrn.decode,
+        )
+
+    # warmup / compile
+    out = s1_step(jax.random.PRNGKey(1))
+    jax.block_until_ready(out)
+    wav = s2_step(codes)
+    jax.block_until_ready(wav)
+
+    n_iter = 3
+    t0 = time.perf_counter()
+    for i in range(n_iter):
+        out = s1_step(jax.random.PRNGKey(2 + i))
+        jax.block_until_ready(out.tokens)
+        wav = s2_step(out.tokens[:, :N_NEW_TOKENS])
+        jax.block_until_ready(wav)
+    dt = (time.perf_counter() - t0) / n_iter
+
+    rtf = dt / AUDIO_SECONDS
+    print(
+        json.dumps(
+            {
+                "metric": "zero_shot_rtf_v2_1chip",
+                "value": round(rtf, 5),
+                "unit": "s_compute_per_s_audio",
+                "vs_baseline": round(BASELINE_RTF / rtf, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
