@@ -98,6 +98,7 @@ class Generator(nn.Module):
     initial_channel: Optional[int] = None
     upsample_rates: Optional[Sequence[int]] = None
     upsample_kernel_sizes: Optional[Sequence[int]] = None
+    use_post_bias: bool = False  # v4 standalone vocoder uses is_bias=True
 
     @nn.compact
     def __call__(self, x, g=None):
@@ -117,8 +118,10 @@ class Generator(nn.Module):
                 r = ResBlock1(ch, rk, tuple(rd), name=f"resblock_{i}_{j}")(x)
                 xs = r if xs is None else xs + r
             x = xs / len(c.resblock_kernel_sizes)
-        x = _leaky_relu(x)
-        x = Conv1d(1, 7, use_bias=False, name="conv_post")(x)
+        # NB: the reference's final activation is F.leaky_relu with torch's
+        # default slope 0.01, unlike the 0.1 used elsewhere (models.py:466)
+        x = nn.leaky_relu(x, 0.01)
+        x = Conv1d(1, 7, use_bias=self.use_post_bias, name="conv_post")(x)
         return jnp.tanh(x)
 
 

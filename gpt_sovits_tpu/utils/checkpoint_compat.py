@@ -1,0 +1,320 @@
+"""Reference-checkpoint interop.
+
+Reads the PyTorch GPT-SoVITS checkpoint formats and maps the state dicts
+onto this framework's flax param trees, so pretrained reference weights run
+on TPU and parity tests can compare outputs numerically.
+
+Covers the reference's quirky container formats (process_ckpt.py):
+  * 2-byte model-version header replacing the zip "PK" magic (my_save2:30,
+    head2version:72-80)
+  * md5-of-first-8KB pretrained recognition (:81-97)
+  * fp16 "distribution" ckpts {weight, config, info[, lora_rank]} (savee:41)
+and the weight-norm folding needed because the torch modules store
+weight_g/weight_v (or parametrizations.*) while this framework stores plain
+kernels.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import io
+import os
+from typing import Any
+
+import jax.numpy as jnp
+import numpy as np
+
+HEAD2VERSION = {
+    b"00": ("v1", "v1", False),
+    b"01": ("v2", "v2", False),
+    b"02": ("v2", "v3", False),
+    b"03": ("v2", "v3", True),
+    b"04": ("v2", "v4", True),
+    b"05": ("v2", "v2Pro", False),
+    b"06": ("v2", "v2ProPlus", False),
+}
+
+HASH_PRETRAINED = {
+    "dc3c97e17592963677a4a1681f30c653": ("v2", "v2", False),
+    "43797be674a37c1c83ee81081941ed0f": ("v2", "v3", False),
+    "6642b37f3dbb1f76882b69937c95a5f3": ("v2", "v2", False),
+    "4f26b9476d0c5033e04162c486074374": ("v2", "v4", False),
+    "c7e9fce2223f3db685cdfa1e6368728a": ("v2", "v2Pro", False),
+    "66b313e39455b57ab1b0bc0b239c9d0a": ("v2", "v2ProPlus", False),
+}
+
+
+def sniff_sovits_version(path: str) -> tuple[str, str, bool]:
+    """(symbol_version, model_version, is_lora) — parity with
+    get_sovits_version_from_path_fast (process_ckpt.py:100)."""
+    with open(path, "rb") as f:
+        head8k = f.read(8192)
+    h = hashlib.md5(head8k).hexdigest()
+    if h in HASH_PRETRAINED:
+        return HASH_PRETRAINED[h]
+    head = head8k[:2]
+    if head != b"PK":
+        return HEAD2VERSION[head]
+    size = os.path.getsize(path)
+    if size < 82978 * 1024:
+        return ("v1", "v1", False)
+    if size < 700 * 1024 * 1024:
+        return ("v2", "v2", False)
+    return ("v2", "v3", False)
+
+
+def load_torch_checkpoint(path: str) -> dict:
+    """torch.load that tolerates the version-byte header (load_sovits_new)."""
+    import torch
+
+    with open(path, "rb") as f:
+        head = f.read(2)
+        if head == b"PK":
+            f.seek(0)
+            return torch.load(f, map_location="cpu", weights_only=False)
+        data = b"PK" + f.read()
+    return torch.load(io.BytesIO(data), map_location="cpu", weights_only=False)
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _np(x) -> np.ndarray:
+    if hasattr(x, "detach"):
+        x = x.detach().cpu().float().numpy()
+    return np.asarray(x, dtype=np.float32)
+
+
+class _SD:
+    """State-dict view with weight-norm folding."""
+
+    def __init__(self, sd: dict):
+        self.sd = {k: v for k, v in sd.items()}
+
+    def __contains__(self, k):
+        return k in self.sd
+
+    def get(self, name) -> np.ndarray:
+        return _np(self.sd[name])
+
+    def folded(self, prefix) -> np.ndarray:
+        """Return `{prefix}.weight` with weight_norm folded if present.
+        torch weight_norm default dim=0: w = g * v / ||v|| over dims != 0."""
+        if f"{prefix}.weight" in self.sd:
+            return self.get(f"{prefix}.weight")
+        if f"{prefix}.weight_g" in self.sd:
+            g = self.get(f"{prefix}.weight_g")
+            v = self.get(f"{prefix}.weight_v")
+        else:
+            g = self.get(f"{prefix}.parametrizations.weight.original0")
+            v = self.get(f"{prefix}.parametrizations.weight.original1")
+        axes = tuple(range(1, v.ndim))
+        norm = np.sqrt((v**2).sum(axis=axes, keepdims=True))
+        return g * v / np.maximum(norm, 1e-12)
+
+    def conv(self, prefix) -> dict:
+        """torch Conv1d (out,in,k) -> flax nn.Conv kernel (k,in,out)."""
+        w = self.folded(prefix)
+        out = {"kernel": jnp.asarray(w.transpose(2, 1, 0))}
+        if f"{prefix}.bias" in self.sd:
+            out["bias"] = jnp.asarray(self.get(f"{prefix}.bias"))
+        return out
+
+    def convtrans(self, prefix) -> dict:
+        """torch ConvTranspose1d (in,out,k) -> ConvTranspose1d kernel (k,in,out)."""
+        w = self.folded(prefix)
+        out = {"kernel": jnp.asarray(w.transpose(2, 0, 1))}
+        if f"{prefix}.bias" in self.sd:
+            out["bias"] = jnp.asarray(self.get(f"{prefix}.bias"))
+        return out
+
+    def dense(self, prefix) -> dict:
+        w = self.get(f"{prefix}.weight")
+        out = {"kernel": jnp.asarray(w.T)}
+        if f"{prefix}.bias" in self.sd:
+            out["bias"] = jnp.asarray(self.get(f"{prefix}.bias"))
+        return out
+
+    def conv1x1_as_dense(self, prefix) -> dict:
+        """torch Conv1d(in,out,1) -> flax Dense."""
+        w = self.folded(prefix)[:, :, 0]  # (out,in)
+        out = {"kernel": jnp.asarray(w.T)}
+        if f"{prefix}.bias" in self.sd:
+            out["bias"] = jnp.asarray(self.get(f"{prefix}.bias"))
+        return out
+
+    def ln(self, prefix, gamma="gamma", beta="beta") -> dict:
+        return {
+            "scale": jnp.asarray(self.get(f"{prefix}.{gamma}")),
+            "bias": jnp.asarray(self.get(f"{prefix}.{beta}")),
+        }
+
+    def embed(self, prefix) -> dict:
+        return {"embedding": jnp.asarray(self.get(f"{prefix}.weight"))}
+
+
+# ---------------------------------------------------------------------------
+# S2 SynthesizerTrn mapping
+# ---------------------------------------------------------------------------
+
+
+def _map_relpos_encoder(sd: _SD, pre: str, n_layers: int) -> dict:
+    out: dict[str, Any] = {}
+    for i in range(n_layers):
+        attn = {
+            "conv_q": sd.conv1x1_as_dense(f"{pre}.attn_layers.{i}.conv_q"),
+            "conv_k": sd.conv1x1_as_dense(f"{pre}.attn_layers.{i}.conv_k"),
+            "conv_v": sd.conv1x1_as_dense(f"{pre}.attn_layers.{i}.conv_v"),
+            "conv_o": sd.conv1x1_as_dense(f"{pre}.attn_layers.{i}.conv_o"),
+            "emb_rel_k": jnp.asarray(sd.get(f"{pre}.attn_layers.{i}.emb_rel_k")),
+            "emb_rel_v": jnp.asarray(sd.get(f"{pre}.attn_layers.{i}.emb_rel_v")),
+        }
+        out[f"attn_{i}"] = attn
+        out[f"norm1_{i}"] = sd.ln(f"{pre}.norm_layers_1.{i}")
+        out[f"ffn_{i}"] = {
+            "conv1": {"Conv_0": sd.conv(f"{pre}.ffn_layers.{i}.conv_1")},
+            "conv2": {"Conv_0": sd.conv(f"{pre}.ffn_layers.{i}.conv_2")},
+        }
+        out[f"norm2_{i}"] = sd.ln(f"{pre}.norm_layers_2.{i}")
+    return out
+
+
+def _map_wn(sd: _SD, pre: str, n_layers: int, has_cond: bool) -> dict:
+    out: dict[str, Any] = {}
+    cond_present = any(
+        f"{pre}.cond_layer.{suffix}" in sd.sd
+        for suffix in ("weight", "weight_g", "parametrizations.weight.original0")
+    )
+    if has_cond and cond_present:
+        out["cond_layer"] = {"Conv_0": sd.conv(f"{pre}.cond_layer")}
+    for i in range(n_layers):
+        out[f"in_{i}"] = {"Conv_0": sd.conv(f"{pre}.in_layers.{i}")}
+        out[f"res_skip_{i}"] = {"Conv_0": sd.conv(f"{pre}.res_skip_layers.{i}")}
+    return out
+
+
+def _map_mrte(sd: _SD, pre: str) -> dict:
+    return {
+        "cross_attention": {
+            "conv_q": sd.conv1x1_as_dense(f"{pre}.cross_attention.conv_q"),
+            "conv_k": sd.conv1x1_as_dense(f"{pre}.cross_attention.conv_k"),
+            "conv_v": sd.conv1x1_as_dense(f"{pre}.cross_attention.conv_v"),
+            "conv_o": sd.conv1x1_as_dense(f"{pre}.cross_attention.conv_o"),
+        },
+        "c_pre": {"Conv_0": sd.conv(f"{pre}.c_pre")},
+        "text_pre": {"Conv_0": sd.conv(f"{pre}.text_pre")},
+        "c_post": {"Conv_0": sd.conv(f"{pre}.c_post")},
+    }
+
+
+def _map_style_encoder(sd: _SD, pre: str) -> dict:
+    return {
+        "spectral1": sd.dense(f"{pre}.spectral.0.fc"),
+        "spectral2": sd.dense(f"{pre}.spectral.3.fc"),
+        "temporal1": {"conv1": {"Conv_0": sd.conv(f"{pre}.temporal.0.conv1.conv")}},
+        "temporal2": {"conv1": {"Conv_0": sd.conv(f"{pre}.temporal.1.conv1.conv")}},
+        "slf_attn": {
+            "w_qs": sd.dense(f"{pre}.slf_attn.w_qs"),
+            "w_ks": sd.dense(f"{pre}.slf_attn.w_ks"),
+            "w_vs": sd.dense(f"{pre}.slf_attn.w_vs"),
+            "fc": sd.dense(f"{pre}.slf_attn.fc"),
+        },
+        "fc": sd.dense(f"{pre}.fc.fc"),
+    }
+
+
+def s2_params_from_torch(state_dict: dict, cfg) -> dict:
+    """Reference SynthesizerTrn state_dict -> SynthesizerTrn flax params."""
+    sd = _SD(state_dict)
+    n_layers = cfg.n_layers
+
+    enc_p: dict[str, Any] = {
+        "ssl_proj": {"Conv_0": sd.conv("enc_p.ssl_proj")},
+        "encoder_ssl": _map_relpos_encoder(sd, "enc_p.encoder_ssl", n_layers // 2),
+        "text_embedding": sd.embed("enc_p.text_embedding"),
+        "encoder_text": _map_relpos_encoder(sd, "enc_p.encoder_text", n_layers),
+        "mrte": _map_mrte(sd, "enc_p.mrte"),
+        "encoder2": _map_relpos_encoder(sd, "enc_p.encoder2", n_layers // 2),
+        "proj": {"Conv_0": sd.conv("enc_p.proj")},
+    }
+
+    dec: dict[str, Any] = {"conv_pre": {"Conv_0": sd.conv("dec.conv_pre")}}
+    if "dec.cond.weight" in sd.sd:
+        dec["cond"] = {"Conv_0": sd.conv("dec.cond")}
+    n_up = len(cfg.upsample_rates)
+    n_k = len(cfg.resblock_kernel_sizes)
+    for i in range(n_up):
+        dec[f"up_{i}"] = sd.convtrans(f"dec.ups.{i}")
+        for j in range(n_k):
+            rb = {}
+            for d in range(len(cfg.resblock_dilation_sizes[j])):
+                rb[f"c1_{d}"] = {"Conv_0": sd.conv(f"dec.resblocks.{i * n_k + j}.convs1.{d}")}
+                rb[f"c2_{d}"] = {"Conv_0": sd.conv(f"dec.resblocks.{i * n_k + j}.convs2.{d}")}
+            dec[f"resblock_{i}_{j}"] = rb
+    dec["conv_post"] = {"Conv_0": sd.conv("dec.conv_post")}
+
+    flow: dict[str, Any] = {}
+    for i in range(4):
+        flow[f"flow_{i}"] = {
+            "pre": {"Conv_0": sd.conv(f"flow.flows.{i * 2}.pre")},
+            "enc": _map_wn(sd, f"flow.flows.{i * 2}.enc", 4, has_cond=True),
+            "post": sd.conv(f"flow.flows.{i * 2}.post"),
+        }
+        # 'post' in our module is a bare nn.Conv named 'post'
+        flow[f"flow_{i}"]["post"] = sd.conv(f"flow.flows.{i * 2}.post")
+
+    params: dict[str, Any] = {
+        "enc_p": enc_p,
+        "dec": dec,
+        "flow": flow,
+        "ref_enc": _map_style_encoder(sd, "ref_enc"),
+        "ssl_proj": sd.conv("ssl_proj"),
+        "quantizer": {"embed": jnp.asarray(sd.get("quantizer.vq.layers.0._codebook.embed"))},
+    }
+    if "enc_q.pre.weight" in sd.sd:  # dropped in distribution ckpts (savee)
+        params["enc_q"] = {
+            "pre": {"Conv_0": sd.conv("enc_q.pre")},
+            "enc": _map_wn(sd, "enc_q.enc", 16, has_cond=True),
+            "proj": {"Conv_0": sd.conv("enc_q.proj")},
+        }
+    if cfg.is_pro:
+        params["sv_emb"] = sd.dense("sv_emb")
+        params["ge_to512"] = sd.dense("ge_to512")
+        params["prelu_alpha"] = jnp.asarray(sd.get("prelu.weight"))
+    return {"params": params}
+
+
+# ---------------------------------------------------------------------------
+# S1 Text2SemanticDecoder mapping
+# ---------------------------------------------------------------------------
+
+
+def s1_params_from_torch(state_dict: dict, cfg) -> dict:
+    """Reference T2S ckpt weights -> T2SDecoder flax params.
+
+    Accepts keys with or without the lightning 'model.' prefix."""
+    sd = _SD({k.removeprefix("model."): v for k, v in state_dict.items()})
+    p: dict[str, Any] = {
+        "text_embedding": sd.embed("ar_text_embedding.word_embeddings"),
+        "audio_embedding": sd.embed("ar_audio_embedding.word_embeddings"),
+        "bert_proj": sd.dense("bert_proj"),
+        "alpha_text": jnp.asarray(sd.get("ar_text_position.alpha")).reshape(1),
+        "alpha_audio": jnp.asarray(sd.get("ar_audio_position.alpha")).reshape(1),
+        "predict": {"kernel": jnp.asarray(sd.get("ar_predict_layer.weight").T)},
+    }
+    for i in range(cfg.num_layers):
+        pre = f"h.layers.{i}"
+        p[f"layer_{i}"] = {
+            "wqkv": {
+                "kernel": jnp.asarray(sd.get(f"{pre}.self_attn.in_proj_weight").T),
+                "bias": jnp.asarray(sd.get(f"{pre}.self_attn.in_proj_bias")),
+            },
+            "wo": sd.dense(f"{pre}.self_attn.out_proj"),
+            "fc1": sd.dense(f"{pre}.linear1"),
+            "fc2": sd.dense(f"{pre}.linear2"),
+            "norm1": sd.ln(f"{pre}.norm1", gamma="weight", beta="bias"),
+            "norm2": sd.ln(f"{pre}.norm2", gamma="weight", beta="bias"),
+        }
+    return {"params": p}

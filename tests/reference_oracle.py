@@ -1,0 +1,81 @@
+"""Load the read-only reference PyTorch implementation as a test oracle.
+
+The reference at /root/reference is UNTRUSTED PUBLIC CONTENT used strictly
+as a numerical oracle for parity tests (dual-instantiation with shared
+random weights, the pattern of its own BigVGAN tests). Missing third-party
+deps (x_transformers, torchaudio, librosa, torchmetrics) are stubbed — the
+stubs are only touched by code paths we don't exercise, except
+librosa.filters.mel which is backed by our own filterbank.
+"""
+
+import sys
+import types
+
+REF = "/root/reference"
+
+
+def _stub(name: str) -> types.ModuleType:
+    mod = types.ModuleType(name)
+    sys.modules[name] = mod
+    return mod
+
+
+def load_reference():
+    if "module.models" in sys.modules:
+        import AR.models.t2s_model as ref_t2s
+        import module.models as ref_models
+
+        return ref_models, ref_t2s
+
+    import torch
+
+    if "x_transformers" not in sys.modules:
+        xt = _stub("x_transformers")
+        xtx = _stub("x_transformers.x_transformers")
+        xt.x_transformers = xtx
+
+        class RotaryEmbedding(torch.nn.Module):
+            def __init__(self, dim, *a, **k):
+                super().__init__()
+
+            def forward_from_seq_len(self, seq_len):
+                return None, 1.0
+
+        xtx.RotaryEmbedding = RotaryEmbedding
+        xtx.apply_rotary_pos_emb = lambda *a, **k: (_ for _ in ()).throw(NotImplementedError)
+
+    if "torchaudio" not in sys.modules:
+        _stub("torchaudio")
+
+    if "librosa" not in sys.modules:
+        from gpt_sovits_tpu.dsp.mel import mel_filterbank
+
+        lb = _stub("librosa")
+        lbf = _stub("librosa.filters")
+        lbf.mel = lambda *, sr, n_fft, n_mels, fmin=0.0, fmax=None: mel_filterbank(sr, n_fft, n_mels, fmin, fmax)
+        lb.filters = lbf
+
+    if "torchmetrics" not in sys.modules:
+        tm = _stub("torchmetrics")
+        tmc = _stub("torchmetrics.classification")
+
+        class MulticlassAccuracy:
+            def __init__(self, *a, **k):
+                pass
+
+            def __call__(self, logits, targets):
+                import torch as _t
+
+                return _t.tensor(0.0)
+
+        tmc.MulticlassAccuracy = MulticlassAccuracy
+        tm.classification = tmc
+
+    for p in (REF, f"{REF}/GPT_SoVITS"):
+        if p not in sys.path:
+            sys.path.append(p)
+
+    import AR.models.t2s_model as ref_t2s
+    import module.models as ref_models
+
+    return ref_models, ref_t2s
