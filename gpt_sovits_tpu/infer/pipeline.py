@@ -1,0 +1,317 @@
+"""Zero/few-shot TTS serving pipeline.
+
+Re-design of the reference `TTS` class (GPT_SoVITS/TTS_infer_pack/TTS.py:412)
+as a single-controller driver over jitted TPU functions:
+
+  * set_ref_audio (TTS.py:737): reference wav -> 16 kHz HuBERT features ->
+    VQ prompt semantic tokens (TTS.py:795), 32 kHz linear spec for timbre,
+    duration guard 3-10 s (TTS.py:802-803); cached per reference
+  * preprocess (TextPreprocessor.py:59): cut method -> per-segment language
+    split -> g2p (+BERT features for zh) -> phone ids
+  * run (TTS.py:984): length-sorted greedy bucketing (to_batch TTS.py:842),
+    batched S1 AR decode, one S2 decode per bucket, inter-fragment silence,
+    original-order restore, int16 (audio_postprocess TTS.py:1377)
+
+TPU-first: every padded shape is drawn from a small set of buckets so the
+XLA compile cache stays small; eviction-by-EOS happens inside the compiled
+while_loop (masking), not by rebatching.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Generator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gpt_sovits_tpu.dsp.audio_io import load_wav, resample
+from gpt_sovits_tpu.dsp.mel import spectrogram
+from gpt_sovits_tpu.models.hubert import HubertEncoder
+from gpt_sovits_tpu.models.t2s import T2SDecoder, generate
+from gpt_sovits_tpu.models.vits import SynthesizerTrn
+from gpt_sovits_tpu.text import cleaned_text_to_sequence
+from gpt_sovits_tpu.text.cleaner import clean_text
+from gpt_sovits_tpu.text.lang_segmenter import segment as lang_segment
+from gpt_sovits_tpu.text.segmentation import get_method, split_big_text
+from gpt_sovits_tpu.utils.config import InferenceConfig, MelConfig, S1Config, S2Config
+
+
+def _next_bucket(n: int, buckets=(32, 64, 128, 256, 512)) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return ((n + 127) // 128) * 128
+
+
+@dataclasses.dataclass
+class RefCache:
+    """Cached per-reference features (prompt cache, TTS.py:443-453)."""
+
+    prompt_semantic: np.ndarray  # (Tp,) int32
+    refer_spec: np.ndarray  # (Tr, spec_channels)
+    sv_emb: Optional[np.ndarray] = None  # (sv_dim,) for v2Pro
+    prompt_phones: Optional[list] = None
+    prompt_norm_text: str = ""
+
+
+class TTSPipeline:
+    def __init__(
+        self,
+        *,
+        s1_model: T2SDecoder,
+        s1_params,
+        s2_model: SynthesizerTrn,
+        s2_params,
+        hubert_model: Optional[HubertEncoder] = None,
+        hubert_params=None,
+        bert_model=None,
+        bert_params=None,
+        bert_tokenizer=None,
+        sv_model=None,
+        sv_params=None,
+        mel_cfg: MelConfig = MelConfig(),
+        infer_cfg: InferenceConfig = InferenceConfig(),
+    ):
+        self.s1 = s1_model
+        self.s1_params = s1_params
+        self.s2 = s2_model
+        self.s2_params = s2_params
+        self.hubert = hubert_model
+        self.hubert_params = hubert_params
+        self.bert = bert_model
+        self.bert_params = bert_params
+        self.bert_tokenizer = bert_tokenizer
+        self.sv = sv_model
+        self.sv_params = sv_params
+        self.mel_cfg = mel_cfg
+        self.cfg = infer_cfg
+        self.ref: Optional[RefCache] = None
+        self.version = s2_model.cfg.version
+        self._s2_decode = jax.jit(
+            functools.partial(s2_model.apply, method=SynthesizerTrn.decode),
+            static_argnames=("speed",),
+        )
+        self._extract_latent = jax.jit(functools.partial(s2_model.apply, method=SynthesizerTrn.extract_latent))
+        if hubert_model is not None:
+            self._hubert_fwd = jax.jit(hubert_model.apply)
+
+    # ------------------------------------------------------------------
+    # reference audio
+    # ------------------------------------------------------------------
+
+    def set_ref_audio(self, wav, sr: Optional[int] = None, ref_text: Optional[str] = None):
+        """wav: path or float array. Extracts and caches prompt features."""
+        if isinstance(wav, str):
+            wav, sr = load_wav(wav)
+        assert sr is not None, "sr required for array input"
+        dur = len(wav) / sr
+        if not (self.cfg.min_ref_sec <= dur <= self.cfg.max_ref_sec):
+            raise ValueError(
+                f"reference audio must be {self.cfg.min_ref_sec:.0f}-{self.cfg.max_ref_sec:.0f} s, got {dur:.1f} s"
+            )
+        wav16 = resample(np.asarray(wav, np.float32), sr, 16000)
+        # pad tail like the reference (zero_wav 0.3 s, inference_webui.py)
+        wav16 = np.concatenate([wav16, np.zeros(int(16000 * 0.3), np.float32)])
+        sr_native = self.mel_cfg.sampling_rate
+        wav_native = resample(np.asarray(wav, np.float32), sr, sr_native)
+
+        if self.hubert is None:
+            raise RuntimeError("hubert model required for reference encoding")
+        ssl = self._hubert_fwd(self.hubert_params, wav16[None, :])  # (1,T,768)
+        codes = self._extract_latent(self.s2_params, ssl)  # (1, T//2)
+        spec = np.asarray(spectrogram(wav_native[None, :], self.mel_cfg))[0].T  # (T, bins)
+
+        sv_emb = None
+        if self.s2.cfg.is_pro and self.sv is not None:
+            sv_emb = np.asarray(self.sv.apply(self.sv_params, wav16[None, :]))[0]
+
+        self.ref = RefCache(
+            prompt_semantic=np.asarray(codes[0], np.int32),
+            refer_spec=spec.astype(np.float32),
+            sv_emb=sv_emb,
+        )
+        if ref_text:
+            phones, _, norm = self._g2p_segment(ref_text, "auto")
+            self.ref.prompt_phones = phones
+            self.ref.prompt_norm_text = norm
+        return self.ref
+
+    # ------------------------------------------------------------------
+    # text preprocessing
+    # ------------------------------------------------------------------
+
+    def _g2p_segment(self, text: str, language: str):
+        """One text segment -> (phone ids, bert features (T,1024), norm)."""
+        if language in ("auto", "auto_yue"):
+            runs = lang_segment(text)
+        else:
+            runs = [{"lang": language.replace("all_", ""), "text": text}]
+        phones_all: list[int] = []
+        bert_chunks: list[np.ndarray] = []
+        norm_all: list[str] = []
+        for run in runs:
+            phones, word2ph, norm = clean_text(run["text"], run["lang"], self.version)
+            ids = cleaned_text_to_sequence(phones, self.version)
+            bert = self._bert_features(norm, word2ph, len(ids), run["lang"])
+            phones_all.extend(ids)
+            bert_chunks.append(bert)
+            norm_all.append(norm)
+        bert_feat = (
+            np.concatenate(bert_chunks, axis=0) if bert_chunks else np.zeros((0, 1024), np.float32)
+        )
+        return phones_all, bert_feat, "".join(norm_all)
+
+    def _bert_features(self, norm_text: str, word2ph, n_phones: int, lang: str) -> np.ndarray:
+        """Phone-level BERT features; zeros for non-zh (TextPreprocessor:191)."""
+        if lang == "zh" and self.bert is not None and word2ph is not None:
+            toks = self.bert_tokenizer(norm_text, return_tensors="np")
+            hidden = self.bert.apply(self.bert_params, jnp.asarray(toks["input_ids"]))[-3]
+            hidden = np.asarray(hidden)[0, 1:-1]  # drop [CLS]/[SEP]
+            if len(word2ph) != hidden.shape[0]:  # tokenizer/char mismatch guard
+                return np.zeros((n_phones, 1024), np.float32)
+            return np.repeat(hidden, word2ph, axis=0).astype(np.float32)
+        return np.zeros((n_phones, 1024), np.float32)
+
+    def preprocess(self, text: str, language: str, cut_method: str = "cut5"):
+        """-> list of {"phones": ids, "bert": (T,1024)} segments."""
+        pieces = []
+        for chunk in get_method(cut_method)(text.strip()):
+            pieces.extend(split_big_text(chunk))
+        out = []
+        for piece in pieces:
+            phones, bert, norm = self._g2p_segment(piece, language)
+            if len(phones) < 2:
+                continue
+            # reference retries <6-phoneme fragments by merging; here short
+            # fragments merge into the previous segment
+            if out and len(phones) < 6:
+                prev = out[-1]
+                prev["phones"] = prev["phones"] + phones
+                prev["bert"] = np.concatenate([prev["bert"], bert], axis=0)
+                prev["norm_text"] += norm
+                continue
+            out.append({"phones": phones, "bert": bert, "norm_text": norm})
+        return out
+
+    # ------------------------------------------------------------------
+    # synthesis
+    # ------------------------------------------------------------------
+
+    def run(
+        self,
+        text: str,
+        language: str = "auto",
+        *,
+        seed: int = 0,
+        cut_method: Optional[str] = None,
+        top_k: Optional[int] = None,
+        top_p: Optional[float] = None,
+        temperature: Optional[float] = None,
+        repetition_penalty: Optional[float] = None,
+        speed: float = 1.0,
+        fragment_interval: Optional[float] = None,
+        max_sec: int = 30,
+    ) -> tuple[int, np.ndarray]:
+        """Synthesize. Returns (sample_rate, int16 waveform)."""
+        assert self.ref is not None, "call set_ref_audio first"
+        cfg = self.cfg
+        top_k = cfg.top_k if top_k is None else top_k
+        top_p = cfg.top_p if top_p is None else top_p
+        temperature = cfg.temperature if temperature is None else temperature
+        repetition_penalty = cfg.repetition_penalty if repetition_penalty is None else repetition_penalty
+        fragment_interval = cfg.fragment_interval if fragment_interval is None else fragment_interval
+        cut_method = cut_method or cfg.text_split_method
+
+        segments = self.preprocess(text, language, cut_method)
+        if not segments:
+            raise ValueError("no synthesizable text")
+
+        # length-sorted bucketing (to_batch, TTS.py:842)
+        order = sorted(range(len(segments)), key=lambda i: len(segments[i]["phones"]))
+        key = jax.random.PRNGKey(seed)
+        sr = self.mel_cfg.sampling_rate
+        hop = self.mel_cfg.hop_size
+        frame_rate = self.s1.cfg.semantic_frame_rate
+        wavs: dict[int, np.ndarray] = {}
+
+        bs = cfg.batch_size
+        for start in range(0, len(order), bs):
+            idx = order[start : start + bs]
+            batch = [segments[i] for i in idx]
+            key, sub = jax.random.split(key)
+            wav_list = self._synthesize_batch(
+                batch, sub,
+                top_k=top_k, top_p=top_p, temperature=temperature,
+                repetition_penalty=repetition_penalty, speed=speed, max_sec=max_sec,
+            )
+            for i, w in zip(idx, wav_list):
+                wavs[i] = w
+
+        silence = np.zeros(int(sr * fragment_interval), np.float32)
+        pieces = []
+        for i in range(len(segments)):
+            pieces.append(wavs[i])
+            pieces.append(silence)
+        audio = np.concatenate(pieces[:-1]) if pieces else np.zeros(0, np.float32)
+        audio = np.clip(audio, -1.0, 1.0)
+        return sr, (audio * 32767.0).astype(np.int16)
+
+    def _synthesize_batch(self, batch, key, *, top_k, top_p, temperature, repetition_penalty, speed, max_sec):
+        b = len(batch)
+        ref = self.ref
+        tp = len(ref.prompt_semantic)
+        tx_max = _next_bucket(max(len(s["phones"]) for s in batch))
+        phones = np.zeros((b, tx_max), np.int32)
+        bert = np.zeros((b, tx_max, 1024), np.float32)
+        x_lens = np.zeros((b,), np.int32)
+        for i, s in enumerate(batch):
+            n = len(s["phones"])
+            phones[i, tx_max - n :] = s["phones"]  # LEFT pad
+            bert[i, tx_max - n :] = s["bert"][:n]
+            x_lens[i] = n
+
+        prompts = np.broadcast_to(ref.prompt_semantic, (b, tp)).copy()
+        max_new = int(self.s1.cfg.semantic_frame_rate * max_sec)
+
+        out = generate(
+            self.s1, self.s1_params,
+            jnp.asarray(phones), jnp.asarray(x_lens), jnp.asarray(bert),
+            jnp.asarray(prompts), jnp.full((b,), tp, jnp.int32), key,
+            max_new_tokens=max_new, top_k=top_k, top_p=top_p,
+            temperature=temperature, repetition_penalty=repetition_penalty,
+        )
+        tokens = np.asarray(out.tokens)
+        lengths = np.asarray(out.lengths)
+
+        refer_spec = jnp.asarray(ref.refer_spec[None].repeat(b, axis=0))
+        refer_lens = jnp.full((b,), ref.refer_spec.shape[0], jnp.int32)
+        sv = jnp.asarray(ref.sv_emb[None].repeat(b, axis=0)) if ref.sv_emb is not None else None
+        tc = _next_bucket(int(lengths.max()))
+        codes = jnp.asarray(tokens[:, :tc])
+        wav = self._s2_decode(
+            self.s2_params,
+            codes, jnp.asarray(lengths), jnp.asarray(phones_right(batch, tx_max)),
+            jnp.asarray([len(s["phones"]) for s in batch], dtype=jnp.int32),
+            refer_spec, refer_lens,
+            speed=speed, sv_emb=sv,
+        )
+        wav = np.asarray(wav)[..., 0]
+        hop_up = int(np.prod(self.s2.cfg.upsample_rates))
+        out_wavs = []
+        for i in range(b):
+            n_samples = int(lengths[i]) * 2 * hop_up
+            out_wavs.append(wav[i, :n_samples])
+        return out_wavs
+
+
+def phones_right(batch, tx_max) -> np.ndarray:
+    """RIGHT-padded phone ids for the S2 text encoder."""
+    b = len(batch)
+    out = np.zeros((b, tx_max), np.int32)
+    for i, s in enumerate(batch):
+        n = len(s["phones"])
+        out[i, :n] = s["phones"]
+    return out
