@@ -22,6 +22,12 @@ import time
 import jax
 import jax.numpy as jnp
 
+# Persistent compilation cache: first-ever bench pays ~6 min of XLA compile
+# for the S2 graph; subsequent runs (including the driver's) load from cache.
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 BASELINE_RTF = 0.028
 
 # benchmark scenario: 20 s of speech (500 semantic tokens @ 25 Hz)
@@ -36,11 +42,13 @@ def main():
     from gpt_sovits_tpu.models.vits import SynthesizerTrn
     from gpt_sovits_tpu.utils.config import S1Config, s2_config_for_version
 
+    import functools
+
     dtype = jnp.bfloat16
     s1_cfg = S1Config()
     s1 = T2SDecoder(s1_cfg, dtype=dtype)
     key = jax.random.PRNGKey(0)
-    s1_params = s1.init(key, method=T2SDecoder.init_all)
+    s1_params = jax.jit(functools.partial(s1.init, method=T2SDecoder.init_all))(key)
 
     s2_cfg = s2_config_for_version("v2")
     s2 = SynthesizerTrn(s2_cfg)
@@ -49,11 +57,10 @@ def main():
     text_lengths = jnp.full((b,), TEXT_LEN, jnp.int32)
     refer_spec = jax.random.normal(key, (b, 250, s2_cfg.spec_channels)) * 0.3 + 1.0
     refer_lengths = jnp.full((b,), 250, jnp.int32)
-    s2_params = s2.init(
+    s2_params = jax.jit(functools.partial(s2.init, method=SynthesizerTrn.init_all))(
         {"params": key, "noise": key, "slice": key},
         jnp.zeros((b, 100, s2_cfg.ssl_dim)),
         refer_spec, refer_lengths, text, text_lengths,
-        method=SynthesizerTrn.init_all,
     )
 
     phones = jnp.zeros((b, TEXT_LEN), jnp.int32)
