@@ -1,0 +1,239 @@
+"""DiT flow-matching estimator for the v3/v4 mel path, TPU-native.
+
+Re-design of the reference DiT (GPT_SoVITS/f5_tts/model/backbones/dit.py:88,
+f5_tts/model/modules.py): 22-layer AdaLN-Zero DiT, dim 1024, 16 heads,
+head_dim 64, ff_mult 2, rotary embeddings (x_transformers interleaved-pair
+convention), ConvNeXtV2 text conditioning blocks, separate time + dt
+(bootstrap step size) embeddings.
+
+All tensors feature-last (B, T, C).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass(frozen=True)
+class DiTConfig:
+    dim: int = 1024
+    depth: int = 22
+    heads: int = 16
+    dim_head: int = 64
+    ff_mult: int = 2
+    mel_dim: int = 100
+    text_dim: int = 512
+    conv_layers: int = 4
+    freq_embed_dim: int = 256
+    max_pos: int = 4096
+
+
+def sinus_position_embedding(t: jnp.ndarray, dim: int, scale: float = 1000.0) -> jnp.ndarray:
+    """(B,) -> (B, dim). Ref modules.py:149 (log-spaced, sin||cos)."""
+    half = dim // 2
+    emb = np.log(10000.0) / (half - 1)
+    freqs = jnp.exp(jnp.arange(half) * -emb)
+    arg = scale * t[:, None] * freqs[None, :]
+    return jnp.concatenate([jnp.sin(arg), jnp.cos(arg)], axis=-1)
+
+
+def precompute_freqs_cis(dim: int, end: int, theta: float = 10000.0) -> np.ndarray:
+    """(end, dim) = [cos || sin] table. Ref modules.py:196."""
+    freqs = 1.0 / (theta ** (np.arange(0, dim, 2)[: dim // 2].astype(np.float64) / dim))
+    t = np.arange(end)
+    f = np.outer(t, freqs)
+    return np.concatenate([np.cos(f), np.sin(f)], axis=-1).astype(np.float32)
+
+
+def rope_rotate(x: jnp.ndarray, t_len: int, dim_head: int) -> jnp.ndarray:
+    """x_transformers-convention rotary embedding on (B, T, H*Dh).
+
+    freqs are repeated in interleaved pairs ([f0,f0,f1,f1,...]) and
+    rotate_half swaps adjacent pairs (x_transformers.rotate_half)."""
+    half = dim_head // 2
+    inv_freq = 1.0 / (10000.0 ** (np.arange(0, dim_head, 2).astype(np.float64) / dim_head))
+    t = np.arange(t_len)
+    freqs = np.einsum("t,f->tf", t, inv_freq)  # (T, Dh/2)
+    freqs = np.repeat(freqs, 2, axis=-1)  # (T, Dh) interleaved
+    cos = jnp.asarray(np.cos(freqs), dtype=x.dtype)
+    sin = jnp.asarray(np.sin(freqs), dtype=x.dtype)
+    b, tl, d = x.shape
+    xh = x.reshape(b, tl, d // dim_head, dim_head)
+    x_pairs = xh.reshape(b, tl, d // dim_head, dim_head // 2, 2)
+    rot = jnp.stack([-x_pairs[..., 1], x_pairs[..., 0]], axis=-1).reshape(xh.shape)
+    out = xh * cos[None, :, None, :] + rot * sin[None, :, None, :]
+    return out.reshape(b, tl, d)
+
+
+class TimestepEmbedding(nn.Module):
+    dim: int
+    freq_embed_dim: int = 256
+
+    @nn.compact
+    def __call__(self, t):
+        h = sinus_position_embedding(t, self.freq_embed_dim)
+        h = nn.Dense(self.dim, name="mlp1")(h)
+        h = nn.silu(h)
+        return nn.Dense(self.dim, name="mlp2")(h)
+
+
+class GRN(nn.Module):
+    dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        gamma = self.param("gamma", nn.initializers.zeros, (1, 1, self.dim))
+        beta = self.param("beta", nn.initializers.zeros, (1, 1, self.dim))
+        gx = jnp.sqrt(jnp.sum(x * x, axis=1, keepdims=True))  # L2 over time
+        nx = gx / (jnp.mean(gx, axis=-1, keepdims=True) + 1e-6)
+        return gamma * (x * nx) + beta + x
+
+
+class ConvNeXtV2Block(nn.Module):
+    dim: int
+    intermediate_dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        residual = x
+        x = nn.Conv(self.dim, (7,), padding=[(3, 3)], feature_group_count=self.dim, name="dwconv")(x)
+        x = nn.LayerNorm(epsilon=1e-6, name="norm")(x)
+        x = nn.Dense(self.intermediate_dim, name="pwconv1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = GRN(self.intermediate_dim, name="grn")(x)
+        x = nn.Dense(self.dim, name="pwconv2")(x)
+        return residual + x
+
+
+class TextEmbedding(nn.Module):
+    text_dim: int
+    conv_layers: int = 4
+    max_pos: int = 4096
+
+    @nn.compact
+    def __call__(self, text, drop_text: bool = False):
+        """text: (B, T, text_dim) conditioning features."""
+        if drop_text:
+            text = jnp.zeros_like(text)
+        t = text.shape[1]
+        pos = jnp.asarray(precompute_freqs_cis(self.text_dim, self.max_pos))[
+            jnp.minimum(jnp.arange(t), self.max_pos - 1)
+        ]
+        text = text + pos[None]
+        for i in range(self.conv_layers):
+            text = ConvNeXtV2Block(self.text_dim, self.text_dim * 2, name=f"block_{i}")(text)
+        return text
+
+
+def _mish(x):
+    return x * jnp.tanh(jax.nn.softplus(x))
+
+
+class ConvPositionEmbedding(nn.Module):
+    dim: int
+    kernel_size: int = 31
+    groups: int = 16
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size
+        x = nn.Conv(self.dim, (k,), padding=[(k // 2, k // 2)], feature_group_count=self.groups, name="conv1")(x)
+        x = _mish(x)
+        x = nn.Conv(self.dim, (k,), padding=[(k // 2, k // 2)], feature_group_count=self.groups, name="conv2")(x)
+        return _mish(x)
+
+
+class InputEmbedding(nn.Module):
+    out_dim: int
+
+    @nn.compact
+    def __call__(self, x, cond, text_embed, drop_audio_cond: bool = False):
+        if drop_audio_cond:
+            cond = jnp.zeros_like(cond)
+        h = nn.Dense(self.out_dim, name="proj")(jnp.concatenate([x, cond, text_embed], axis=-1))
+        return ConvPositionEmbedding(self.out_dim, name="conv_pos_embed")(h) + h
+
+
+class DiTBlock(nn.Module):
+    cfg: DiTConfig
+
+    @nn.compact
+    def __call__(self, x, t_emb, mask):
+        c = self.cfg
+        inner = c.heads * c.dim_head
+        mod = nn.Dense(6 * c.dim, name="ada_linear")(nn.silu(t_emb))  # (B, 6D)
+        shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = jnp.split(mod, 6, axis=-1)
+
+        norm = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6, name="attn_norm")(x)
+        norm = norm * (1 + scale_msa[:, None]) + shift_msa[:, None]
+
+        b, tl, _ = x.shape
+        q = nn.Dense(inner, name="to_q")(norm)
+        k = nn.Dense(inner, name="to_k")(norm)
+        v = nn.Dense(inner, name="to_v")(norm)
+        q = rope_rotate(q, tl, c.dim_head)
+        k = rope_rotate(k, tl, c.dim_head)
+        qh = q.reshape(b, tl, c.heads, c.dim_head)
+        kh = k.reshape(b, tl, c.heads, c.dim_head)
+        vh = v.reshape(b, tl, c.heads, c.dim_head)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", qh, kh, preferred_element_type=jnp.float32) / np.sqrt(c.dim_head)
+        if mask is not None:
+            scores = jnp.where(mask[:, None, None, :], scores, -jnp.inf)
+        probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+        attn = jnp.einsum("bhqk,bkhd->bqhd", probs, vh).reshape(b, tl, inner)
+        attn = nn.Dense(c.dim, name="to_out")(attn)
+        if mask is not None:
+            attn = jnp.where(mask[..., None], attn, 0.0)
+        x = x + gate_msa[:, None] * attn
+
+        norm2 = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6, name="ff_norm")(x)
+        norm2 = norm2 * (1 + scale_mlp[:, None]) + shift_mlp[:, None]
+        ff = nn.Dense(c.dim * c.ff_mult, name="ff1")(norm2)
+        ff = nn.gelu(ff, approximate=True)
+        ff = nn.Dense(c.dim, name="ff2")(ff)
+        return x + gate_mlp[:, None] * ff
+
+
+class DiT(nn.Module):
+    cfg: DiTConfig = DiTConfig()
+
+    @nn.compact
+    def __call__(
+        self,
+        x,  # (B, T, mel_dim) noised audio
+        cond,  # (B, T, mel_dim) masked prompt audio
+        t,  # (B,) flow time
+        dt_base,  # (B,) bootstrap step size
+        text,  # (B, T, text_dim) conditioning features
+        mask=None,  # (B, T) bool
+        *,
+        drop_audio_cond: bool = False,
+        drop_text: bool = False,
+        text_embed_cache: Optional[jnp.ndarray] = None,
+    ):
+        c = self.cfg
+        t_emb = TimestepEmbedding(c.dim, c.freq_embed_dim, name="time_embed")(t)
+        dt_emb = TimestepEmbedding(c.dim, c.freq_embed_dim, name="d_embed")(dt_base)
+        t_emb = t_emb + dt_emb
+
+        if text_embed_cache is not None:
+            text_embed = text_embed_cache
+        else:
+            text_embed = TextEmbedding(c.text_dim, c.conv_layers, c.max_pos, name="text_embed")(
+                text, drop_text=drop_text
+            )
+        h = InputEmbedding(c.dim, name="input_embed")(x, cond, text_embed, drop_audio_cond=drop_audio_cond)
+        for i in range(c.depth):
+            h = DiTBlock(c, name=f"block_{i}")(h, t_emb, mask)
+        mod = nn.Dense(2 * c.dim, name="norm_out_linear")(nn.silu(t_emb))
+        scale, shift = jnp.split(mod, 2, axis=-1)
+        h = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6, name="norm_out")(h)
+        h = h * (1 + scale[:, None]) + shift[:, None]
+        out = nn.Dense(c.mel_dim, name="proj_out")(h)
+        return out, text_embed

@@ -1,0 +1,107 @@
+"""v3/v4 CFM-DiT path tests: shapes, loss finiteness, Euler inference,
+prompt-region invariants, v3 vs v4 interpolation factors."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gpt_sovits_tpu.models.dit import DiT, DiTConfig
+from gpt_sovits_tpu.models.v3 import SynthesizerTrnV3, cfm_inference, interpolate_nearest
+from gpt_sovits_tpu.utils.config import S2Config, replace
+
+DIT_TINY = DiTConfig(dim=64, depth=2, heads=4, dim_head=16, ff_mult=2, mel_dim=20, text_dim=32, conv_layers=2, max_pos=256)
+
+V3_TINY = S2Config(
+    version="v3", spec_channels=65, inter_channels=32, hidden_channels=32,
+    filter_channels=48, n_heads=2, n_layers=4, kernel_size=3,
+    gin_channels=32, mrte_hidden=32, ssl_dim=48, n_codes=33,
+    cfm_mel_channels=20, cfm_dit_depth=2, cfm_dit_dim=64, cfm_dit_heads=4,
+)
+
+B, TS, TSPEC, TT, TMEL = 2, 24, 24, 6, 45
+
+
+def test_interpolate_nearest_matches_torch():
+    import torch
+
+    x = np.random.default_rng(0).standard_normal((1, 16, 3)).astype(np.float32)
+    for scale in (1.875, 2.0):
+        ours = np.asarray(interpolate_nearest(jnp.asarray(x), scale))
+        ref = torch.nn.functional.interpolate(
+            torch.from_numpy(x.transpose(0, 2, 1)), scale_factor=scale, mode="nearest"
+        ).numpy().transpose(0, 2, 1)
+        np.testing.assert_allclose(ours, ref, err_msg=str(scale))
+
+
+def test_dit_forward_shapes():
+    model = DiT(DIT_TINY)
+    b, t = 2, 12
+    x = jnp.zeros((b, t, 20))
+    cond = jnp.zeros((b, t, 20))
+    text = jnp.zeros((b, t, 32))
+    mask = jnp.ones((b, t), bool)
+    params = model.init(jax.random.PRNGKey(0), x, cond, jnp.zeros((b,)), jnp.zeros((b,)), text, mask)
+    out, text_embed = model.apply(params, x, cond, jnp.full((b,), 0.5), jnp.zeros((b,)), text, mask)
+    assert out.shape == (b, t, 20)
+    assert text_embed.shape == (b, t, 32)
+    # cached text embed path gives identical output
+    out2, _ = model.apply(
+        params, x, cond, jnp.full((b,), 0.5), jnp.zeros((b,)), text, mask, text_embed_cache=text_embed
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out2), atol=1e-6)
+
+
+@pytest.fixture(scope="module")
+def v3_model():
+    model = SynthesizerTrnV3(V3_TINY)
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 4)
+    ssl = jax.random.normal(ks[0], (B, TS, V3_TINY.ssl_dim))
+    spec = jax.random.normal(ks[1], (B, TSPEC, V3_TINY.spec_channels)) * 0.3
+    mel = jax.random.normal(ks[2], (B, TMEL, 20)) * 0.3
+    text = jax.random.randint(ks[3], (B, TT), 0, 100)
+    params = model.init(
+        {"params": key, "noise": jax.random.PRNGKey(1)},
+        ssl, spec, jnp.asarray([TSPEC, TSPEC - 4]), mel, jnp.asarray([TMEL, TMEL - 6]),
+        text, jnp.asarray([TT, TT - 2]),
+        method=SynthesizerTrnV3.init_all,
+    )
+    return model, params, (ssl, spec, mel, text)
+
+
+def test_v3_training_loss(v3_model):
+    model, params, (ssl, spec, mel, text) = v3_model
+    loss = model.apply(
+        params, ssl, spec, jnp.asarray([TSPEC, TSPEC - 4]), mel, jnp.asarray([TMEL, TMEL - 6]),
+        text, jnp.asarray([TT, TT - 2]), rng=jax.random.PRNGKey(2),
+    )
+    assert np.isfinite(float(loss))
+
+
+def test_v3_decode_encp_and_euler(v3_model):
+    model, params, (ssl, spec, mel, text) = v3_model
+    codes = model.apply(params, ssl, method=SynthesizerTrnV3.extract_latent)
+    assert codes.shape == (B, TS // 2)
+    fea, ge, mel_len = model.apply(
+        params, codes, jnp.full((B,), TS // 2), text, jnp.asarray([TT, TT]),
+        spec, jnp.asarray([TSPEC, TSPEC]), method=SynthesizerTrnV3.decode_encp,
+    )
+    # v3: fea time = codes*2 (50Hz) interpolated x1.875
+    assert fea.shape == (B, int(TS * 1.875), 512)
+    assert int(mel_len[0]) == int((TS // 2) * 3.875)
+
+    dit = DiT(model.dit_config)
+    dit_params = {"params": params["params"]["cfm"]["estimator"]}
+    prompt = mel[:, :10]
+    out = cfm_inference(dit, dit_params, fea, mel_len, prompt, jax.random.PRNGKey(3), n_steps=4)
+    assert out.shape == (B, fea.shape[1], 20)
+    # prompt region zeroed (reference keeps it zeroed through the loop)
+    np.testing.assert_allclose(np.asarray(out[:, :10]), 0.0, atol=1e-6)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_v4_interp_factor():
+    cfg = replace(V3_TINY, version="v4")
+    model = SynthesizerTrnV3(cfg)
+    assert model.interp_factor == 2.0
