@@ -238,6 +238,39 @@ class ResidualCouplingBlock(nn.Module):
 # ---------------------------------------------------------------------------
 
 
+def _rel_to_abs(x):
+    """(B,H,T,2T-1) relative-indexed -> (B,H,T,T) absolute-indexed.
+
+    Pure pad+reshape skew (ref attentions.py:299-310) — no gathers, so XLA
+    compiles it quickly and fuses it."""
+    b, h, t, _ = x.shape
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, 1)))
+    x = x.reshape(b, h, t * 2 * t)
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, t - 1)))
+    x = x.reshape(b, h, t + 1, 2 * t - 1)
+    return x[:, :, :t, t - 1 :]
+
+
+def _abs_to_rel(x):
+    """(B,H,T,T) -> (B,H,T,2T-1) (ref attentions.py:312-324)."""
+    b, h, t, _ = x.shape
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, t - 1)))
+    x = x.reshape(b, h, t * t + t * (t - 1))
+    x = jnp.pad(x, ((0, 0), (0, 0), (t, 0)))
+    x = x.reshape(b, h, t, 2 * t)
+    return x[:, :, :, 1:]
+
+
+def _expand_rel_emb(rel_emb, t, window_size):
+    """(1, 2w+1, dk) -> (1, 2t-1, dk) zero-padded/sliced
+    (ref _get_relative_embeddings, attentions.py:278-295)."""
+    w = window_size
+    pad_len = max(t - (w + 1), 0)
+    start = max((w + 1) - t, 0)
+    padded = jnp.pad(rel_emb, ((0, 0), (pad_len, pad_len), (0, 0)))
+    return padded[:, start : start + 2 * t - 1]
+
+
 class RelPosMultiHeadAttention(nn.Module):
     channels: int
     n_heads: int
@@ -260,30 +293,16 @@ class RelPosMultiHeadAttention(nn.Module):
         w = self.window_size
         rel_k = self.param("emb_rel_k", nn.initializers.normal(dk**-0.5), (1, 2 * w + 1, dk))
         rel_v = self.param("emb_rel_v", nn.initializers.normal(dk**-0.5), (1, 2 * w + 1, dk))
-        # q · rel_k -> (B,H,T,2w+1); place at absolute offsets j-i in [-w, w]
-        rel_logits = jnp.einsum("bqhd,grd->bhqr", q * scale, rel_k)
-        offsets = jnp.arange(t)[None, :] - jnp.arange(t)[:, None]  # j - i
-        ridx = jnp.clip(offsets + w, 0, 2 * w)
-        in_window = jnp.abs(offsets) <= w
-        local = jnp.take_along_axis(
-            rel_logits, ridx[None, None].repeat(h, 1).reshape(1, h, t, t), axis=-1
-        )
-        # take_along_axis over last dim needs (B,H,T,T) indices into (…,2w+1)
-        # — ridx already maps (q,k)->rel bucket; mask out-of-window
-        scores = scores + jnp.where(in_window[None, None], local, 0.0)
+        rel_k_full = _expand_rel_emb(rel_k, t, w)  # (1, 2T-1, dk)
+        rel_logits = jnp.einsum("bqhd,grd->bhqr", (q * scale).astype(jnp.float32), rel_k_full.astype(jnp.float32))
+        scores = scores + _rel_to_abs(rel_logits)
 
         scores = jnp.where(attn_mask[:, None] > 0, scores, -1e4)  # ref uses -1e4
         probs = jax.nn.softmax(scores, axis=-1)
         out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
-        # relative values: p_rel (B,H,T,2w+1) gathered from probs
-        # p_rel[i, r] = probs[i, i + r - w] where valid
-        kidx = jnp.clip(jnp.arange(t)[:, None] + jnp.arange(2 * w + 1)[None, :] - w, 0, t - 1)
-        valid = (jnp.arange(t)[:, None] + jnp.arange(2 * w + 1)[None, :] - w >= 0) & (
-            jnp.arange(t)[:, None] + jnp.arange(2 * w + 1)[None, :] - w < t
-        )
-        p_rel = jnp.take_along_axis(probs, kidx[None, None].repeat(h, 1).reshape(1, h, t, 2 * w + 1), axis=-1)
-        p_rel = jnp.where(valid[None, None], p_rel, 0.0)
-        out = out + jnp.einsum("bhqr,grd->bqhd", p_rel, rel_v)
+        p_rel = _abs_to_rel(probs)  # (B,H,T,2T-1)
+        rel_v_full = _expand_rel_emb(rel_v, t, w)
+        out = out + jnp.einsum("bhqr,grd->bqhd", p_rel.astype(x.dtype), rel_v_full.astype(x.dtype))
         out = out.reshape(b, t, c)
         return nn.Dense(c, name="conv_o")(out)
 
