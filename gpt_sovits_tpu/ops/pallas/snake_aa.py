@@ -1,0 +1,145 @@
+"""Fused anti-aliased snake activation — Pallas TPU kernel.
+
+TPU re-expression of the reference's only CUDA kernel
+(BigVGAN/alias_free_activation/cuda/anti_alias_activation_cuda.cu: fused
+upsample×2 -> snakebeta -> downsample×2, FILTER_SIZE=12). The torch
+composition launches 3 ops and materializes the 2x-upsampled signal in
+HBM; this kernel keeps the intermediate streams in VMEM, so HBM traffic
+drops from ~5x the signal to 2x (read x, write y) — the op is bandwidth
+bound, so that is the speedup bound.
+
+Derivation (ratio=2, K=12, f = kaiser_sinc_filter1d(0.25, 0.3, 12)),
+x edge-replicated:
+  upsample (resample.py:10-30):  u[2t]   = 2·Σ_a f[2a+1]·x[t+2-a]
+                                 u[2t+1] = 2·Σ_a f[2a]  ·x[t+3-a]
+  snakeβ  (activations.py:63):   s[n] = u[n] + sin²(a·u[n])/b
+  downsample (resample.py:33):   y[t] = Σ_a f[2a+1]·s_e[t+a+1]
+                                      + Σ_a f[2a]  ·s_o[t+a]
+  with s_e[t']=s[2t'], s_o[t']=s[2t'+1].
+
+Edge semantics: the reference's downsample replicate-pads the *snaked*
+signal, while the fused interior formula extends through edge-replicated
+x; only the first/last 3 output samples differ. The wrapper recomputes
+those strips with the exact XLA composition and stitches them in, making
+the fused op numerically equivalent to the unfused path everywhere.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_K = 12
+_HALO = 8  # time halo per side (covers x[t-6 .. t+6] plus alignment slack)
+_EDGE = 3  # leading/trailing samples where fused-vs-reference edges differ
+
+
+@functools.lru_cache(maxsize=1)
+def _filter() -> np.ndarray:
+    from gpt_sovits_tpu.models.bigvgan import kaiser_sinc_filter1d
+
+    return kaiser_sinc_filter1d(0.25, 0.3, _K)
+
+
+def _snake(u, a, b):
+    return u + (1.0 / (b + 1e-9)) * jnp.sin(u * a) ** 2
+
+
+def _make_kernel(tile_t: int, tile_c: int):
+    f = _filter()
+
+    def kernel(x_hbm, ab_ref, y_ref, xl_ref, sem):
+        bi = pl.program_id(0)
+        ti = pl.program_id(1)
+        ci = pl.program_id(2)
+        cp = pltpu.make_async_copy(
+            x_hbm.at[bi, pl.ds(ti * tile_t, tile_t + 2 * _HALO), pl.ds(ci * tile_c, tile_c)],
+            xl_ref,
+            sem,
+        )
+        cp.start()
+        cp.wait()
+        x = xl_ref[:].astype(jnp.float32)
+        a = ab_ref[0, :][None, :]
+        b = ab_ref[1, :][None, :]
+
+        n = tile_t + 6  # polyphase half-stream length
+        u_e = jnp.zeros((n, tile_c), jnp.float32)
+        u_o = jnp.zeros((n, tile_c), jnp.float32)
+        for j in range(6):
+            u_e = u_e + (2.0 * float(f[2 * j + 1])) * x[7 - j : 7 - j + n]
+            u_o = u_o + (2.0 * float(f[2 * j])) * x[8 - j : 8 - j + n]
+
+        s_e = _snake(u_e, a, b)
+        s_o = _snake(u_o, a, b)
+
+        y = jnp.zeros((tile_t, tile_c), jnp.float32)
+        for j in range(6):
+            y = y + float(f[2 * j + 1]) * s_e[j + 1 : j + 1 + tile_t]
+            y = y + float(f[2 * j]) * s_o[j : j + tile_t]
+        y_ref[0] = y.astype(y_ref.dtype)
+
+    return kernel
+
+
+def _xla_compose(x, a, b):
+    from gpt_sovits_tpu.models.bigvgan import downsample1d, snake_beta, upsample1d
+
+    h = upsample1d(x, 2)
+    h = h + (1.0 / (b + 1e-9)) * jnp.sin(h * a) ** 2
+    return downsample1d(h, 2)
+
+
+def snake_aa_fused(
+    x: jnp.ndarray,  # (B, T, C)
+    alpha: jnp.ndarray,  # (C,)
+    beta: jnp.ndarray,  # (C,)
+    *,
+    logscale: bool = True,
+    tile_t: int = 512,
+    tile_c: int = 128,
+) -> jnp.ndarray:
+    bsz, t, c = x.shape
+    a = jnp.exp(alpha) if logscale else alpha
+    b = jnp.exp(beta) if logscale else beta
+
+    tile_t = min(tile_t, max(8, t))
+    tile_c = min(tile_c, c if c % 128 == 0 else c)
+    t_pad = -t % tile_t
+    c_pad = -c % tile_c
+    xp = jnp.pad(x, ((0, 0), (_HALO, _HALO + t_pad), (0, c_pad)), mode="edge")
+    ap = jnp.pad(a, (0, c_pad), constant_values=1.0)
+    bp = jnp.pad(b, (0, c_pad), constant_values=1.0)
+    ab = jnp.stack([ap, bp])  # (2, Cp)
+
+    n_t = (t + t_pad) // tile_t
+    n_c = (c + c_pad) // tile_c
+
+    out = pl.pallas_call(
+        _make_kernel(tile_t, tile_c),
+        out_shape=jax.ShapeDtypeStruct((bsz, t + t_pad, c + c_pad), x.dtype),
+        grid=(bsz, n_t, n_c),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # full padded x in HBM
+            pl.BlockSpec((2, tile_c), lambda bi, ti, ci: (0, ci), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile_t, tile_c), lambda bi, ti, ci: (bi, ti, ci), memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((tile_t + 2 * _HALO, tile_c), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(xp, ab)
+    out = out[:, :t, :c]
+
+    # exact edge stitch (see module docstring)
+    e = min(_EDGE, t)
+    w = min(16, t)
+    left = _xla_compose(x[:, :w], a, b)[:, :e]
+    right = _xla_compose(x[:, -w:], a, b)[:, -e:]
+    out = jnp.concatenate([left, out[:, e : t - e], right], axis=1) if t > 2 * e else _xla_compose(x, a, b)
+    return out
