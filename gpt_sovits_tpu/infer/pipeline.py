@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from gpt_sovits_tpu.dsp.audio_io import load_wav, resample
-from gpt_sovits_tpu.dsp.mel import spectrogram
+from gpt_sovits_tpu.dsp.mel import denorm_spec, mel_spectrogram, norm_spec, spectrogram
 from gpt_sovits_tpu.models.hubert import HubertEncoder
 from gpt_sovits_tpu.models.t2s import T2SDecoder, generate
 from gpt_sovits_tpu.models.vits import SynthesizerTrn
@@ -55,6 +55,24 @@ class RefCache:
     sv_emb: Optional[np.ndarray] = None  # (sv_dim,) for v2Pro
     prompt_phones: Optional[list] = None
     prompt_norm_text: str = ""
+    raw_wav: Optional[np.ndarray] = None  # original wav for v3/v4 ref mel
+    raw_sr: int = 0
+
+
+@dataclasses.dataclass
+class V3Bundle:
+    """Models + constants for the v3/v4 CFM path (TTS.py init_vocoder
+    vocoder_configs, :601-660)."""
+
+    model: Any  # SynthesizerTrnV3
+    params: Any
+    vocoder: Any  # flax BigVGAN (v3) or Generator (v4)
+    vocoder_params: Any
+    mel_cfg: MelConfig  # MEL_V3 or MEL_V4
+    t_ref: int  # 468 (v3) / 500 (v4)
+    t_chunk: int  # 934 (v3) / 1000 (v4)
+    out_sr: int  # 24000 (v3) / 48000 (v4)
+    sample_steps: int = 32
 
 
 class TTSPipeline:
@@ -74,6 +92,7 @@ class TTSPipeline:
         sv_params=None,
         mel_cfg: MelConfig = MelConfig(),
         infer_cfg: InferenceConfig = InferenceConfig(),
+        v3_bundle: Optional[V3Bundle] = None,
     ):
         self.s1 = s1_model
         self.s1_params = s1_params
@@ -90,6 +109,7 @@ class TTSPipeline:
         self.cfg = infer_cfg
         self.ref: Optional[RefCache] = None
         self.version = s2_model.cfg.version
+        self.v3 = v3_bundle
         self._s2_decode = jax.jit(
             functools.partial(s2_model.apply, method=SynthesizerTrn.decode),
             static_argnames=("speed",),
@@ -97,6 +117,32 @@ class TTSPipeline:
         self._extract_latent = jax.jit(functools.partial(s2_model.apply, method=SynthesizerTrn.extract_latent))
         if hubert_model is not None:
             self._hubert_fwd = jax.jit(hubert_model.apply)
+        if v3_bundle is not None:
+            from gpt_sovits_tpu.models.v3 import SynthesizerTrnV3
+
+            self.version = v3_bundle.model.cfg.version
+            self._extract_latent = jax.jit(
+                functools.partial(v3_bundle.model.apply, method=SynthesizerTrnV3.extract_latent)
+            )
+            self._decode_encp = jax.jit(
+                functools.partial(v3_bundle.model.apply, method=SynthesizerTrnV3.decode_encp),
+                static_argnames=("speed",),
+            )
+            self._vocoder_fwd = jax.jit(v3_bundle.vocoder.apply)
+
+            from gpt_sovits_tpu.models.dit import DiT
+            from gpt_sovits_tpu.models.v3 import cfm_inference
+
+            dit = DiT(v3_bundle.model.dit_config)
+            dit_params = {"params": v3_bundle.params["params"]["cfm"]["estimator"]}
+            steps = v3_bundle.sample_steps
+
+            @jax.jit
+            def _cfm(mu, x_lens, prompt, key):
+                return cfm_inference(dit, dit_params, mu, x_lens, prompt, key, n_steps=steps)
+
+            self._cfm_infer = _cfm
+            self._fea_ref_cache = None
 
     # ------------------------------------------------------------------
     # reference audio
@@ -121,7 +167,8 @@ class TTSPipeline:
         if self.hubert is None:
             raise RuntimeError("hubert model required for reference encoding")
         ssl = self._hubert_fwd(self.hubert_params, wav16[None, :])  # (1,T,768)
-        codes = self._extract_latent(self.s2_params, ssl)  # (1, T//2)
+        latent_params = self.v3.params if self.v3 is not None else self.s2_params
+        codes = self._extract_latent(latent_params, ssl)  # (1, T//2)
         spec = np.asarray(spectrogram(wav_native[None, :], self.mel_cfg))[0].T  # (T, bins)
 
         sv_emb = None
@@ -132,6 +179,8 @@ class TTSPipeline:
             prompt_semantic=np.asarray(codes[0], np.int32),
             refer_spec=spec.astype(np.float32),
             sv_emb=sv_emb,
+            raw_wav=np.asarray(wav, np.float32),
+            raw_sr=sr,
         )
         if ref_text:
             phones, _, norm = self._g2p_segment(ref_text, "auto")
@@ -242,7 +291,8 @@ class TTSPipeline:
             idx = order[start : start + bs]
             batch = [segments[i] for i in idx]
             key, sub = jax.random.split(key)
-            wav_list = self._synthesize_batch(
+            synth = self._synthesize_v3_batch if self.v3 is not None else self._synthesize_batch
+            wav_list = synth(
                 batch, sub,
                 top_k=top_k, top_p=top_p, temperature=temperature,
                 repetition_penalty=repetition_penalty, speed=speed, max_sec=max_sec,
@@ -250,6 +300,8 @@ class TTSPipeline:
             for i, w in zip(idx, wav_list):
                 wavs[i] = w
 
+        if self.v3 is not None:
+            sr = self.v3.out_sr
         silence = np.zeros(int(sr * fragment_interval), np.float32)
         pieces = []
         for i in range(len(segments)):
@@ -304,6 +356,111 @@ class TTSPipeline:
         for i in range(b):
             n_samples = int(lengths[i]) * 2 * hop_up
             out_wavs.append(wav[i, :n_samples])
+        return out_wavs
+
+
+    # ------------------------------------------------------------------
+    # v3/v4: chunked CFM with rolling reference + vocoder (TTS.py:1440-1495)
+    # ------------------------------------------------------------------
+
+    def _s1_generate(self, batch, key, *, top_k, top_p, temperature, repetition_penalty, max_sec):
+        b = len(batch)
+        ref = self.ref
+        tp = len(ref.prompt_semantic)
+        tx_max = _next_bucket(max(len(s["phones"]) for s in batch))
+        phones = np.zeros((b, tx_max), np.int32)
+        bert = np.zeros((b, tx_max, 1024), np.float32)
+        x_lens = np.zeros((b,), np.int32)
+        for i, s in enumerate(batch):
+            n = len(s["phones"])
+            phones[i, tx_max - n :] = s["phones"]
+            bert[i, tx_max - n :] = s["bert"][:n]
+            x_lens[i] = n
+        prompts = np.broadcast_to(ref.prompt_semantic, (b, tp)).copy()
+        max_new = int(self.s1.cfg.semantic_frame_rate * max_sec)
+        out = generate(
+            self.s1, self.s1_params,
+            jnp.asarray(phones), jnp.asarray(x_lens), jnp.asarray(bert),
+            jnp.asarray(prompts), jnp.full((b,), tp, jnp.int32), key,
+            max_new_tokens=max_new, top_k=top_k, top_p=top_p,
+            temperature=temperature, repetition_penalty=repetition_penalty,
+        )
+        return np.asarray(out.tokens), np.asarray(out.lengths)
+
+    def _v3_ref_features(self):
+        """fea_ref (1,T,512), ge, mel2 (1,T,100) — cached per reference."""
+        if self._fea_ref_cache is not None:
+            return self._fea_ref_cache
+        ref = self.ref
+        v3 = self.v3
+        if not ref.prompt_phones:
+            raise ValueError("v3/v4 synthesis requires reference text (set_ref_audio(..., ref_text=...))")
+        prompt_ids = cleaned_text_to_sequence(ref.prompt_phones, self.version)
+        codes = jnp.asarray(ref.prompt_semantic[None])
+        fea_ref, ge, _ = self._decode_encp(
+            v3.params, codes, jnp.asarray([codes.shape[1]]),
+            jnp.asarray([prompt_ids]), jnp.asarray([len(prompt_ids)]),
+            jnp.asarray(ref.refer_spec[None]), jnp.asarray([ref.refer_spec.shape[0]]),
+        )
+        wav_t = resample(ref.raw_wav, ref.raw_sr, v3.mel_cfg.sampling_rate)
+        mel2 = norm_spec(mel_spectrogram(jnp.asarray(wav_t[None]), v3.mel_cfg))  # (1, M, T)
+        mel2 = jnp.swapaxes(mel2, 1, 2)  # (1, T, M)
+        t_min = min(mel2.shape[1], fea_ref.shape[1])
+        mel2 = mel2[:, :t_min]
+        fea_ref = fea_ref[:, :t_min]
+        if t_min > v3.t_ref:
+            mel2 = mel2[:, -v3.t_ref :]
+            fea_ref = fea_ref[:, -v3.t_ref :]
+            t_min = v3.t_ref
+        self._fea_ref_cache = (np.asarray(fea_ref), ge, np.asarray(mel2), t_min)
+        return self._fea_ref_cache
+
+    def _synthesize_v3_batch(self, batch, key, *, top_k, top_p, temperature, repetition_penalty, speed, max_sec):
+        v3 = self.v3
+        tokens, lengths = self._s1_generate(
+            batch, key, top_k=top_k, top_p=top_p, temperature=temperature,
+            repetition_penalty=repetition_penalty, max_sec=max_sec,
+        )
+        fea_ref0, ge, mel2_0, t_min = self._v3_ref_features()
+        upsample = v3.out_sr * v3.mel_cfg.hop_size // v3.mel_cfg.sampling_rate
+        chunk_len = v3.t_chunk - t_min
+
+        out_wavs = []
+        for i, seg in enumerate(batch):
+            n = int(lengths[i])
+            codes = jnp.asarray(tokens[i : i + 1, : _next_bucket(n)])
+            pids = np.asarray(seg["phones"], np.int32)
+            fea_todo, _, mel_len = self._decode_encp(
+                v3.params, codes, jnp.asarray([n]),
+                jnp.asarray(pids[None]), jnp.asarray([len(pids)]),
+                jnp.asarray(self.ref.refer_spec[None]), jnp.asarray([self.ref.refer_spec.shape[0]]),
+                speed=speed,
+            )
+            total = int(mel_len[0])
+            fea_todo = np.asarray(fea_todo)[:, :total]
+            fea_ref, mel2 = fea_ref0.copy(), mel2_0.copy()
+            mel_chunks = []
+            idx = 0
+            key2 = key
+            while idx < total:
+                ln = min(chunk_len, total - idx)
+                chunk = fea_todo[:, idx : idx + ln]
+                fea = np.concatenate([fea_ref, chunk], axis=1)
+                pad = v3.t_chunk - fea.shape[1]
+                if pad > 0:
+                    fea = np.pad(fea, ((0, 0), (0, pad), (0, 0)))
+                key2, sub = jax.random.split(key2)
+                mel_out = self._cfm_infer(
+                    jnp.asarray(fea), jnp.asarray([t_min + ln]), jnp.asarray(mel2), sub
+                )
+                mel_out = np.asarray(mel_out)[:, t_min : t_min + ln]
+                mel_chunks.append(mel_out)
+                mel2 = mel_out[:, -t_min:] if ln >= t_min else np.concatenate([mel2, mel_out], 1)[:, -t_min:]
+                fea_ref = chunk[:, -t_min:] if ln >= t_min else np.concatenate([fea_ref, chunk], 1)[:, -t_min:]
+                idx += ln
+            mel_full = denorm_spec(jnp.asarray(np.concatenate(mel_chunks, axis=1)))
+            wav = np.asarray(self._vocoder_fwd(v3.vocoder_params, mel_full))[0, :, 0]
+            out_wavs.append(wav[: total * upsample])
         return out_wavs
 
 

@@ -1,0 +1,107 @@
+"""End-to-end v3/v4 pipeline smoke test (chunked CFM + vocoder) with tiny
+random-weight models."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gpt_sovits_tpu.infer.pipeline import TTSPipeline, V3Bundle
+from gpt_sovits_tpu.models.hubert import HubertConfig, HubertEncoder
+from gpt_sovits_tpu.models.t2s import T2SDecoder
+from gpt_sovits_tpu.models.v3 import SynthesizerTrnV3
+from gpt_sovits_tpu.models.vits import Generator, SynthesizerTrn
+from gpt_sovits_tpu.utils.config import InferenceConfig, MelConfig, S1Config, S2Config, replace
+
+HUBERT_TINY = HubertConfig(
+    conv_dim=32, conv_kernels=(10, 3, 2), conv_strides=(5, 2, 2),
+    hidden_size=48, num_layers=1, num_heads=4, intermediate_size=64,
+    pos_conv_kernel=16, pos_conv_groups=4,
+)
+
+S1_TINY = S1Config(
+    vocab_size=33, phoneme_vocab_size=732, embedding_dim=48, hidden_dim=48,
+    num_heads=4, ffn_dim=96, num_layers=2, eos_id=32, bert_dim=1024,
+    max_len=2048, semantic_frame_rate=25,
+)
+
+V3_TINY = S2Config(
+    version="v3", spec_channels=65, inter_channels=32, hidden_channels=32,
+    filter_channels=48, n_heads=2, n_layers=4, kernel_size=3,
+    gin_channels=32, mrte_hidden=32, ssl_dim=48, n_codes=32,
+    cfm_mel_channels=20, cfm_dit_depth=2, cfm_dit_dim=64, cfm_dit_heads=4,
+)
+
+# "spec" mel config (for ge) and CFM-target mel config
+MEL_SPEC = MelConfig(sampling_rate=8000, n_fft=128, win_size=128, hop_size=64, num_mels=13)
+MEL_CFM = MelConfig(sampling_rate=6000, n_fft=64, win_size=64, hop_size=16, num_mels=20)
+
+VOC_CFG = replace(
+    V3_TINY,
+    upsample_rates=(4, 4),
+    upsample_initial_channel=64,
+    upsample_kernel_sizes=(8, 8),
+    resblock_kernel_sizes=(3,),
+    resblock_dilation_sizes=((1, 3),),
+)
+
+
+@pytest.fixture(scope="module")
+def v3_pipeline():
+    key = jax.random.PRNGKey(0)
+    s1 = T2SDecoder(S1_TINY)
+    s1_params = s1.init(key, method=T2SDecoder.init_all)
+
+    v3 = SynthesizerTrnV3(V3_TINY)
+    v3_params = v3.init(
+        {"params": key, "noise": jax.random.PRNGKey(1)},
+        jnp.zeros((1, 16, V3_TINY.ssl_dim)), jnp.zeros((1, 16, V3_TINY.spec_channels)),
+        jnp.asarray([16]), jnp.zeros((1, 30, 20)), jnp.asarray([30]),
+        jnp.zeros((1, 5), jnp.int32), jnp.asarray([5]),
+        method=SynthesizerTrnV3.init_all,
+    )
+
+    # v4-style vocoder: mel (B,T,20) -> wav x16
+    voc = Generator(VOC_CFG, use_post_bias=True)
+    voc_params = voc.init(jax.random.PRNGKey(2), jnp.zeros((1, 10, 20)))
+
+    hub = HubertEncoder(HUBERT_TINY)
+    hub_params = hub.init(key, jnp.zeros((1, 800)))
+
+    # dummy s2 (v2) model is still required by the pipeline constructor for
+    # the latent path signature; v3 bundle overrides it
+    s2 = SynthesizerTrn(replace(V3_TINY, version="v2"))
+
+    bundle = V3Bundle(
+        model=v3, params=v3_params, vocoder=voc, vocoder_params=voc_params,
+        mel_cfg=MEL_CFM, t_ref=12, t_chunk=48,
+        out_sr=MEL_CFM.sampling_rate * 16 // MEL_CFM.hop_size, sample_steps=2,
+    )
+    return TTSPipeline(
+        s1_model=s1, s1_params=s1_params,
+        s2_model=s2, s2_params=None,
+        hubert_model=hub, hubert_params=hub_params,
+        mel_cfg=MEL_SPEC,
+        infer_cfg=InferenceConfig(min_ref_sec=0.1, max_ref_sec=30.0, batch_size=2),
+        v3_bundle=bundle,
+    )
+
+
+def test_v3_run_end_to_end(v3_pipeline):
+    rng = np.random.default_rng(0)
+    wav = (rng.standard_normal(8000) * 0.1).astype(np.float32)
+    v3_pipeline.set_ref_audio(wav, sr=8000, ref_text="hello world")
+    sr, audio = v3_pipeline.run("Testing the flow matching path now. Short text!", "en", seed=1, max_sec=2)
+    assert sr == v3_pipeline.v3.out_sr
+    assert audio.dtype == np.int16
+    assert len(audio) > 0
+    assert np.isfinite(audio.astype(np.float32)).all()
+
+
+def test_v3_requires_ref_text(v3_pipeline):
+    rng = np.random.default_rng(1)
+    wav = (rng.standard_normal(8000) * 0.1).astype(np.float32)
+    v3_pipeline.set_ref_audio(wav, sr=8000)  # no text
+    v3_pipeline._fea_ref_cache = None
+    with pytest.raises(ValueError, match="reference text"):
+        v3_pipeline.run("hello there friend", "en", seed=0, max_sec=1)
