@@ -1,0 +1,209 @@
+"""HTTP serving API, contract-compatible with the reference api_v2.py.
+
+Endpoints (ref api_v2.py:300-500):
+  GET/POST /tts            — synthesize; query params or JSON body with the
+                             api_v2 field names (text, text_lang,
+                             ref_audio_path, prompt_text, prompt_lang,
+                             top_k/top_p/temperature, text_split_method,
+                             speed_factor, fragment_interval, seed,
+                             media_type wav|raw, sample_steps, ...)
+  GET /set_gpt_weights     — hot-swap S1 weights (weights_path=...)
+  GET /set_sovits_weights  — hot-swap S2 weights
+  GET /control             — restart | exit (ref :252-257)
+  GET /health              — liveness (addition)
+
+Implementation: a thin stdlib http.server app (this environment has no
+fastapi); `make_fastapi_app` builds the same routes on FastAPI when that
+package is available.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import struct
+import threading
+import urllib.parse
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Callable, Optional
+
+import numpy as np
+
+from gpt_sovits_tpu.text.segmentation import get_method
+
+_BOOL = ("1", "true", "True", "yes")
+
+
+def wav_bytes(audio_int16: np.ndarray, sr: int) -> bytes:
+    pcm = audio_int16.astype("<i2").tobytes()
+    header = (
+        b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, sr, sr * 2, 2, 16)
+        + b"data" + struct.pack("<I", len(pcm))
+    )
+    return header + pcm
+
+
+class TTSService:
+    """Request validation + synthesis on top of a TTSPipeline
+    (ref api_v2 check_params:262 + tts_handle:300)."""
+
+    LANGS = ("auto", "zh", "en", "ja", "ko", "yue", "all_zh", "all_ja", "all_ko", "all_yue")
+
+    def __init__(self, pipeline, *, weight_loader: Optional[Callable] = None):
+        self.pipeline = pipeline
+        self.weight_loader = weight_loader
+        self._ref_path = None
+        self.lock = threading.Lock()
+
+    def validate(self, req: dict) -> Optional[tuple[int, str]]:
+        if not req.get("ref_audio_path"):
+            return 400, "ref_audio_path is required"
+        if not req.get("text"):
+            return 400, "text is required"
+        if not req.get("text_lang"):
+            return 400, "text_lang is required"
+        if req["text_lang"].lower() not in self.LANGS:
+            return 400, f"text_lang: {req['text_lang']} is not supported"
+        media = req.get("media_type", "wav")
+        if media not in ("wav", "raw"):
+            return 400, f"media_type: {media} is not supported"
+        try:
+            get_method(req.get("text_split_method", "cut5"))
+        except ValueError:
+            return 400, f"text_split_method:{req.get('text_split_method')} is not supported"
+        return None
+
+    def tts(self, req: dict) -> tuple[int, bytes, str]:
+        err = self.validate(req)
+        if err:
+            return err[0], json.dumps({"message": err[1]}).encode(), "application/json"
+        with self.lock:
+            try:
+                ref_path = req["ref_audio_path"]
+                if ref_path != self._ref_path:
+                    self.pipeline.set_ref_audio(ref_path, ref_text=req.get("prompt_text") or None)
+                    self._ref_path = ref_path
+                seed = int(req.get("seed", -1))
+                if seed < 0:
+                    seed = np.random.default_rng().integers(0, 2**31 - 1)
+                sr, audio = self.pipeline.run(
+                    req["text"],
+                    req["text_lang"].lower(),
+                    seed=int(seed),
+                    cut_method=req.get("text_split_method", "cut5"),
+                    top_k=int(req["top_k"]) if "top_k" in req else None,
+                    top_p=float(req["top_p"]) if "top_p" in req else None,
+                    temperature=float(req["temperature"]) if "temperature" in req else None,
+                    repetition_penalty=float(req["repetition_penalty"]) if "repetition_penalty" in req else None,
+                    speed=float(req.get("speed_factor", 1.0)),
+                    fragment_interval=float(req["fragment_interval"]) if "fragment_interval" in req else None,
+                )
+            except (ValueError, FileNotFoundError, NotImplementedError) as e:
+                return 400, json.dumps({"message": str(e)}).encode(), "application/json"
+        if req.get("media_type", "wav") == "raw":
+            return 200, audio.astype("<i2").tobytes(), "audio/raw"
+        return 200, wav_bytes(audio, sr), "audio/wav"
+
+    def set_weights(self, which: str, path: str) -> tuple[int, bytes, str]:
+        if self.weight_loader is None:
+            return 400, json.dumps({"message": "weight hot-swap not configured"}).encode(), "application/json"
+        try:
+            with self.lock:
+                self.weight_loader(which, path)
+            return 200, json.dumps({"message": "success"}).encode(), "application/json"
+        except Exception as e:  # mirror api_v2's catch-all error payload
+            return 400, json.dumps({"message": f"change {which} weight failed", "Exception": str(e)}).encode(), "application/json"
+
+
+def make_handler(service: TTSService):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):
+            pass
+
+        def _send(self, code: int, body: bytes, ctype: str):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _params(self) -> dict:
+            parsed = urllib.parse.urlparse(self.path)
+            return {k: v[0] for k, v in urllib.parse.parse_qs(parsed.query).items()}
+
+        def do_GET(self):
+            route = urllib.parse.urlparse(self.path).path
+            params = self._params()
+            if route == "/health":
+                self._send(200, b'{"status":"ok"}', "application/json")
+            elif route == "/tts":
+                self._send(*service.tts(params))
+            elif route == "/set_gpt_weights":
+                self._send(*service.set_weights("gpt", params.get("weights_path", "")))
+            elif route == "/set_sovits_weights":
+                self._send(*service.set_weights("sovits", params.get("weights_path", "")))
+            elif route == "/control":
+                cmd = params.get("command", "")
+                if cmd == "exit":
+                    self._send(200, b"{}", "application/json")
+                    threading.Thread(target=self.server.shutdown, daemon=True).start()
+                else:
+                    self._send(400, json.dumps({"message": f"unsupported command {cmd}"}).encode(), "application/json")
+            else:
+                self._send(404, b'{"message":"not found"}', "application/json")
+
+        def do_POST(self):
+            route = urllib.parse.urlparse(self.path).path
+            length = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(length)
+            try:
+                params = json.loads(body) if body else {}
+            except json.JSONDecodeError:
+                self._send(400, b'{"message":"invalid json"}', "application/json")
+                return
+            if route == "/tts":
+                self._send(*service.tts(params))
+            else:
+                self._send(404, b'{"message":"not found"}', "application/json")
+
+    return Handler
+
+
+def serve(service: TTSService, host: str = "127.0.0.1", port: int = 9880) -> ThreadingHTTPServer:
+    server = ThreadingHTTPServer((host, port), make_handler(service))
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    return server
+
+
+def make_fastapi_app(service: TTSService):
+    """FastAPI route set matching api_v2.py, when fastapi is installed."""
+    from fastapi import FastAPI, Request, Response
+
+    app = FastAPI()
+
+    @app.get("/health")
+    async def health():
+        return {"status": "ok"}
+
+    @app.api_route("/tts", methods=["GET", "POST"])
+    async def tts(request: Request):
+        if request.method == "GET":
+            req = dict(request.query_params)
+        else:
+            req = await request.json()
+        code, body, ctype = service.tts(req)
+        return Response(content=body, status_code=code, media_type=ctype)
+
+    @app.get("/set_gpt_weights")
+    async def set_gpt(weights_path: str):
+        code, body, ctype = service.set_weights("gpt", weights_path)
+        return Response(content=body, status_code=code, media_type=ctype)
+
+    @app.get("/set_sovits_weights")
+    async def set_sovits(weights_path: str):
+        code, body, ctype = service.set_weights("sovits", weights_path)
+        return Response(content=body, status_code=code, media_type=ctype)
+
+    return app

@@ -1,0 +1,95 @@
+"""HTTP API tests: full request path over a real socket with the tiny
+pipeline from test_pipeline."""
+
+import json
+import urllib.parse
+import urllib.request
+
+import numpy as np
+import pytest
+
+from gpt_sovits_tpu.dsp.audio_io import save_wav
+from gpt_sovits_tpu.serve.api import TTSService, serve, wav_bytes
+
+from test_pipeline import pipeline  # tiny-model fixture  # noqa: F401
+
+
+@pytest.fixture(scope="module")
+def server(pipeline, tmp_path_factory):  # noqa: F811
+    rng = np.random.default_rng(0)
+    ref = tmp_path_factory.mktemp("serve") / "ref.wav"
+    save_wav(str(ref), (rng.standard_normal(8000) * 0.1).astype(np.float32), 8000)
+    swaps = []
+    service = TTSService(pipeline, weight_loader=lambda which, path: swaps.append((which, path)))
+    srv = serve(service, port=0)
+    host, port = srv.server_address
+    yield f"http://{host}:{port}", str(ref), swaps
+    srv.shutdown()
+
+
+def _get(url):
+    try:
+        with urllib.request.urlopen(url) as r:
+            return r.status, r.read(), r.headers.get("Content-Type")
+    except urllib.error.HTTPError as e:
+        return e.code, e.read(), e.headers.get("Content-Type")
+
+
+def test_health(server):
+    base, _, _ = server
+    code, body, _ = _get(base + "/health")
+    assert code == 200 and json.loads(body)["status"] == "ok"
+
+
+def test_tts_get_wav(server):
+    base, ref, _ = server
+    q = urllib.parse.urlencode(
+        {"text": "Hello there world", "text_lang": "en", "ref_audio_path": ref, "seed": 3, "max_sec": 2}
+    )
+    code, body, ctype = _get(base + "/tts?" + q)
+    assert code == 200, body
+    assert ctype == "audio/wav"
+    assert body[:4] == b"RIFF"
+    assert len(body) > 1000
+
+
+def test_tts_post_json_raw(server):
+    base, ref, _ = server
+    req = urllib.request.Request(
+        base + "/tts",
+        data=json.dumps(
+            {"text": "Short test", "text_lang": "en", "ref_audio_path": ref, "media_type": "raw", "seed": 1}
+        ).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req) as r:
+        assert r.status == 200
+        assert r.headers.get("Content-Type") == "audio/raw"
+        assert len(r.read()) > 500
+
+
+def test_tts_validation_errors(server):
+    base, ref, _ = server
+    code, body, _ = _get(base + "/tts?text=hi&text_lang=en")
+    assert code == 400 and b"ref_audio_path" in body
+    q = urllib.parse.urlencode({"text": "hi", "text_lang": "xx", "ref_audio_path": ref})
+    code, body, _ = _get(base + "/tts?" + q)
+    assert code == 400 and b"not supported" in body
+    q = urllib.parse.urlencode(
+        {"text": "hi there", "text_lang": "en", "ref_audio_path": ref, "text_split_method": "cut99"}
+    )
+    code, body, _ = _get(base + "/tts?" + q)
+    assert code == 400 and b"cut99" in body
+
+
+def test_set_weights_endpoint(server):
+    base, _, swaps = server
+    code, body, _ = _get(base + "/set_gpt_weights?weights_path=/tmp/x.npz")
+    assert code == 200 and json.loads(body)["message"] == "success"
+    assert swaps[-1] == ("gpt", "/tmp/x.npz")
+
+
+def test_wav_bytes_header():
+    b = wav_bytes(np.zeros(100, np.int16), 32000)
+    assert b[:4] == b"RIFF" and b[8:12] == b"WAVE"
+    assert len(b) == 44 + 200
