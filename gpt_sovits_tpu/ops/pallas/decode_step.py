@@ -1,0 +1,301 @@
+"""Fused AR decode step — Pallas TPU kernel.
+
+One kernel invocation computes the ENTIRE 24-layer transformer step for one
+new token (the hot loop of S1 inference, reference t2s_model.py:176-221
+`decode_next_token`). The XLA version launches ~250 small ops per token and
+is overhead-bound (~0.6 ms/token on v5e); this kernel runs the layers as a
+sequential TPU grid with BlockSpec-pipelined weight streaming, so the step
+cost approaches the HBM bound (weights + KV cache reads).
+
+Design notes:
+  * grid = (num_layers,); TPU grids execute sequentially, so the hidden
+    state is carried across layers in a VMEM scratch buffer.
+  * per-layer weights arrive as pipelined BlockSpec blocks (the next
+    layer's weights DMA while the current layer computes).
+  * the KV cache stays in HBM (ANY); attention streams it through VMEM in
+    fixed chunks with online-softmax (flash) accumulation.
+  * scores/context use MXU matmuls via a block-diagonal head expansion:
+    scores = K_chunk @ (q ⊙ head_mask)  — (C,D)@(D,H)
+    p_full = P @ head_mask^T            — (C,H)@(H,D)
+    ctx   += Σ_t V_chunk ⊙ p_full       — VPU reduction
+  * the new token's K/V are returned as outputs; the caller scatters them
+    into the big cache with one dynamic_update_slice (avoids in-kernel
+    read-modify-write aliasing).
+
+Matches models/t2s.py TransformerLayer.decode numerically (post-LN, ReLU
+MLP, f32 softmax).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = -1e30
+
+
+def _head_mask(d: int, h: int) -> np.ndarray:
+    """(D, H) one-hot head membership."""
+    dh = d // h
+    m = np.zeros((d, h), np.float32)
+    for j in range(h):
+        m[j * dh : (j + 1) * dh, j] = 1.0
+    return m
+
+
+def _make_kernel(num_layers: int, b: int, d: int, h: int, t_pad: int, chunk: int):
+    dh = d // h
+    n_chunks = t_pad // chunk
+
+    def kernel(
+        # scalar prefetch
+        nvalid_ref,  # (1,) int32 — number of live cache slots (= write_idx)
+        # inputs
+        x_ref,  # (B, D) f32
+        wqkv_ref,  # (1, D, 3D)
+        bqkv_ref,  # (1, 3D)
+        wo_ref,  # (1, D, D)
+        bo_ref,  # (1, D)
+        n1s_ref, n1b_ref, n2s_ref, n2b_ref,  # (1, D) each
+        fc1_ref,  # (1, D, F)
+        b1_ref,  # (1, F)
+        fc2_ref,  # (1, F, D)
+        b2_ref,  # (1, D)
+        k_hbm,  # (L, B, T_pad, D) ANY
+        v_hbm,  # (L, B, T_pad, D) ANY
+        mask_ref,  # (B, T_pad) f32 (1=attend) VMEM
+        hm_ref,  # (D, H) f32 head-membership one-hot VMEM
+        # outputs
+        y_ref,  # (B, D) f32
+        knew_ref,  # (L, B, D) block (1, B, D)
+        vnew_ref,  # (1, B, D)
+        # scratch
+        x_scr,  # (B, D) f32
+        kbuf,  # (2, chunk, D) bf16
+        vbuf,  # (2, chunk, D) bf16
+        sems,  # DMA sems (2, 2)
+    ):
+        li = pl.program_id(0)
+
+        @pl.when(li == 0)
+        def _():
+            x_scr[:] = x_ref[:]
+
+        x = x_scr[:]  # (B, D) f32
+        wqkv = wqkv_ref[0].astype(jnp.float32)
+        qkv = jnp.dot(x, wqkv, preferred_element_type=jnp.float32) + bqkv_ref[0, 0][None, :]
+        q, k_new, v_new = qkv[:, :d], qkv[:, d : 2 * d], qkv[:, 2 * d :]
+        knew_ref[0] = k_new.astype(knew_ref.dtype)
+        vnew_ref[0] = v_new.astype(vnew_ref.dtype)
+
+        scale = 1.0 / np.sqrt(dh)
+        hmj = hm_ref[:]
+
+        def attend_one(bi):
+            qb = q[bi] * scale  # (D,)
+            q_bd = qb[:, None] * hmj  # (D, H) block-diagonal expansion
+
+            def _dma(ci, slot):
+                return (
+                    pltpu.make_async_copy(
+                        k_hbm.at[li, bi, pl.ds(ci * chunk, chunk), :], kbuf.at[slot], sems.at[slot, 0]
+                    ),
+                    pltpu.make_async_copy(
+                        v_hbm.at[li, bi, pl.ds(ci * chunk, chunk), :], vbuf.at[slot], sems.at[slot, 1]
+                    ),
+                )
+
+            # double-buffered streaming: chunk ci+1 is in flight while ci
+            # computes
+            @pl.when(nvalid_ref[0] > 0)
+            def _():
+                k0, v0 = _dma(0, 0)
+                k0.start()
+                v0.start()
+
+            def chunk_body(ci, carry):
+                m_run, s_run, ctx = carry
+                slot = ci % 2
+
+                @pl.when(ci + 1 < pl.cdiv(nvalid_ref[0], chunk))
+                def _():
+                    kn, vn = _dma(ci + 1, (ci + 1) % 2)
+                    kn.start()
+                    vn.start()
+
+                cp_k, cp_v = _dma(ci, slot)
+                cp_k.wait()
+                cp_v.wait()
+                kc = kbuf[slot].astype(jnp.float32)  # (C, D)
+                vc = vbuf[slot].astype(jnp.float32)
+                sc = jnp.dot(kc, q_bd, preferred_element_type=jnp.float32)  # (C, H)
+                msk = mask_ref[bi, pl.ds(ci * chunk, chunk)]  # (C,)
+                sc = jnp.where(msk[:, None] > 0, sc, NEG)
+                m_new = jnp.maximum(m_run, jnp.max(sc, axis=0))  # (H,)
+                alpha = jnp.exp(m_run - m_new)  # (H,)
+                p = jnp.exp(sc - m_new[None, :])  # (C, H)
+                s_new = s_run * alpha + jnp.sum(p, axis=0)
+                p_full = jnp.dot(p, hmj.T, preferred_element_type=jnp.float32)  # (C, D)
+                ctx_new = ctx * jnp.dot(alpha[None, :], hmj.T)[0] + jnp.sum(p_full * vc, axis=0)
+                return m_new, s_new, ctx_new
+
+            m0 = jnp.full((h,), NEG, jnp.float32)
+            s0 = jnp.zeros((h,), jnp.float32)
+            c0 = jnp.zeros((d,), jnp.float32)
+            # only sweep the live prefix of the cache (slots >= n_valid are
+            # never attendable); keeps DMA volume proportional to context
+            n_live = pl.cdiv(nvalid_ref[0], chunk)
+            m_run, s_run, ctx = jax.lax.fori_loop(0, n_live, chunk_body, (m0, s0, c0))
+
+            # current token's own K/V (always attendable)
+            # scaled q·k_self per head via the head-mask matmul (Mosaic
+            # cannot shape-cast (D,) -> (H, dh) vectors)
+            sc_self = jnp.dot((qb * k_new[bi])[None, :], hmj, preferred_element_type=jnp.float32)[0]
+            m_new = jnp.maximum(m_run, sc_self)
+            alpha = jnp.exp(m_run - m_new)
+            p_self = jnp.exp(sc_self - m_new)  # (H,)
+            s_fin = s_run * alpha + p_self
+            alpha_d = jnp.dot(alpha[None, :], hmj.T)[0]
+            p_self_d = jnp.dot(p_self[None, :], hmj.T)[0]
+            ctx = ctx * alpha_d + p_self_d * v_new[bi]
+            s_d = jnp.dot(s_fin[None, :], hmj.T)[0]
+            return ctx / s_d
+
+        ctxs = [attend_one(bi) for bi in range(b)]
+        ctx = jnp.stack(ctxs, axis=0)  # (B, D)
+
+        attn_out = jnp.dot(ctx, wo_ref[0].astype(jnp.float32), preferred_element_type=jnp.float32) + bo_ref[0, 0][None, :]
+        xa = x + attn_out
+        mu = jnp.mean(xa, axis=-1, keepdims=True)
+        var = jnp.mean((xa - mu) ** 2, axis=-1, keepdims=True)
+        xn = (xa - mu) * jax.lax.rsqrt(var + 1e-5) * n1s_ref[0, 0][None, :] + n1b_ref[0, 0][None, :]
+
+        hdn = jnp.maximum(
+            jnp.dot(xn, fc1_ref[0].astype(jnp.float32), preferred_element_type=jnp.float32) + b1_ref[0, 0][None, :], 0.0
+        )
+        x2 = jnp.dot(hdn, fc2_ref[0].astype(jnp.float32), preferred_element_type=jnp.float32) + b2_ref[0, 0][None, :]
+        xb = xn + x2
+        mu2 = jnp.mean(xb, axis=-1, keepdims=True)
+        var2 = jnp.mean((xb - mu2) ** 2, axis=-1, keepdims=True)
+        out = (xb - mu2) * jax.lax.rsqrt(var2 + 1e-5) * n2s_ref[0, 0][None, :] + n2b_ref[0, 0][None, :]
+
+        x_scr[:] = out
+
+        @pl.when(li == num_layers - 1)
+        def _():
+            y_ref[:] = out
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "num_heads"))
+def fused_decode_step(
+    x,  # (B, D) f32 — token embedding / hidden input
+    weights: dict,  # stacked per-layer weights, see below
+    k_cache,  # (L, B, T_pad, D) bf16
+    v_cache,  # (L, B, T_pad, D)
+    mask,  # (B, T_pad) f32, 1 = attendable cache slot (EXCLUDES current token)
+    write_idx,  # () int32 — slot for the new token's K/V
+    *,
+    chunk: int = 512,
+    num_heads: int = 16,
+):
+    """Returns (hidden (B,D), k_cache', v_cache') with the new K/V written
+    at write_idx. weights keys: wqkv (L,D,3D), bqkv (L,3D), wo (L,D,D),
+    bo (L,D), n1s/n1b/n2s/n2b (L,D), fc1 (L,D,F), b1 (L,F), fc2 (L,F,D),
+    b2 (L,D)."""
+    L, bsz, t_pad, d = k_cache.shape
+    h = num_heads
+    assert t_pad % chunk == 0, (t_pad, chunk)
+    f = weights["fc1"].shape[-1]
+
+    kernel = _make_kernel(L, bsz, d, h, t_pad, chunk)
+
+    def lspec(shape):
+        return pl.BlockSpec((1,) + shape, lambda i, *_s: (i,) + (0,) * len(shape), memory_space=pltpu.VMEM)
+
+    def vspec(dim):
+        # vectors are stored (L, 1, dim) so the block's trailing dims match
+        # the array dims (TPU lowering requirement)
+        return pl.BlockSpec((1, 1, dim), lambda i, *_s: (i, 0, 0), memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(L,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # x
+            lspec((d, 3 * d)),
+            vspec(3 * d),
+            lspec((d, d)),
+            vspec(d),
+            vspec(d), vspec(d), vspec(d), vspec(d),
+            lspec((d, f)),
+            vspec(f),
+            lspec((f, d)),
+            vspec(d),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # k_hbm
+            pl.BlockSpec(memory_space=pltpu.ANY),  # v_hbm
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # mask
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # head mask
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bsz, d), lambda i, *_s: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bsz, d), lambda i, *_s: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bsz, d), jnp.float32),
+            pltpu.VMEM((2, chunk, d), k_cache.dtype),
+            pltpu.VMEM((2, chunk, d), v_cache.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    y, k_new, v_new = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, d), jnp.float32),
+            jax.ShapeDtypeStruct((L, bsz, d), k_cache.dtype),
+            jax.ShapeDtypeStruct((L, bsz, d), v_cache.dtype),
+        ],
+    )(
+        jnp.asarray(write_idx, jnp.int32).reshape(1),
+        x,
+        weights["wqkv"], weights["bqkv"], weights["wo"], weights["bo"],
+        weights["n1s"], weights["n1b"], weights["n2s"], weights["n2b"],
+        weights["fc1"], weights["b1"], weights["fc2"], weights["b2"],
+        k_cache, v_cache, mask, jnp.asarray(_head_mask(d, h)),
+    )
+
+    k_cache = jax.lax.dynamic_update_slice(
+        k_cache, k_new[:, :, None, :].astype(k_cache.dtype), (0, 0, write_idx, 0)
+    )
+    v_cache = jax.lax.dynamic_update_slice(
+        v_cache, v_new[:, :, None, :].astype(v_cache.dtype), (0, 0, write_idx, 0)
+    )
+    return y, k_cache, v_cache
+
+
+def stack_weights_from_params(params: dict, num_layers: int) -> dict:
+    """Build the stacked-weight dict from a T2SDecoder param tree."""
+    p = params["params"]
+    get = lambda i: p[f"layer_{i}"]
+    return {
+        "wqkv": jnp.stack([get(i)["wqkv"]["kernel"] for i in range(num_layers)]).astype(jnp.bfloat16),
+        "bqkv": jnp.stack([get(i)["wqkv"]["bias"] for i in range(num_layers)])[:, None].astype(jnp.float32),
+        "wo": jnp.stack([get(i)["wo"]["kernel"] for i in range(num_layers)]).astype(jnp.bfloat16),
+        "bo": jnp.stack([get(i)["wo"]["bias"] for i in range(num_layers)])[:, None].astype(jnp.float32),
+        "n1s": jnp.stack([get(i)["norm1"]["scale"] for i in range(num_layers)])[:, None].astype(jnp.float32),
+        "n1b": jnp.stack([get(i)["norm1"]["bias"] for i in range(num_layers)])[:, None].astype(jnp.float32),
+        "n2s": jnp.stack([get(i)["norm2"]["scale"] for i in range(num_layers)])[:, None].astype(jnp.float32),
+        "n2b": jnp.stack([get(i)["norm2"]["bias"] for i in range(num_layers)])[:, None].astype(jnp.float32),
+        "fc1": jnp.stack([get(i)["fc1"]["kernel"] for i in range(num_layers)]).astype(jnp.bfloat16),
+        "b1": jnp.stack([get(i)["fc1"]["bias"] for i in range(num_layers)])[:, None].astype(jnp.float32),
+        "fc2": jnp.stack([get(i)["fc2"]["kernel"] for i in range(num_layers)]).astype(jnp.bfloat16),
+        "b2": jnp.stack([get(i)["fc2"]["bias"] for i in range(num_layers)])[:, None].astype(jnp.float32),
+    }

@@ -1,0 +1,82 @@
+"""Fused decode-step Pallas kernel vs the flax reference decode path
+(interpret mode on CPU)."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gpt_sovits_tpu.models.t2s import T2SDecoder
+from gpt_sovits_tpu.utils.config import S1Config
+
+TINY = S1Config(
+    vocab_size=41, phoneme_vocab_size=37, embedding_dim=256, hidden_dim=256,
+    num_heads=8, ffn_dim=512, num_layers=3, eos_id=40, bert_dim=16, max_len=128,
+)
+
+
+def _flax_decode(model, params, tok_emb, k_caches, v_caches, valid, write_idx):
+    return model.apply(params, tok_emb, k_caches, v_caches, valid, write_idx, method=T2SDecoder.decode_step)
+
+
+@pytest.mark.parametrize("b", [1, 2])
+def test_fused_decode_matches_flax(b):
+    from jax.experimental.pallas import tpu as pltpu
+
+    from gpt_sovits_tpu.ops.pallas.decode_step import fused_decode_step, stack_weights_from_params
+
+    model = T2SDecoder(TINY)
+    params = model.init(jax.random.PRNGKey(0), method=T2SDecoder.init_all)
+
+    rng = np.random.default_rng(0)
+    L, d, h = TINY.num_layers, TINY.hidden_dim, TINY.num_heads
+    dh = d // h
+    t_pad = 256
+    n_valid = 70
+    k_c = rng.standard_normal((L, b, t_pad, h, dh)).astype(np.float32) * 0.3
+    v_c = rng.standard_normal((L, b, t_pad, h, dh)).astype(np.float32) * 0.3
+    valid = np.zeros((b, t_pad), bool)
+    valid[:, :n_valid] = True
+    valid[0, 5:9] = False  # irregular hole (left-padding pattern)
+    x = rng.standard_normal((b, 1, d)).astype(np.float32) * 0.5
+    write_idx = n_valid
+
+    # flax reference: valid must INCLUDE the write slot (decode_step writes
+    # then attends); the kernel handles the current token separately
+    valid_flax = valid.copy()
+    valid_flax[:, write_idx] = True
+    logits_ref, k_ref, v_ref = _flax_decode(
+        model, params, jnp.asarray(x), jnp.asarray(k_c), jnp.asarray(v_c),
+        jnp.asarray(valid_flax), write_idx,
+    )
+    # reference hidden before the head: recompute via predict^-1 is awkward;
+    # instead compare k/v writes and the final logits through the head
+    weights = stack_weights_from_params(params, L)
+    # kernel wants (L, B, T, D) flat caches
+    kc_flat = jnp.asarray(k_c.reshape(L, b, t_pad, d))
+    vc_flat = jnp.asarray(v_c.reshape(L, b, t_pad, d))
+    with pltpu.force_tpu_interpret_mode():
+        y, k_out, v_out = fused_decode_step(
+            jnp.asarray(x[:, 0]), weights, kc_flat, vc_flat,
+            jnp.asarray(valid.astype(np.float32)), jnp.asarray(write_idx),
+            chunk=64, num_heads=h,
+        )
+    # compare new K/V written at write_idx
+    np.testing.assert_allclose(
+        np.asarray(k_out[:, :, write_idx]).reshape(L, b, h, dh),
+        np.asarray(k_ref[:, :, write_idx]),
+        atol=2e-2, rtol=2e-2,  # kernel stores bf16-free f32; flax casts via dtype
+    )
+    # compare logits after the head
+    head = params["params"]["predict"]["kernel"]
+    logits_kernel = jnp.asarray(y) @ head
+    np.testing.assert_allclose(
+        np.asarray(logits_kernel), np.asarray(logits_ref), atol=5e-2, rtol=5e-2
+    )
+    # tighter check on hidden correlation
+    a = np.asarray(logits_kernel).ravel()
+    r = np.asarray(logits_ref).ravel()
+    corr = np.corrcoef(a, r)[0, 1]
+    assert corr > 0.9999, corr
