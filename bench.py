@@ -75,6 +75,7 @@ def main():
             temperature=1.0, repetition_penalty=1.35,
             # disable EOS so the loop runs the full N_NEW_TOKENS (fixed work)
             early_stop_num=N_NEW_TOKENS,
+            use_fused_kernel=True,  # Pallas fused decode step
         )
 
     codes = jnp.zeros((b, N_NEW_TOKENS), jnp.int32)

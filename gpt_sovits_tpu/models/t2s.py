@@ -291,7 +291,10 @@ class _LoopState(NamedTuple):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("model", "max_new_tokens", "top_k", "top_p", "temperature", "repetition_penalty", "early_stop_num"),
+    static_argnames=(
+        "model", "max_new_tokens", "top_k", "top_p", "temperature", "repetition_penalty",
+        "early_stop_num", "use_fused_kernel",
+    ),
 )
 def generate(
     model: T2SDecoder,
@@ -309,16 +312,21 @@ def generate(
     temperature: float = 1.0,
     repetition_penalty: float = 1.35,
     early_stop_num: int = -1,
+    use_fused_kernel: bool = False,
 ) -> GenResult:
     """Batched zero/few-shot semantic token generation.
 
     Equivalent of `infer_panel_batch_infer` (t2s_model.py:583) as a single
     compiled while_loop. All shapes static; finished sequences are masked.
+    With use_fused_kernel=True the per-token transformer step runs as the
+    fused Pallas kernel (ops/pallas/decode_step.py) instead of ~250 XLA ops.
     """
     cfg: S1Config = model.cfg
     b, tx = phoneme_ids.shape
     tp = prompt_ids.shape[1]
     t_total = tx + tp + max_new_tokens
+    if use_fused_kernel:
+        t_total = -(-t_total // 512) * 512  # pad cache to the kernel's chunk
     eos = cfg.eos_id
 
     # --- validity & positions ---
@@ -356,12 +364,36 @@ def generate(
     last_emb = model.apply(params, last_tok, jnp.maximum(prompt_lens - 1, 0)[:, None], method=T2SDecoder.embed_audio)
 
     prefill_valid = jnp.concatenate(
-        [x_valid, p_valid, jnp.zeros((b, max_new_tokens), dtype=bool)], axis=1
+        [x_valid, p_valid, jnp.zeros((b, t_total - tx - tp), dtype=bool)], axis=1
     )
     scratch_idx = tx + tp
-    first_logits, k_caches, v_caches = model.apply(
-        params, last_emb, k_caches, v_caches, prefill_valid, scratch_idx, method=T2SDecoder.decode_step
-    )
+
+    if use_fused_kernel:
+        from gpt_sovits_tpu.ops.pallas.decode_step import fused_decode_step, stack_weights_from_params
+
+        fused_weights = stack_weights_from_params(params, cfg.num_layers)
+        head_kernel = params["params"]["predict"]["kernel"].astype(jnp.float32)
+        d_model = cfg.hidden_dim
+        k_caches = k_caches.reshape(cfg.num_layers, b, t_total, d_model).astype(jnp.bfloat16)
+        v_caches = v_caches.reshape(cfg.num_layers, b, t_total, d_model).astype(jnp.bfloat16)
+
+        def fused_step(tok_emb, k_c, v_c, valid_excl, write_idx):
+            y, k_c, v_c = fused_decode_step(
+                tok_emb[:, 0].astype(jnp.float32), fused_weights, k_c, v_c,
+                valid_excl.astype(jnp.float32), write_idx, num_heads=cfg.num_heads,
+            )
+            return y @ head_kernel, k_c, v_c
+
+        # step -1: the kernel always attends to the query's own fresh K/V, so
+        # exclude the last prompt token's prefill slot (identical values)
+        valid_excl = prefill_valid.at[jnp.arange(b), tx + jnp.maximum(prompt_lens - 1, 0)].set(False)
+        first_logits, k_caches, v_caches = fused_step(
+            last_emb, k_caches, v_caches, valid_excl, jnp.asarray(scratch_idx, jnp.int32)
+        )
+    else:
+        first_logits, k_caches, v_caches = model.apply(
+            params, last_emb, k_caches, v_caches, prefill_valid, scratch_idx, method=T2SDecoder.decode_step
+        )
 
     presence = jnp.zeros((b, cfg.vocab_size), dtype=bool)
     presence = presence.at[jnp.arange(b)[:, None], jnp.where(p_valid, prompt_ids, eos)].set(True)
@@ -399,9 +431,13 @@ def generate(
         # token sampled at step t-1 lives in cache slot scratch_idx + t - 1
         write_idx = scratch_idx + s.step - 1
         valid = s.valid.at[:, write_idx].set(True)
-        logits, k_c, v_c = model.apply(
-            params, s.tok_emb, s.k_caches, s.v_caches, valid, write_idx, method=T2SDecoder.decode_step
-        )
+        if use_fused_kernel:
+            # the kernel adds the current token itself; mask excludes it
+            logits, k_c, v_c = fused_step(s.tok_emb, s.k_caches, s.v_caches, s.valid, write_idx)
+        else:
+            logits, k_c, v_c = model.apply(
+                params, s.tok_emb, s.k_caches, s.v_caches, valid, write_idx, method=T2SDecoder.decode_step
+            )
         logits = logits.astype(jnp.float32)
         # EOS exclusion happens BEFORE the argmax stop-check (ref slices
         # logits[:, :-1] for idx<11 and checks argmax on the sliced logits)

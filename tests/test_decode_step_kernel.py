@@ -80,3 +80,31 @@ def test_fused_decode_matches_flax(b):
     r = np.asarray(logits_ref).ravel()
     corr = np.corrcoef(a, r)[0, 1]
     assert corr > 0.9999, corr
+
+
+def test_generate_fused_matches_xla_greedy():
+    """End-to-end: generate() with the fused kernel must reproduce the XLA
+    decode loop under greedy sampling (modulo bf16 cache rounding)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from gpt_sovits_tpu.models.t2s import generate
+
+    model = T2SDecoder(TINY)
+    params = model.init(jax.random.PRNGKey(0), method=T2SDecoder.init_all)
+    rng = np.random.default_rng(3)
+    b, tx, tp = 2, 10, 7
+    phones = jnp.asarray(rng.integers(0, TINY.phoneme_vocab_size, (b, tx)))
+    bert = jnp.asarray(rng.standard_normal((b, tx, TINY.bert_dim)).astype(np.float32) * 0.1)
+    prompts = jnp.asarray(rng.integers(0, TINY.vocab_size - 1, (b, tp)))
+    kw = dict(max_new_tokens=12, top_k=1, repetition_penalty=1.0, early_stop_num=-1)
+    args = (model, params, phones, jnp.asarray([tx, tx - 3]), bert, prompts, jnp.asarray([tp, tp - 2]))
+
+    out_xla = generate(*args, jax.random.PRNGKey(1), **kw)
+    with pltpu.force_tpu_interpret_mode():
+        out_fused = generate(*args, jax.random.PRNGKey(1), use_fused_kernel=True, **kw)
+
+    t_x = np.asarray(out_xla.tokens)
+    t_f = np.asarray(out_fused.tokens)
+    n = min(int(out_xla.lengths.min()), int(out_fused.lengths.min()))
+    match = (t_x[:, :n] == t_f[:, :n]).mean()
+    assert match >= 0.9, (match, t_x[:, :n], t_f[:, :n])
