@@ -1,0 +1,279 @@
+"""Command-line driver.
+
+Single-controller replacement for the reference's webui orchestration
+(webui.py spawning every step as a subprocess with env-var config —
+SURVEY.md §1 L6). Subcommands mirror the reference workflow:
+
+  slice       cut long recordings at silences        (tools/slicer2.py)
+  prepare     feature extraction stages 1a/1b/1c     (prepare_datasets/)
+  train-s1    AR text->semantic training             (s1_train.py)
+  train-s2    SoVITS GAN training                    (s2_train.py)
+  train-v3    CFM fine-tune (--lora for LoRA)        (s2_train_v3*.py)
+  tts         synthesize from the command line       (inference_cli.py)
+  serve       HTTP API                               (api_v2.py)
+  export      StableHLO deployment artifacts         (onnx_export.py)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def cmd_slice(args):
+    from gpt_sovits_tpu.dsp.audio_io import load_wav, save_wav
+    from gpt_sovits_tpu.dsp.slicer import Slicer
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    wav, sr = load_wav(args.input)
+    slicer = Slicer(sr, threshold=args.threshold, min_length=args.min_length,
+                    min_interval=args.min_interval, hop_size=args.hop_size,
+                    max_sil_kept=args.max_sil_kept)
+    base = os.path.splitext(os.path.basename(args.input))[0]
+    for i, chunk in enumerate(slicer.slice(wav)):
+        save_wav(os.path.join(args.out_dir, f"{base}_{i:04d}.wav"), chunk, sr)
+    print(f"wrote {i + 1} slices to {args.out_dir}")
+
+
+def cmd_prepare(args):
+    import jax
+
+    from gpt_sovits_tpu.prepare import extract
+    from gpt_sovits_tpu.utils.loaders import load_bert, load_hubert, load_s2, load_sv
+
+    os.makedirs(args.exp_dir, exist_ok=True)
+
+    bert_fn = None
+    if args.bert:
+        import jax.numpy as jnp
+
+        bert, bert_params, tok = load_bert(args.bert)
+
+        def bert_fn(norm_text, word2ph):
+            ids = tok(norm_text, return_tensors="np")["input_ids"]
+            hidden = np.asarray(bert.apply(bert_params, jnp.asarray(ids))[-3])[0, 1:-1]
+            return np.repeat(hidden, word2ph, axis=0)
+
+    extract.prepare_text(args.list, args.exp_dir, version=args.version, bert_fn=bert_fn)
+    extract.merge_text_shards(args.exp_dir, 1)
+
+    hubert, hubert_params = load_hubert(args.hubert)
+    if hubert_params is not None:
+        import jax.numpy as jnp
+
+        hub_fwd = jax.jit(hubert.apply)
+        extract.prepare_audio(args.list, args.exp_dir, hubert_fn=lambda w: np.asarray(hub_fwd(hubert_params, jnp.asarray(w[None])))[0])
+
+    if args.s2:
+        import jax.numpy as jnp
+
+        model, params, _ = load_s2(args.s2, args.version if args.version in ("v1", "v2") else None)
+        ext = jax.jit(lambda s: model.apply(params, s, method=type(model).extract_latent))
+        extract.prepare_semantic(args.list, args.exp_dir, extract_latent_fn=lambda ssl: np.asarray(ext(jnp.asarray(ssl[None])))[0])
+        extract.merge_semantic_shards(args.exp_dir, 1)
+
+    if args.sv:
+        import jax.numpy as jnp
+
+        from gpt_sovits_tpu.models.eres2net import kaldi_fbank
+
+        sv_model, sv_params = load_sv(args.sv)
+        fwd = jax.jit(lambda w: sv_model.apply(sv_params, kaldi_fbank(w)))
+        extract.prepare_sv(args.list, args.exp_dir, sv_fn=lambda w: np.asarray(fwd(jnp.asarray(w[None])))[0])
+    print("prepare done:", args.exp_dir)
+
+
+def cmd_train_s1(args):
+    import jax
+
+    from gpt_sovits_tpu.models.t2s import T2SDecoder
+    from gpt_sovits_tpu.train import ckpt as ckpt_io
+    from gpt_sovits_tpu.train.data import BucketSampler, S1Dataset, data_iterator
+    from gpt_sovits_tpu.train.s1_train import init_state, make_train_step
+    from gpt_sovits_tpu.utils.config import S1Config, TrainConfig
+
+    cfg = S1Config()
+    tc = TrainConfig(batch_size=args.batch_size, epochs=args.epochs, grad_accum=4)
+    model = T2SDecoder(cfg)
+    ds = S1Dataset(args.exp_dir)
+    sampler = BucketSampler(ds.lengths(), tc.batch_size, seed=tc.seed)
+    state = init_state(jax.random.PRNGKey(tc.seed), model, tc)
+    latest = ckpt_io.latest_checkpoint(args.ckpt_dir)
+    if latest:
+        state = ckpt_io.load_checkpoint(latest, state)
+        print("resumed from", latest)
+    step_fn = make_train_step(model, tc, use_dpo=args.dpo)
+    for epoch in range(tc.epochs):
+        for batch in data_iterator(ds, sampler, epoch):
+            state, metrics = step_fn(state, {k: jax.numpy.asarray(v) for k, v in batch.items()}, jax.random.PRNGKey(epoch))
+        print(f"epoch {epoch}: loss={float(metrics['loss']):.3f} acc={float(metrics['acc']):.3f}")
+        if (epoch + 1) % args.save_every == 0:
+            ckpt_io.save_checkpoint(state, args.ckpt_dir, int(state.step))
+            ckpt_io.export_weights(state.params["params"], os.path.join(args.ckpt_dir, f"s1-e{epoch + 1}.npz"),
+                                   config={"model": "s1"}, info=f"{epoch + 1}epoch")
+    print("train-s1 done")
+
+
+def cmd_train_s2(args):
+    import jax
+
+    from gpt_sovits_tpu.train import ckpt as ckpt_io
+    from gpt_sovits_tpu.train.data import BucketSampler, S2Dataset, data_iterator
+    from gpt_sovits_tpu.train.s2_train import init_state, make_train_step
+    from gpt_sovits_tpu.utils.config import MelConfig, TrainConfig, s2_config_for_version
+
+    s2 = s2_config_for_version(args.version)
+    tc = TrainConfig(batch_size=args.batch_size, epochs=args.epochs)
+    mel = MelConfig()
+    ds = S2Dataset(args.exp_dir, version=args.version, mel_cfg=mel)
+    sampler = BucketSampler(ds.lengths(), tc.batch_size, seed=tc.seed)
+    batches = sampler.epoch_batches(0)
+    if not batches:
+        sys.exit("no training batches (dataset too small for batch size)")
+    sample = ds.collate(batches[0])
+    state, gen, disc = init_state(jax.random.PRNGKey(tc.seed), s2, tc, {k: jax.numpy.asarray(v) for k, v in sample.items()})
+    step_fn = make_train_step(gen, disc, tc, mel, steps_per_epoch=max(len(batches), 1))
+    for epoch in range(tc.epochs):
+        for batch in data_iterator(ds, sampler, epoch):
+            state, metrics = step_fn(state, {k: jax.numpy.asarray(v) for k, v in batch.items()}, jax.random.PRNGKey(epoch))
+        print(f"epoch {epoch}: " + " ".join(f"{k}={float(v):.3f}" for k, v in metrics.items()))
+        if (epoch + 1) % args.save_every == 0:
+            ckpt_io.save_checkpoint(state, args.ckpt_dir, int(state.step))
+            ckpt_io.export_weights(state.params_g["params"], os.path.join(args.ckpt_dir, f"s2G-e{epoch + 1}.npz"),
+                                   config={"version": args.version}, info=f"{epoch + 1}epoch")
+    print("train-s2 done")
+
+
+def cmd_tts(args):
+    from gpt_sovits_tpu.dsp.audio_io import save_wav
+    from gpt_sovits_tpu.utils.loaders import build_pipeline
+
+    pipe = build_pipeline(
+        s1_path=args.s1, s2_path=args.s2, version=args.version,
+        hubert_path=args.hubert, bert_path=args.bert, sv_path=args.sv,
+    )
+    pipe.set_ref_audio(args.ref_audio, ref_text=args.ref_text)
+    sr, audio = pipe.run(args.text, args.lang, seed=args.seed, cut_method=args.cut)
+    save_wav(args.output, audio.astype(np.float32) / 32768.0, sr)
+    print(f"wrote {args.output} ({len(audio) / sr:.2f}s @ {sr} Hz)")
+
+
+def cmd_serve(args):
+    from gpt_sovits_tpu.serve.api import TTSService, serve
+    from gpt_sovits_tpu.utils.loaders import build_pipeline
+
+    pipe = build_pipeline(
+        s1_path=args.s1, s2_path=args.s2, version=args.version,
+        hubert_path=args.hubert, bert_path=args.bert, sv_path=args.sv,
+    )
+    service = TTSService(pipe)
+    server = serve(service, host=args.host, port=args.port)
+    print(f"serving on {args.host}:{args.port}")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+
+
+def cmd_export(args):
+    from gpt_sovits_tpu.utils.export import export_s1_step, export_s2_decode
+    from gpt_sovits_tpu.utils.loaders import load_s1, load_s2
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    if args.s1:
+        model, params = load_s1(args.s1)
+        blob = export_s1_step(model, params)
+        open(os.path.join(args.out_dir, "s1_step.stablehlo"), "wb").write(blob)
+    if args.s2:
+        model, params, version = load_s2(args.s2, args.version)
+        blob = export_s2_decode(model, params)
+        open(os.path.join(args.out_dir, f"s2_decode_{version}.stablehlo"), "wb").write(blob)
+    print("export done:", args.out_dir)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="gpt_sovits_tpu", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("slice")
+    s.add_argument("input")
+    s.add_argument("--out-dir", required=True)
+    s.add_argument("--threshold", type=float, default=-34.0)
+    s.add_argument("--min-length", type=int, default=4000)
+    s.add_argument("--min-interval", type=int, default=300)
+    s.add_argument("--hop-size", type=int, default=10)
+    s.add_argument("--max-sil-kept", type=int, default=500)
+    s.set_defaults(fn=cmd_slice)
+
+    s = sub.add_parser("prepare")
+    s.add_argument("--list", required=True)
+    s.add_argument("--exp-dir", required=True)
+    s.add_argument("--version", default="v2")
+    s.add_argument("--bert")
+    s.add_argument("--hubert")
+    s.add_argument("--s2")
+    s.add_argument("--sv")
+    s.set_defaults(fn=cmd_prepare)
+
+    s = sub.add_parser("train-s1")
+    s.add_argument("--exp-dir", required=True)
+    s.add_argument("--ckpt-dir", required=True)
+    s.add_argument("--batch-size", type=int, default=8)
+    s.add_argument("--epochs", type=int, default=15)
+    s.add_argument("--save-every", type=int, default=5)
+    s.add_argument("--dpo", action="store_true")
+    s.set_defaults(fn=cmd_train_s1)
+
+    s = sub.add_parser("train-s2")
+    s.add_argument("--exp-dir", required=True)
+    s.add_argument("--ckpt-dir", required=True)
+    s.add_argument("--version", default="v2")
+    s.add_argument("--batch-size", type=int, default=8)
+    s.add_argument("--epochs", type=int, default=8)
+    s.add_argument("--save-every", type=int, default=4)
+    s.set_defaults(fn=cmd_train_s2)
+
+    s = sub.add_parser("tts")
+    s.add_argument("--text", required=True)
+    s.add_argument("--lang", default="auto")
+    s.add_argument("--ref-audio", required=True)
+    s.add_argument("--ref-text")
+    s.add_argument("--output", default="output.wav")
+    s.add_argument("--seed", type=int, default=0)
+    s.add_argument("--cut", default="cut5")
+    s.add_argument("--s1")
+    s.add_argument("--s2")
+    s.add_argument("--version")
+    s.add_argument("--hubert")
+    s.add_argument("--bert")
+    s.add_argument("--sv")
+    s.set_defaults(fn=cmd_tts)
+
+    s = sub.add_parser("serve")
+    s.add_argument("--host", default="127.0.0.1")
+    s.add_argument("--port", type=int, default=9880)
+    s.add_argument("--s1")
+    s.add_argument("--s2")
+    s.add_argument("--version")
+    s.add_argument("--hubert")
+    s.add_argument("--bert")
+    s.add_argument("--sv")
+    s.set_defaults(fn=cmd_serve)
+
+    s = sub.add_parser("export")
+    s.add_argument("--out-dir", required=True)
+    s.add_argument("--s1")
+    s.add_argument("--s2")
+    s.add_argument("--version")
+    s.set_defaults(fn=cmd_export)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,159 @@
+"""Model factories: build flax models + params from checkpoints.
+
+Sources supported:
+  * reference PyTorch .pth/.ckpt (GPT weights, SoVITS weights, HuBERT/BERT
+    HF dirs, SV ckpt) via utils/checkpoint_compat mappings
+  * this framework's .npz distribution exports (train/ckpt.py)
+  * random init (smoke tests / from-scratch training)
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gpt_sovits_tpu.utils.config import S1Config, s2_config_for_version
+
+
+def load_s1(path: Optional[str] = None, cfg: S1Config = S1Config(), *, dtype=jnp.bfloat16):
+    """S1 AR model from a reference GPT .ckpt/.pth or our .npz."""
+    from gpt_sovits_tpu.models.t2s import T2SDecoder
+
+    model = T2SDecoder(cfg, dtype=dtype)
+    if path is None:
+        params = model.init(jax.random.PRNGKey(0), method=T2SDecoder.init_all)
+        return model, params
+    if path.endswith(".npz"):
+        from gpt_sovits_tpu.train.ckpt import load_weights
+
+        tree, _ = load_weights(path)
+        return model, {"params": tree}
+    from gpt_sovits_tpu.utils.checkpoint_compat import load_torch_checkpoint, s1_params_from_torch
+
+    ckpt = load_torch_checkpoint(path)
+    sd = ckpt.get("weight", ckpt.get("state_dict", ckpt))
+    return model, s1_params_from_torch(sd, cfg)
+
+
+def load_s2(path: Optional[str] = None, version: Optional[str] = None):
+    """S2 synthesizer (any version) from a reference SoVITS .pth or random."""
+    from gpt_sovits_tpu.models.v3 import SynthesizerTrnV3
+    from gpt_sovits_tpu.models.vits import SynthesizerTrn
+
+    if path is not None and version is None:
+        from gpt_sovits_tpu.utils.checkpoint_compat import sniff_sovits_version
+
+        _, version, _ = sniff_sovits_version(path)
+    version = version or "v2"
+    cfg = s2_config_for_version(version)
+    model = SynthesizerTrnV3(cfg) if cfg.is_cfm else SynthesizerTrn(cfg)
+    if path is None:
+        return model, None, version
+    from gpt_sovits_tpu.utils.checkpoint_compat import load_torch_checkpoint, s2_params_from_torch
+
+    ckpt = load_torch_checkpoint(path)
+    sd = ckpt.get("weight", ckpt)
+    params = s2_params_from_torch(sd, cfg)
+    return model, params, version
+
+
+def load_hubert(path: Optional[str] = None):
+    """CNHuBERT from an HF model dir (chinese-hubert-base) or random tiny."""
+    from gpt_sovits_tpu.models.hubert import HubertConfig, HubertEncoder, params_from_torch
+
+    model = HubertEncoder(HubertConfig())
+    if path is None:
+        return model, None
+    import torch
+
+    bin_path = None
+    for name in ("pytorch_model.bin", "model.safetensors"):
+        cand = os.path.join(path, name)
+        if os.path.exists(cand):
+            bin_path = cand
+            break
+    if bin_path is None:
+        raise FileNotFoundError(f"no weights found under {path}")
+    if bin_path.endswith(".safetensors"):
+        from safetensors.torch import load_file
+
+        sd = load_file(bin_path)
+    else:
+        sd = torch.load(bin_path, map_location="cpu", weights_only=True)
+    sd = {k.removeprefix("hubert."): v for k, v in sd.items()}
+    return model, params_from_torch(sd)
+
+
+def load_bert(path: Optional[str] = None):
+    """chinese-roberta-wwm-ext-large from an HF dir, with tokenizer."""
+    if path is None:
+        return None, None, None
+    from transformers import AutoTokenizer
+
+    from gpt_sovits_tpu.models.bert import BertConfig, BertEncoder, params_from_torch
+
+    import torch
+
+    tokenizer = AutoTokenizer.from_pretrained(path)
+    model = BertEncoder(BertConfig())
+    bin_path = os.path.join(path, "pytorch_model.bin")
+    sd = torch.load(bin_path, map_location="cpu", weights_only=True)
+    sd = {k.removeprefix("bert."): v for k, v in sd.items()}
+    return model, params_from_torch(sd), tokenizer
+
+
+def load_sv(path: Optional[str] = None):
+    """ERes2NetV2 speaker embedder from the reference ckpt."""
+    from gpt_sovits_tpu.models.eres2net import ERes2NetConfig, ERes2NetV2, kaldi_fbank, params_from_torch
+
+    cfg = ERes2NetConfig(base_width=24, scale=4, expansion=4)
+    model = ERes2NetV2(cfg)
+    if path is None:
+        return model, None
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    return model, params_from_torch(sd, cfg)
+
+
+def build_pipeline(
+    *,
+    s1_path: Optional[str] = None,
+    s2_path: Optional[str] = None,
+    version: Optional[str] = None,
+    hubert_path: Optional[str] = None,
+    bert_path: Optional[str] = None,
+    sv_path: Optional[str] = None,
+    infer_cfg=None,
+):
+    """Assemble a TTSPipeline from checkpoint paths (reference formats)."""
+    from gpt_sovits_tpu.infer.pipeline import TTSPipeline, V3Bundle
+    from gpt_sovits_tpu.utils.config import MEL_V3, MEL_V4, InferenceConfig, MelConfig
+
+    s1_model, s1_params = load_s1(s1_path)
+    s2_model, s2_params, version = load_s2(s2_path, version)
+    hubert, hubert_params = load_hubert(hubert_path)
+    bert, bert_params, tokenizer = load_bert(bert_path)
+    sv_model = sv_params = None
+    if version in ("v2Pro", "v2ProPlus"):
+        sv_model, sv_params = load_sv(sv_path)
+
+    v3_bundle = None
+    if version in ("v3", "v4"):
+        raise NotImplementedError(
+            "v3/v4 serving via build_pipeline needs the vocoder checkpoint; "
+            "construct V3Bundle directly (see infer/pipeline.py)"
+        )
+    return TTSPipeline(
+        s1_model=s1_model, s1_params=s1_params,
+        s2_model=s2_model, s2_params=s2_params,
+        hubert_model=hubert, hubert_params=hubert_params,
+        bert_model=bert, bert_params=bert_params, bert_tokenizer=tokenizer,
+        sv_model=sv_model, sv_params=sv_params,
+        mel_cfg=MelConfig(), infer_cfg=infer_cfg or InferenceConfig(version=version),
+        v3_bundle=v3_bundle,
+    )
