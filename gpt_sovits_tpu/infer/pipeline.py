@@ -93,6 +93,7 @@ class TTSPipeline:
         mel_cfg: MelConfig = MelConfig(),
         infer_cfg: InferenceConfig = InferenceConfig(),
         v3_bundle: Optional[V3Bundle] = None,
+        use_fused_s1: Optional[bool] = None,  # default: True on TPU
     ):
         self.s1 = s1_model
         self.s1_params = s1_params
@@ -110,6 +111,9 @@ class TTSPipeline:
         self.ref: Optional[RefCache] = None
         self.version = s2_model.cfg.version
         self.v3 = v3_bundle
+        if use_fused_s1 is None:
+            use_fused_s1 = jax.default_backend() not in ("cpu",)
+        self.use_fused_s1 = use_fused_s1
         self._s2_decode = jax.jit(
             functools.partial(s2_model.apply, method=SynthesizerTrn.decode),
             static_argnames=("speed",),
@@ -173,7 +177,10 @@ class TTSPipeline:
 
         sv_emb = None
         if self.s2.cfg.is_pro and self.sv is not None:
-            sv_emb = np.asarray(self.sv.apply(self.sv_params, wav16[None, :]))[0]
+            from gpt_sovits_tpu.models.eres2net import kaldi_fbank
+
+            feat = kaldi_fbank(jnp.asarray(wav16[None, :]))
+            sv_emb = np.asarray(self.sv.apply(self.sv_params, feat))[0]
 
         self.ref = RefCache(
             prompt_semantic=np.asarray(codes[0], np.int32),
@@ -334,6 +341,7 @@ class TTSPipeline:
             jnp.asarray(prompts), jnp.full((b,), tp, jnp.int32), key,
             max_new_tokens=max_new, top_k=top_k, top_p=top_p,
             temperature=temperature, repetition_penalty=repetition_penalty,
+            use_fused_kernel=self.use_fused_s1,
         )
         tokens = np.asarray(out.tokens)
         lengths = np.asarray(out.lengths)
@@ -384,6 +392,7 @@ class TTSPipeline:
             jnp.asarray(prompts), jnp.full((b,), tp, jnp.int32), key,
             max_new_tokens=max_new, top_k=top_k, top_p=top_p,
             temperature=temperature, repetition_penalty=repetition_penalty,
+            use_fused_kernel=self.use_fused_s1,
         )
         return np.asarray(out.tokens), np.asarray(out.lengths)
 
