@@ -1,0 +1,283 @@
+"""Character-based voice-clone training REST service.
+
+Re-design of the reference fork's server/ (training_service.py:1750,
+training_steps.py): character CRUD, audio upload -> slice -> dataset,
+background training orchestration (prepare -> S2 -> S1), filesystem-backed
+status, and inference against a trained character. The reference launches
+每 step as a subprocess with env-var config; here steps are plain callables
+run on a worker thread in the single controller process.
+
+Filesystem layout per character (mirrors the reference's per-character
+data dirs):
+  {root}/{name}/raw/            uploaded originals
+  {root}/{name}/dataset/        sliced wavs + files.list manifest
+  {root}/{name}/exp/            prepare artifacts (2-name2text.txt, ...)
+  {root}/{name}/ckpt/           training outputs
+  {root}/{name}/status.json     {state, step, progress, error}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import threading
+import time
+import urllib.parse
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Callable, Optional
+
+import numpy as np
+
+_NAME_RE = re.compile(r"^[\w\-]{1,64}$")
+
+TRAIN_STEPS = ("prepare", "train_s2", "train_s1")
+
+
+@dataclass
+class TrainingSteps:
+    """Injectable step implementations (tests use fakes; production wires
+    prepare/extract + train/s2_train + train/s1_train)."""
+
+    prepare: Callable[[str, str], None]  # (manifest, exp_dir)
+    train_s2: Callable[[str, str], None]  # (exp_dir, ckpt_dir)
+    train_s1: Callable[[str, str], None]
+    synthesize: Optional[Callable[..., tuple[int, np.ndarray]]] = None  # (ckpt_dir, text, lang, ref)
+
+
+class CharacterStore:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def path(self, name: str) -> str:
+        if not _NAME_RE.match(name):
+            raise ValueError(f"invalid character name {name!r}")
+        return os.path.join(self.root, name)
+
+    def list(self) -> list[dict]:
+        out = []
+        for name in sorted(os.listdir(self.root)):
+            if os.path.isdir(os.path.join(self.root, name)):
+                out.append({"name": name, **self.status(name)})
+        return out
+
+    def create(self, name: str) -> None:
+        p = self.path(name)
+        if os.path.exists(p):
+            raise FileExistsError(name)
+        for sub in ("raw", "dataset", "exp", "ckpt"):
+            os.makedirs(os.path.join(p, sub))
+        self.set_status(name, state="created", step=None, progress=0.0)
+
+    def delete(self, name: str) -> None:
+        p = self.path(name)
+        if not os.path.isdir(p):
+            raise FileNotFoundError(name)
+        shutil.rmtree(p)
+
+    def exists(self, name: str) -> bool:
+        return os.path.isdir(self.path(name))
+
+    def status(self, name: str) -> dict:
+        sp = os.path.join(self.path(name), "status.json")
+        if not os.path.exists(sp):
+            return {"state": "unknown"}
+        with open(sp) as f:
+            return json.load(f)
+
+    def set_status(self, name: str, **kw) -> None:
+        sp = os.path.join(self.path(name), "status.json")
+        cur = self.status(name) if os.path.exists(sp) else {}
+        cur.update(kw, updated_at=time.time())
+        tmp = sp + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(cur, f)
+        os.replace(tmp, sp)  # atomic, like the reference's my_save move
+
+    def add_audio(self, name: str, filename: str, data: bytes, *, slice_audio: bool = True) -> int:
+        """Store an upload and slice it into dataset/ wavs. Returns #slices."""
+        from gpt_sovits_tpu.dsp.audio_io import load_wav, save_wav
+        from gpt_sovits_tpu.dsp.slicer import Slicer
+
+        p = self.path(name)
+        raw_path = os.path.join(p, "raw", os.path.basename(filename))
+        with open(raw_path, "wb") as f:
+            f.write(data)
+        if not slice_audio:
+            return 0
+        wav, sr = load_wav(raw_path)
+        chunks = Slicer(sr, threshold=-34.0, min_length=4000, min_interval=300, hop_size=10, max_sil_kept=500).slice(wav)
+        base = os.path.splitext(os.path.basename(filename))[0]
+        ds = os.path.join(p, "dataset")
+        for i, c in enumerate(chunks):
+            save_wav(os.path.join(ds, f"{base}_{i:04d}.wav"), c, sr)
+        return len(chunks)
+
+    def write_manifest(self, name: str, entries: list[tuple[str, str, str]]) -> str:
+        """entries: (wav_filename, lang, text). Returns manifest path."""
+        p = self.path(name)
+        manifest = os.path.join(p, "dataset", "files.list")
+        with open(manifest, "w", encoding="utf-8") as f:
+            for wav, lang, text in entries:
+                f.write(f"{os.path.join(p, 'dataset', wav)}|{name}|{lang}|{text}\n")
+        return manifest
+
+
+class TrainingService:
+    def __init__(self, root: str, steps: TrainingSteps):
+        self.store = CharacterStore(root)
+        self.steps = steps
+        self._jobs: dict[str, threading.Thread] = {}
+        self._lock = threading.Lock()
+
+    # -- training orchestration (ref training_steps.StepProcessor) ---------
+
+    def start_training(self, name: str) -> None:
+        if not self.store.exists(name):
+            raise FileNotFoundError(name)
+        with self._lock:
+            job = self._jobs.get(name)
+            if job is not None and job.is_alive():
+                raise RuntimeError(f"training already running for {name}")
+            t = threading.Thread(target=self._run_training, args=(name,), daemon=True)
+            self._jobs[name] = t
+            t.start()
+
+    def _run_training(self, name: str) -> None:
+        p = self.store.path(name)
+        manifest = os.path.join(p, "dataset", "files.list")
+        exp_dir = os.path.join(p, "exp")
+        ckpt_dir = os.path.join(p, "ckpt")
+        plan = [
+            ("prepare", lambda: self.steps.prepare(manifest, exp_dir)),
+            ("train_s2", lambda: self.steps.train_s2(exp_dir, ckpt_dir)),
+            ("train_s1", lambda: self.steps.train_s1(exp_dir, ckpt_dir)),
+        ]
+        try:
+            for i, (step, fn) in enumerate(plan):
+                self.store.set_status(name, state="training", step=step, progress=i / len(plan))
+                fn()
+            self.store.set_status(name, state="trained", step=None, progress=1.0)
+        except Exception as e:  # persist failure like the reference
+            self.store.set_status(name, state="failed", error=str(e))
+
+    def training_status(self, name: str) -> dict:
+        return self.store.status(name)
+
+    def infer(self, name: str, text: str, lang: str = "auto") -> tuple[int, np.ndarray]:
+        if self.steps.synthesize is None:
+            raise RuntimeError("inference not configured")
+        st = self.store.status(name)
+        if st.get("state") != "trained":
+            raise RuntimeError(f"character {name} is not trained (state={st.get('state')})")
+        p = self.store.path(name)
+        # auto-select reference audio: first dataset slice (ref behavior:
+        # training_service auto-selects ref audio/text)
+        ds = os.path.join(p, "dataset")
+        wavs = sorted(f for f in os.listdir(ds) if f.endswith(".wav"))
+        if not wavs:
+            raise RuntimeError("no reference audio available")
+        return self.steps.synthesize(os.path.join(p, "ckpt"), text, lang, os.path.join(ds, wavs[0]))
+
+
+# ---------------------------------------------------------------------------
+# HTTP layer
+# ---------------------------------------------------------------------------
+
+
+def make_handler(svc: TrainingService):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):
+            pass
+
+        def _send(self, code, obj, ctype="application/json"):
+            body = obj if isinstance(obj, bytes) else json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _body(self):
+            n = int(self.headers.get("Content-Length", 0))
+            return self.rfile.read(n)
+
+        def do_GET(self):
+            path = urllib.parse.urlparse(self.path).path
+            m = re.fullmatch(r"/api/v1/characters", path)
+            if m:
+                return self._send(200, {"characters": svc.store.list()})
+            m = re.fullmatch(r"/api/v1/characters/([\w\-]+)/training/status", path)
+            if m:
+                name = m.group(1)
+                if not svc.store.exists(name):
+                    return self._send(404, {"message": "not found"})
+                return self._send(200, svc.training_status(name))
+            return self._send(404, {"message": "not found"})
+
+        def do_POST(self):
+            path = urllib.parse.urlparse(self.path).path
+            if path == "/api/v1/characters":
+                try:
+                    req = json.loads(self._body() or b"{}")
+                    svc.store.create(req["name"])
+                    return self._send(201, {"message": "created"})
+                except FileExistsError:
+                    return self._send(409, {"message": "exists"})
+                except (KeyError, ValueError) as e:
+                    return self._send(400, {"message": str(e)})
+            m = re.fullmatch(r"/api/v1/characters/([\w\-]+)/audio", path)
+            if m:
+                name = m.group(1)
+                if not svc.store.exists(name):
+                    return self._send(404, {"message": "not found"})
+                fname = urllib.parse.parse_qs(urllib.parse.urlparse(self.path).query).get("filename", ["upload.wav"])[0]
+                n = svc.store.add_audio(name, fname, self._body())
+                return self._send(200, {"slices": n})
+            m = re.fullmatch(r"/api/v1/characters/([\w\-]+)/manifest", path)
+            if m:
+                name = m.group(1)
+                req = json.loads(self._body())
+                p = svc.store.write_manifest(name, [tuple(e) for e in req["entries"]])
+                return self._send(200, {"manifest": p})
+            m = re.fullmatch(r"/api/v1/characters/([\w\-]+)/training/start", path)
+            if m:
+                name = m.group(1)
+                try:
+                    svc.start_training(name)
+                    return self._send(202, {"message": "training started"})
+                except FileNotFoundError:
+                    return self._send(404, {"message": "not found"})
+                except RuntimeError as e:
+                    return self._send(409, {"message": str(e)})
+            if path == "/api/v1/inference":
+                try:
+                    req = json.loads(self._body())
+                    sr, audio = svc.infer(req["character"], req["text"], req.get("lang", "auto"))
+                    from gpt_sovits_tpu.serve.api import wav_bytes
+
+                    return self._send(200, wav_bytes(audio, sr), "audio/wav")
+                except (RuntimeError, KeyError, FileNotFoundError) as e:
+                    return self._send(400, {"message": str(e)})
+            return self._send(404, {"message": "not found"})
+
+        def do_DELETE(self):
+            m = re.fullmatch(r"/api/v1/characters/([\w\-]+)", urllib.parse.urlparse(self.path).path)
+            if m:
+                try:
+                    svc.store.delete(m.group(1))
+                    return self._send(200, {"message": "deleted"})
+                except FileNotFoundError:
+                    return self._send(404, {"message": "not found"})
+            return self._send(404, {"message": "not found"})
+
+    return Handler
+
+
+def serve_training(svc: TrainingService, host="127.0.0.1", port=9881) -> ThreadingHTTPServer:
+    server = ThreadingHTTPServer((host, port), make_handler(svc))
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    return server

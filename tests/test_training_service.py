@@ -1,0 +1,117 @@
+"""Training REST service tests: CRUD, upload+slice, orchestration, status,
+inference — over a real socket with fake training steps."""
+
+import json
+import time
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+from gpt_sovits_tpu.dsp.audio_io import save_wav
+from gpt_sovits_tpu.serve.training_service import TrainingService, TrainingSteps, serve_training
+
+
+@pytest.fixture()
+def service(tmp_path):
+    calls = []
+
+    def fake_prepare(manifest, exp_dir):
+        calls.append(("prepare", manifest))
+
+    def fake_s2(exp_dir, ckpt_dir):
+        calls.append(("train_s2", ckpt_dir))
+
+    def fake_s1(exp_dir, ckpt_dir):
+        calls.append(("train_s1", ckpt_dir))
+
+    def fake_synth(ckpt_dir, text, lang, ref):
+        return 16000, (np.zeros(1600) + 100).astype(np.int16)
+
+    svc = TrainingService(str(tmp_path / "chars"), TrainingSteps(fake_prepare, fake_s2, fake_s1, fake_synth))
+    srv = serve_training(svc, port=0)
+    host, port = srv.server_address
+    yield f"http://{host}:{port}", svc, calls, tmp_path
+    srv.shutdown()
+
+
+def _req(url, method="GET", data=None, query=""):
+    req = urllib.request.Request(url + query, data=data, method=method)
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, r.read(), r.headers.get("Content-Type")
+    except urllib.error.HTTPError as e:
+        return e.code, e.read(), e.headers.get("Content-Type")
+
+
+def test_character_lifecycle(service):
+    base, svc, calls, tmp = service
+    code, body, _ = _req(base + "/api/v1/characters", "POST", json.dumps({"name": "alice"}).encode())
+    assert code == 201
+    code, body, _ = _req(base + "/api/v1/characters", "POST", json.dumps({"name": "alice"}).encode())
+    assert code == 409
+    code, body, _ = _req(base + "/api/v1/characters")
+    assert code == 200 and body and json.loads(body)["characters"][0]["name"] == "alice"
+
+    # upload audio -> sliced
+    rng = np.random.default_rng(0)
+    wav_path = tmp / "up.wav"
+    seg = (rng.standard_normal(16000 * 5) * 0.3).astype(np.float32)
+    audio = np.concatenate([seg, np.zeros(16000, np.float32), seg])
+    save_wav(str(wav_path), audio, 16000)
+    code, body, _ = _req(base + "/api/v1/characters/alice/audio", "POST", open(wav_path, "rb").read(), "?filename=up.wav")
+    assert code == 200 and json.loads(body)["slices"] == 2
+
+    # manifest
+    entries = [["up_0000.wav", "en", "hello there"], ["up_0001.wav", "en", "general kenobi"]]
+    code, body, _ = _req(
+        base + "/api/v1/characters/alice/manifest", "POST", json.dumps({"entries": entries}).encode()
+    )
+    assert code == 200
+
+    # training lifecycle
+    code, body, _ = _req(base + "/api/v1/characters/alice/training/start", "POST", b"")
+    assert code == 202
+    for _ in range(100):
+        code, body, _ = _req(base + "/api/v1/characters/alice/training/status")
+        st = json.loads(body)
+        if st["state"] in ("trained", "failed"):
+            break
+        time.sleep(0.05)
+    assert st["state"] == "trained", st
+    assert [c[0] for c in calls] == ["prepare", "train_s2", "train_s1"]
+
+    # inference with auto-selected reference
+    code, body, ctype = _req(
+        base + "/api/v1/inference", "POST", json.dumps({"character": "alice", "text": "hi"}).encode()
+    )
+    assert code == 200 and ctype == "audio/wav" and body[:4] == b"RIFF"
+
+    # delete
+    code, _, _ = _req(base + "/api/v1/characters/alice", "DELETE")
+    assert code == 200
+    code, _, _ = _req(base + "/api/v1/characters/alice/training/status")
+    assert code == 404
+
+
+def test_inference_untrained_rejected(service):
+    base, svc, _, _ = service
+    _req(base + "/api/v1/characters", "POST", json.dumps({"name": "bob"}).encode())
+    code, body, _ = _req(base + "/api/v1/inference", "POST", json.dumps({"character": "bob", "text": "x"}).encode())
+    assert code == 400 and b"not trained" in body
+
+
+def test_failed_step_reported(tmp_path):
+    def boom(manifest, exp_dir):
+        raise RuntimeError("no data")
+
+    svc = TrainingService(str(tmp_path / "c"), TrainingSteps(boom, boom, boom))
+    svc.store.create("x")
+    svc.start_training("x")
+    for _ in range(100):
+        st = svc.training_status("x")
+        if st["state"] in ("trained", "failed"):
+            break
+        time.sleep(0.02)
+    assert st["state"] == "failed" and "no data" in st["error"]
