@@ -49,6 +49,9 @@ def test_launch_single_process_noop_and_sharding():
     batch = {"x": np.arange(8 * 3, dtype=np.float32).reshape(8, 3)}
     gb = global_batch_from_local(batch, mesh)
     assert gb["x"].shape == (8, 3)
-    # sharded over 'data' axis of the mesh
-    assert len(gb["x"].sharding.device_set) == 4
+    # batch dim sharded over 'data' (4-way), replicated over 'model' —
+    # the NamedSharding spans all 8 mesh devices with 4 distinct shards
+    assert len(gb["x"].sharding.device_set) == 8
+    shard_starts = sorted(s.index[0].start or 0 for s in gb["x"].addressable_shards)
+    assert shard_starts == [0, 0, 2, 2, 4, 4, 6, 6]
     np.testing.assert_array_equal(np.asarray(gb["x"]), batch["x"])
