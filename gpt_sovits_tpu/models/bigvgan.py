@@ -72,7 +72,7 @@ def _depthwise_conv(x, filt, stride=1, pad_left=0, pad_right=0, pad_mode="edge")
     c = x.shape[-1]
     if pad_left or pad_right:
         x = jnp.pad(x, ((0, 0), (pad_left, pad_right), (0, 0)), mode=pad_mode)
-    w = jnp.broadcast_to(jnp.asarray(filt)[:, None, None], (len(filt), 1, c))
+    w = jnp.broadcast_to(jnp.asarray(filt, dtype=x.dtype)[:, None, None], (len(filt), 1, c))
     return jax.lax.conv_general_dilated(
         x, w, window_strides=(stride,), padding=[(0, 0)],
         feature_group_count=c, dimension_numbers=("NHC", "HIO", "NHC"),
@@ -89,7 +89,7 @@ def upsample1d(x: jnp.ndarray, ratio: int = 2, kernel_size: int | None = None) -
     filt = kaiser_sinc_filter1d(0.5 / ratio, 0.6 / ratio, ks)
     c = x.shape[-1]
     x = jnp.pad(x, ((0, 0), (pad, pad), (0, 0)), mode="edge")
-    w = jnp.broadcast_to(jnp.asarray(filt)[::-1][:, None, None].copy(), (ks, 1, c))
+    w = jnp.broadcast_to(jnp.asarray(filt[::-1].copy(), dtype=x.dtype)[:, None, None], (ks, 1, c))
     y = jax.lax.conv_general_dilated(
         x, w, window_strides=(1,), padding=[(ks - 1, ks - 1)], lhs_dilation=(stride,),
         feature_group_count=c, dimension_numbers=("NHC", "HIO", "NHC"),

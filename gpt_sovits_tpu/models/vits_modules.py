@@ -93,7 +93,7 @@ class ConvTranspose1d(nn.Module):
         # padding k-1-p). Flip along the spatial axis.
         y = jax.lax.conv_general_dilated(
             x,
-            jnp.flip(w, 0),
+            jnp.flip(w, 0).astype(x.dtype),
             window_strides=(1,),
             padding=[(self.kernel - 1 - self.pad, self.kernel - 1 - self.pad)],
             lhs_dilation=(self.stride,),

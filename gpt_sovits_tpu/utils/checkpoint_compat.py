@@ -287,6 +287,184 @@ def s2_params_from_torch(state_dict: dict, cfg) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# Inverse mapping: flax params -> reference torch state dict
+# ---------------------------------------------------------------------------
+
+
+def _t(x):
+    import torch
+
+    return torch.from_numpy(np.asarray(x, dtype=np.float32).copy())
+
+
+def _inv_conv(node, prefix, out, *, weight_norm=False):
+    """flax Conv {kernel (k,in,out)} -> torch Conv1d weight (out,in,k)."""
+    k = node["Conv_0"] if "Conv_0" in node else node
+    w = np.asarray(k["kernel"]).transpose(2, 1, 0)
+    if weight_norm:
+        # synthesize weight_g/weight_v such that g*v/||v|| == w exactly
+        axes = tuple(range(1, w.ndim))
+        g = np.sqrt((w**2).sum(axis=axes, keepdims=True))
+        out[f"{prefix}.weight_g"] = _t(g)
+        out[f"{prefix}.weight_v"] = _t(w)
+    else:
+        out[f"{prefix}.weight"] = _t(w)
+    if "bias" in k:
+        out[f"{prefix}.bias"] = _t(k["bias"])
+
+
+def _inv_dense(node, prefix, out):
+    out[f"{prefix}.weight"] = _t(np.asarray(node["kernel"]).T)
+    if "bias" in node:
+        out[f"{prefix}.bias"] = _t(node["bias"])
+
+
+def _inv_dense_as_conv1x1(node, prefix, out):
+    out[f"{prefix}.weight"] = _t(np.asarray(node["kernel"]).T[:, :, None])
+    if "bias" in node:
+        out[f"{prefix}.bias"] = _t(node["bias"])
+
+
+def _inv_ln(node, prefix, out, gamma="gamma", beta="beta"):
+    out[f"{prefix}.{gamma}"] = _t(node["scale"])
+    out[f"{prefix}.{beta}"] = _t(node["bias"])
+
+
+def _inv_relpos_encoder(node, pre, n_layers, out):
+    for i in range(n_layers):
+        a = node[f"attn_{i}"]
+        for nm in ("conv_q", "conv_k", "conv_v", "conv_o"):
+            _inv_dense_as_conv1x1(a[nm], f"{pre}.attn_layers.{i}.{nm}", out)
+        out[f"{pre}.attn_layers.{i}.emb_rel_k"] = _t(a["emb_rel_k"])
+        out[f"{pre}.attn_layers.{i}.emb_rel_v"] = _t(a["emb_rel_v"])
+        _inv_ln(node[f"norm1_{i}"], f"{pre}.norm_layers_1.{i}", out)
+        _inv_ln(node[f"norm2_{i}"], f"{pre}.norm_layers_2.{i}", out)
+        _inv_conv(node[f"ffn_{i}"]["conv1"], f"{pre}.ffn_layers.{i}.conv_1", out)
+        _inv_conv(node[f"ffn_{i}"]["conv2"], f"{pre}.ffn_layers.{i}.conv_2", out)
+
+
+def _inv_wn(node, pre, n_layers, out):
+    if "cond_layer" in node:
+        _inv_conv(node["cond_layer"], f"{pre}.cond_layer", out, weight_norm=True)
+    for i in range(n_layers):
+        _inv_conv(node[f"in_{i}"], f"{pre}.in_layers.{i}", out, weight_norm=True)
+        _inv_conv(node[f"res_skip_{i}"], f"{pre}.res_skip_layers.{i}", out, weight_norm=True)
+
+
+def s2_params_to_torch(params: dict, cfg) -> dict:
+    """Inverse of s2_params_from_torch: emit a reference-named state dict
+    (weight-norm pairs synthesized) that the PyTorch SynthesizerTrn loads
+    via load_state_dict to reproduce these weights exactly."""
+    p = params["params"]
+    out: dict[str, Any] = {}
+    n_layers = cfg.n_layers
+    enc_p = p["enc_p"]
+    _inv_conv(enc_p["ssl_proj"], "enc_p.ssl_proj", out)
+    _inv_relpos_encoder(enc_p["encoder_ssl"], "enc_p.encoder_ssl", n_layers // 2, out)
+    out["enc_p.text_embedding.weight"] = _t(enc_p["text_embedding"]["embedding"])
+    _inv_relpos_encoder(enc_p["encoder_text"], "enc_p.encoder_text", n_layers, out)
+    m = enc_p["mrte"]
+    for nm in ("conv_q", "conv_k", "conv_v", "conv_o"):
+        _inv_dense_as_conv1x1(m["cross_attention"][nm], f"enc_p.mrte.cross_attention.{nm}", out)
+    _inv_conv(m["c_pre"], "enc_p.mrte.c_pre", out)
+    _inv_conv(m["text_pre"], "enc_p.mrte.text_pre", out)
+    _inv_conv(m["c_post"], "enc_p.mrte.c_post", out)
+    _inv_relpos_encoder(enc_p["encoder2"], "enc_p.encoder2", n_layers // 2, out)
+    _inv_conv(enc_p["proj"], "enc_p.proj", out)
+
+    dec = p["dec"]
+    _inv_conv(dec["conv_pre"], "dec.conv_pre", out)
+    if "cond" in dec:
+        _inv_conv(dec["cond"], "dec.cond", out)
+    n_k = len(cfg.resblock_kernel_sizes)
+    for i in range(len(cfg.upsample_rates)):
+        w = np.asarray(dec[f"up_{i}"]["kernel"]).transpose(1, 2, 0)  # (k,in,out)->(in,out,k)
+        axes = (1, 2)
+        g = np.sqrt((w**2).sum(axis=axes, keepdims=True))
+        out[f"dec.ups.{i}.weight_g"] = _t(g)
+        out[f"dec.ups.{i}.weight_v"] = _t(w)
+        if "bias" in dec[f"up_{i}"]:
+            out[f"dec.ups.{i}.bias"] = _t(dec[f"up_{i}"]["bias"])
+        for j in range(n_k):
+            rb = dec[f"resblock_{i}_{j}"]
+            for d in range(len(cfg.resblock_dilation_sizes[j])):
+                _inv_conv(rb[f"c1_{d}"], f"dec.resblocks.{i * n_k + j}.convs1.{d}", out, weight_norm=True)
+                _inv_conv(rb[f"c2_{d}"], f"dec.resblocks.{i * n_k + j}.convs2.{d}", out, weight_norm=True)
+    _inv_conv(dec["conv_post"], "dec.conv_post", out)
+
+    for i in range(4):
+        fl = p["flow"][f"flow_{i}"]
+        _inv_conv(fl["pre"], f"flow.flows.{i * 2}.pre", out)
+        _inv_wn(fl["enc"], f"flow.flows.{i * 2}.enc", 4, out)
+        _inv_conv(fl["post"], f"flow.flows.{i * 2}.post", out)
+
+    ref = p["ref_enc"]
+    _inv_dense(ref["spectral1"], "ref_enc.spectral.0.fc", out)
+    _inv_dense(ref["spectral2"], "ref_enc.spectral.3.fc", out)
+    _inv_conv(ref["temporal1"]["conv1"], "ref_enc.temporal.0.conv1.conv", out)
+    _inv_conv(ref["temporal2"]["conv1"], "ref_enc.temporal.1.conv1.conv", out)
+    for nm in ("w_qs", "w_ks", "w_vs", "fc"):
+        _inv_dense(ref["slf_attn"][nm], f"ref_enc.slf_attn.{nm}", out)
+    _inv_dense(ref["fc"], "ref_enc.fc.fc", out)
+
+    _inv_conv(p["ssl_proj"], "ssl_proj", out)
+    out["quantizer.vq.layers.0._codebook.embed"] = _t(p["quantizer"]["embed"])
+
+    if "enc_q" in p:
+        _inv_conv(p["enc_q"]["pre"], "enc_q.pre", out)
+        _inv_wn(p["enc_q"]["enc"], "enc_q.enc", 16, out)
+        _inv_conv(p["enc_q"]["proj"], "enc_q.proj", out)
+    if cfg.is_pro:
+        _inv_dense(p["sv_emb"], "sv_emb", out)
+        _inv_dense(p["ge_to512"], "ge_to512", out)
+        out["prelu.weight"] = _t(p["prelu_alpha"])
+    return out
+
+
+def s1_params_to_torch(params: dict, cfg) -> dict:
+    """Inverse of s1_params_from_torch (no weight norm in S1)."""
+    p = params["params"]
+    out: dict[str, Any] = {
+        "ar_text_embedding.word_embeddings.weight": _t(p["text_embedding"]["embedding"]),
+        "ar_audio_embedding.word_embeddings.weight": _t(p["audio_embedding"]["embedding"]),
+        "ar_text_position.alpha": _t(np.asarray(p["alpha_text"]).reshape(())),
+        "ar_audio_position.alpha": _t(np.asarray(p["alpha_audio"]).reshape(())),
+        "ar_predict_layer.weight": _t(np.asarray(p["predict"]["kernel"]).T),
+    }
+    _inv_dense(p["bert_proj"], "bert_proj", out)
+    for i in range(cfg.num_layers):
+        pre = f"h.layers.{i}"
+        out[f"{pre}.self_attn.in_proj_weight"] = _t(np.asarray(p[f"layer_{i}"]["wqkv"]["kernel"]).T)
+        out[f"{pre}.self_attn.in_proj_bias"] = _t(p[f"layer_{i}"]["wqkv"]["bias"])
+        _inv_dense(p[f"layer_{i}"]["wo"], f"{pre}.self_attn.out_proj", out)
+        _inv_dense(p[f"layer_{i}"]["fc1"], f"{pre}.linear1", out)
+        _inv_dense(p[f"layer_{i}"]["fc2"], f"{pre}.linear2", out)
+        _inv_ln(p[f"layer_{i}"]["norm1"], f"{pre}.norm1", out, gamma="weight", beta="bias")
+        _inv_ln(p[f"layer_{i}"]["norm2"], f"{pre}.norm2", out, gamma="weight", beta="bias")
+    return out
+
+
+def save_reference_pth(state_dict: dict, path: str, *, model_version: str = "v2", config=None, info: str = "") -> str:
+    """Write a reference-format distribution ckpt ({weight, config, info},
+    fp16, version-byte header for Pro/v3/v4 — process_ckpt.savee/my_save2)."""
+    import io as _io
+
+    import torch
+
+    opt = {"weight": {k: v.half() for k, v in state_dict.items()}, "config": config or {}, "info": info}
+    version_bytes = {"v3": b"03", "v4": b"04", "v2Pro": b"05", "v2ProPlus": b"06"}.get(model_version)
+    if version_bytes is None:
+        torch.save(opt, path)
+    else:
+        bio = _io.BytesIO()
+        torch.save(opt, bio)
+        data = version_bytes + bio.getvalue()[2:]
+        with open(path, "wb") as f:
+            f.write(data)
+    return path
+
+
+# ---------------------------------------------------------------------------
 # S1 Text2SemanticDecoder mapping
 # ---------------------------------------------------------------------------
 
