@@ -318,6 +318,41 @@ class TTSPipeline:
         audio = np.clip(audio, -1.0, 1.0)
         return sr, (audio * 32767.0).astype(np.int16)
 
+    def run_streaming(
+        self, text: str, language: str = "auto", **kwargs
+    ):
+        """Generator of (sr, int16 fragment) per text segment, in reading
+        order (ref TTS.run return_fragment=True streaming mode). Segments
+        are synthesized in batches but yielded as each becomes available
+        in order."""
+        assert self.ref is not None, "call set_ref_audio first"
+        cfg = self.cfg
+        seed = kwargs.pop("seed", 0)
+        cut_method = kwargs.pop("cut_method", None) or cfg.text_split_method
+        fragment_interval = kwargs.pop("fragment_interval", None)
+        fragment_interval = cfg.fragment_interval if fragment_interval is None else fragment_interval
+        synth_kw = dict(
+            top_k=kwargs.pop("top_k", None) or cfg.top_k,
+            top_p=kwargs.pop("top_p", None) or cfg.top_p,
+            temperature=kwargs.pop("temperature", None) or cfg.temperature,
+            repetition_penalty=kwargs.pop("repetition_penalty", None) or cfg.repetition_penalty,
+            speed=kwargs.pop("speed", 1.0),
+            max_sec=kwargs.pop("max_sec", 30),
+        )
+        segments = self.preprocess(text, language, cut_method)
+        if not segments:
+            return
+        sr = self.v3.out_sr if self.v3 is not None else self.mel_cfg.sampling_rate
+        key = jax.random.PRNGKey(seed)
+        synth = self._synthesize_v3_batch if self.v3 is not None else self._synthesize_batch
+        silence = np.zeros(int(sr * fragment_interval), np.float32)
+        for start in range(0, len(segments), cfg.batch_size):
+            batch = segments[start : start + cfg.batch_size]
+            key, sub = jax.random.split(key)
+            for wav in synth(batch, sub, **synth_kw):
+                frag = np.concatenate([np.clip(wav, -1.0, 1.0), silence])
+                yield sr, (frag * 32767.0).astype(np.int16)
+
     def _synthesize_batch(self, batch, key, *, top_k, top_p, temperature, repetition_penalty, speed, max_sec):
         b = len(batch)
         ref = self.ref

@@ -44,6 +44,16 @@ def wav_bytes(audio_int16: np.ndarray, sr: int) -> bytes:
     return header + pcm
 
 
+def wav_stream_header(sr: int) -> bytes:
+    """Streaming wav header with zero data length (ref api_v2
+    wave_header_chunk:237) — players read PCM until the stream closes."""
+    return (
+        b"RIFF" + struct.pack("<I", 36) + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, sr, sr * 2, 2, 16)
+        + b"data" + struct.pack("<I", 0)
+    )
+
+
 class TTSService:
     """Request validation + synthesis on top of a TTSPipeline
     (ref api_v2 check_params:262 + tts_handle:300)."""
@@ -73,6 +83,24 @@ class TTSService:
         except ValueError:
             return 400, f"text_split_method:{req.get('text_split_method')} is not supported"
         return None
+
+    def tts_stream(self, req: dict):
+        """Streaming synthesis: yields (sr, pcm-bytes fragments).
+        Raises ValueError on bad input (validate first)."""
+        ref_path = req["ref_audio_path"]
+        with self.lock:
+            if ref_path != self._ref_path:
+                self.pipeline.set_ref_audio(ref_path, ref_text=req.get("prompt_text") or None)
+                self._ref_path = ref_path
+            seed = int(req.get("seed", -1))
+            if seed < 0:
+                seed = int(np.random.default_rng().integers(0, 2**31 - 1))
+            gen = self.pipeline.run_streaming(
+                req["text"], req["text_lang"].lower(), seed=seed,
+                cut_method=req.get("text_split_method", "cut5"),
+            )
+            for sr, frag in gen:
+                yield sr, frag.astype("<i2").tobytes()
 
     def tts(self, req: dict) -> tuple[int, bytes, str]:
         err = self.validate(req)
@@ -132,11 +160,36 @@ def make_handler(service: TTSService):
             parsed = urllib.parse.urlparse(self.path)
             return {k: v[0] for k, v in urllib.parse.parse_qs(parsed.query).items()}
 
+        def _stream_tts(self, params: dict):
+            err = service.validate(params)
+            if err:
+                self._send(err[0], json.dumps({"message": err[1]}).encode(), "application/json")
+                return
+            try:
+                gen = service.tts_stream(params)
+                first = next(gen, None)
+            except (ValueError, FileNotFoundError, NotImplementedError) as e:
+                self._send(400, json.dumps({"message": str(e)}).encode(), "application/json")
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", "audio/wav")
+            self.send_header("Connection", "close")
+            self.end_headers()
+            if first is None:
+                return
+            sr, frag = first
+            self.wfile.write(wav_stream_header(sr))
+            self.wfile.write(frag)
+            for _, frag in gen:
+                self.wfile.write(frag)
+
         def do_GET(self):
             route = urllib.parse.urlparse(self.path).path
             params = self._params()
             if route == "/health":
                 self._send(200, b'{"status":"ok"}', "application/json")
+            elif route == "/tts" and params.get("streaming_mode") in _BOOL:
+                self._stream_tts(params)
             elif route == "/tts":
                 self._send(*service.tts(params))
             elif route == "/set_gpt_weights":

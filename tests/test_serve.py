@@ -93,3 +93,20 @@ def test_wav_bytes_header():
     b = wav_bytes(np.zeros(100, np.int16), 32000)
     assert b[:4] == b"RIFF" and b[8:12] == b"WAVE"
     assert len(b) == 44 + 200
+
+
+def test_tts_streaming_mode(server):
+    base, ref, _ = server
+    q = urllib.parse.urlencode(
+        {"text": "First sentence. Second one!", "text_lang": "en", "ref_audio_path": ref,
+         "seed": 4, "streaming_mode": "true"}
+    )
+    with urllib.request.urlopen(base + "/tts?" + q) as r:
+        assert r.status == 200
+        data = r.read()
+    assert data[:4] == b"RIFF"
+    # streaming header declares zero length; actual PCM follows
+    import struct
+    declared = struct.unpack("<I", data[40:44])[0]
+    assert declared == 0
+    assert len(data) > 44 + 1000
