@@ -129,29 +129,18 @@ def _han_to_pinyin(text: str) -> list[str]:
 
 
 def normalize(text: str) -> str:
+    from gpt_sovits_tpu.text.zh_norm import normalize_zh
+
     for k, v in _PUNC_MAP.items():
         text = text.replace(k, v)
-    # digits to hanzi (basic cardinal reading)
-    text = re.sub(r"\d+", lambda m: _num_to_hanzi(m.group(0)), text)
-    return text
-
-
-_DIGITS = "零一二三四五六七八九"
-
-
-def _num_to_hanzi(s: str) -> str:
-    n = int(s)
-    if n < 10:
-        return _DIGITS[n]
-    if n < 20:
-        return "十" + (_DIGITS[n % 10] if n % 10 else "")
-    if n < 100:
-        return _DIGITS[n // 10] + "十" + (_DIGITS[n % 10] if n % 10 else "")
-    return "".join(_DIGITS[int(c)] for c in s)  # digit-by-digit fallback
+    return normalize_zh(text)
 
 
 def clean_text_zh(text: str) -> tuple[list[str], list[int], str]:
+    from gpt_sovits_tpu.text.zh_norm import apply_tone_sandhi
+
     norm = normalize(text)
     sylls = _han_to_pinyin(norm)
+    sylls = apply_tone_sandhi(norm, sylls)
     phones, word2ph = pinyin_to_phones(sylls)
     return phones, word2ph, norm

@@ -59,10 +59,42 @@ def _expand_number(m: re.Match) -> str:
     return _num_to_words(int(s))
 
 
+_ORDINAL_SPECIAL = {
+    "one": "first", "two": "second", "three": "third", "five": "fifth",
+    "eight": "eighth", "nine": "ninth", "twelve": "twelfth",
+}
+
+
+def _ordinalize(words: str) -> str:
+    parts = words.split()
+    last = parts[-1]
+    if last in _ORDINAL_SPECIAL:
+        parts[-1] = _ORDINAL_SPECIAL[last]
+    elif last.endswith("y"):
+        parts[-1] = last[:-1] + "ieth"
+    else:
+        parts[-1] = last + "th"
+    return " ".join(parts)
+
+
 def normalize(text: str) -> str:
     text = text.replace("’", "'").replace("“", '"').replace("”", '"')
     text = re.sub(r"\$(\d[\d,]*(\.\d+)?)", lambda m: m.group(1) + " dollars", text)
     text = re.sub(r"(\d[\d,]*)(\.\d+)?%", lambda m: m.group(0)[:-1] + " percent", text)
+    # ordinals: 1st 2nd 3rd 21st ...
+    text = re.sub(
+        r"(\d+)(st|nd|rd|th)\b", lambda m: _ordinalize(_num_to_words(int(m.group(1)))), text
+    )
+    # clock time: 3:30 -> three thirty; 3:05 -> three oh five
+    def _time(m):
+        h, mi = int(m.group(1)), m.group(2)
+        if mi == "00":
+            return _num_to_words(h) + " o'clock"
+        if mi.startswith("0"):
+            return _num_to_words(h) + " oh " + _num_to_words(int(mi))
+        return _num_to_words(h) + " " + _num_to_words(int(mi))
+
+    text = re.sub(r"\b(\d{1,2}):(\d{2})\b", _time, text)
     text = re.sub(r"\d[\d,]*(\.\d+)?", _expand_number, text)
     words = []
     for w in re.findall(r"[A-Za-z']+|[^\sA-Za-z']", text):

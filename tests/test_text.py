@@ -100,3 +100,50 @@ def test_split_big_text():
     parts = split_big_text(text, max_len=510)
     assert all(len(p) <= 510 for p in parts)
     assert sum(len(p) for p in parts) == len(text)
+
+
+def test_zh_number_readings():
+    from gpt_sovits_tpu.text.zh_norm import decimal_to_hanzi, digits_to_hanzi, num_to_hanzi
+
+    assert num_to_hanzi(0) == "零"
+    assert num_to_hanzi(10) == "十"
+    assert num_to_hanzi(14) == "十四"
+    assert num_to_hanzi(105) == "一百零五"
+    assert num_to_hanzi(1234) == "一千二百三十四"
+    assert num_to_hanzi(10005) == "一万零五"
+    assert num_to_hanzi(120000000) == "一亿二千万"
+    assert decimal_to_hanzi("3.14") == "三点一四"
+    assert digits_to_hanzi("2024") == "二零二四"
+
+
+def test_zh_normalize_patterns():
+    from gpt_sovits_tpu.text.zh_norm import normalize_zh
+
+    assert normalize_zh("25%") == "百分之二十五"
+    assert normalize_zh("3/4") == "四分之三"
+    assert "二零二四年三月五日" in normalize_zh("2024年3月5日")
+    assert "三点三十分" in normalize_zh("3:30")
+    assert normalize_zh("13800138000") == "一三八零零一三八零零零"
+
+
+def test_zh_tone_sandhi():
+    from gpt_sovits_tpu.text.zh_norm import apply_tone_sandhi
+
+    # 不 + tone4 -> bu2
+    assert apply_tone_sandhi("不对", ["bu4", "dui4"]) == ["bu2", "dui4"]
+    # 一 + tone4 -> yi2 ; 一 + tone1 -> yi4
+    assert apply_tone_sandhi("一样", ["yi1", "yang4"]) == ["yi2", "yang4"]
+    assert apply_tone_sandhi("一天", ["yi1", "tian1"]) == ["yi4", "tian1"]
+    # 3-3 -> 2-3, chains resolve right-to-left
+    assert apply_tone_sandhi("你好", ["ni3", "hao3"]) == ["ni2", "hao3"]
+    assert apply_tone_sandhi("展览馆", ["zhan3", "lan3", "guan3"]) == ["zhan2", "lan2", "guan3"]
+
+
+def test_en_ordinals_and_time():
+    from gpt_sovits_tpu.text.english import normalize
+
+    assert "first" in normalize("1st place")
+    assert "twenty first" in normalize("21st")
+    assert "third" in normalize("3rd")
+    assert "three thirty" in normalize("at 3:30")
+    assert "o'clock" in normalize("at 5:00")
