@@ -20,10 +20,19 @@ def clean_text(text: str, language: str, version: str = "v2"):
     elif language == "en":
         phones, norm = clean_text_en(text)
         word2ph = None
-    elif language in ("ja", "ko", "yue"):
+    elif language == "ja":
+        from gpt_sovits_tpu.text.japanese import clean_text_ja
+
+        phones, norm = clean_text_ja(text)
+        word2ph = None
+    elif language == "ko":
+        from gpt_sovits_tpu.text.korean import clean_text_ko
+
+        phones, norm = clean_text_ko(text)
+        word2ph = None
+    elif language == "yue":
         raise NotImplementedError(
-            f"{language} g2p requires external lexicon data (pyopenjtalk/g2pk2/"
-            "ToJyutping) not present in this environment"
+            "Cantonese g2p requires the ToJyutping lexicon (not installed)"
         )
     else:
         raise ValueError(f"unknown language {language!r}")

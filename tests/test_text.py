@@ -147,3 +147,29 @@ def test_en_ordinals_and_time():
     assert "third" in normalize("3rd")
     assert "three thirty" in normalize("at 3:30")
     assert "o'clock" in normalize("at 5:00")
+
+
+def test_japanese_kana_g2p():
+    from gpt_sovits_tpu.text.japanese import kana_to_phones
+
+    # NB: particle-は -> "wa" needs lexical analysis (pyopenjtalk path);
+    # the kana-table path reads it as written
+    assert kana_to_phones("こんにちは") == ["k", "o", "N", "n", "i", "ch", "i", "h", "a"]
+    assert kana_to_phones("きょう") == ["ky", "o", "u"]
+    assert kana_to_phones("がっこう") == ["g", "a", "cl", "k", "o", "u"]
+    assert kana_to_phones("コーヒー") == ["k", "o", "o", "h", "i", "i"]
+    symbols = set(get_symbols("v2"))
+    phones, _, _ = clean_text("すごいですね！", "ja")
+    assert all(p in symbols for p in phones)
+
+
+def test_korean_jamo_g2p():
+    from gpt_sovits_tpu.text.korean import compose, decompose, hangul_to_jamo_phones
+
+    assert decompose("한") == ("ㅎ", "ㅏ", "ㄴ")
+    assert compose("ㅎ", "ㅏ", "ㄴ") == "한"
+    # liaison: 음악 -> 으막 (final ㅁ moves onto the ㅇ-onset syllable)
+    assert hangul_to_jamo_phones("음악") == ["ㅡ", "ㅁ", "ㅏ", "ㄱ"]
+    symbols = set(get_symbols("v2"))
+    phones, _, _ = clean_text("안녕하세요?", "ko")
+    assert phones and all(p in symbols for p in phones), phones
