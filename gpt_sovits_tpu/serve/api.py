@@ -144,6 +144,39 @@ class TTSService:
             return 400, json.dumps({"message": f"change {which} weight failed", "Exception": str(e)}).encode(), "application/json"
 
 
+_INDEX_HTML = """<!doctype html>
+<html><head><meta charset="utf-8"><title>gpt_sovits_tpu</title>
+<style>
+ body{font-family:system-ui;margin:2rem auto;max-width:42rem;line-height:1.5}
+ label{display:block;margin-top:.8rem;font-weight:600}
+ input,textarea,select{width:100%;padding:.4rem;box-sizing:border-box}
+ button{margin-top:1rem;padding:.5rem 1.5rem;font-size:1rem}
+ #status{margin-top:1rem;color:#555}
+</style></head><body>
+<h1>gpt_sovits_tpu</h1>
+<p>Zero-shot voice cloning on TPU. Reference audio path must be readable by the server.</p>
+<label>Text</label><textarea id="text" rows="4">Hello, this is a test.</textarea>
+<label>Language</label>
+<select id="lang"><option>auto</option><option>en</option><option>zh</option><option>ja</option><option>ko</option></select>
+<label>Reference audio path (3-10 s wav)</label><input id="ref" placeholder="/path/to/ref.wav">
+<label>Reference transcript (optional)</label><input id="ref_text">
+<label>Seed</label><input id="seed" value="42">
+<button onclick="go()">Synthesize</button>
+<div id="status"></div><audio id="player" controls style="width:100%;margin-top:1rem"></audio>
+<script>
+async function go(){
+  const s=document.getElementById('status'); s.textContent='synthesizing...';
+  const q=new URLSearchParams({text:text.value,text_lang:lang.value,
+    ref_audio_path:ref.value,prompt_text:ref_text.value,seed:seed.value});
+  const r=await fetch('/tts?'+q);
+  if(!r.ok){s.textContent='error: '+await r.text();return}
+  const blob=await r.blob();
+  player.src=URL.createObjectURL(blob); player.play();
+  s.textContent='done';
+}
+</script></body></html>""".encode()
+
+
 def make_handler(service: TTSService):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):
@@ -186,7 +219,9 @@ def make_handler(service: TTSService):
         def do_GET(self):
             route = urllib.parse.urlparse(self.path).path
             params = self._params()
-            if route == "/health":
+            if route in ("/", "/index.html"):
+                self._send(200, _INDEX_HTML, "text/html; charset=utf-8")
+            elif route == "/health":
                 self._send(200, b'{"status":"ok"}', "application/json")
             elif route == "/tts" and params.get("streaming_mode") in _BOOL:
                 self._stream_tts(params)

@@ -44,11 +44,14 @@ def make_schedule(cfg: TrainConfig, *, peak_lr: float = 0.002, cosine: bool = Fa
     return lambda step: jnp.where(step < cfg.warmup_steps, warm(step), peak_lr)
 
 
-def make_optimizer(cfg: TrainConfig, **sched_kw):
-    tx = optax.chain(
-        optax.clip_by_global_norm(cfg.grad_clip),
-        optax.adamw(make_schedule(cfg, **sched_kw), b1=0.9, b2=0.95, eps=1e-8),
-    )
+def make_optimizer(cfg: TrainConfig, *, optimizer: str = "adamw", **sched_kw):
+    if optimizer == "scaled_adam":
+        from gpt_sovits_tpu.train.scaled_adam import scaled_adam
+
+        inner = scaled_adam(make_schedule(cfg, peak_lr=sched_kw.pop("peak_lr", 0.025), **sched_kw))
+    else:
+        inner = optax.adamw(make_schedule(cfg, **sched_kw), b1=0.9, b2=0.95, eps=1e-8)
+    tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip), inner)
     if cfg.grad_accum > 1:
         tx = optax.MultiSteps(tx, cfg.grad_accum)
     return tx

@@ -1,0 +1,97 @@
+"""ScaledAdam (k2/icefall) as an optax GradientTransformation.
+
+Counterpart of the reference's AR/modules/optim.py (593 LoC, used only for
+S1 training). Core behaviors reproduced:
+
+  * per-tensor learning-rate scaling by the parameter's RMS (updates are
+    proportional to the size of the tensor they update)
+  * Adam-style first/second moments on the *normalized* gradient
+  * an explicit scalar "scale" learning channel per tensor: the projection
+    of the gradient onto the parameter direction learns the tensor's
+    magnitude separately from its direction
+  * scalar parameters (ndim 0/1, e.g. norms/biases) fall back to plain Adam
+    with the base lr
+
+The reference's batched-parameter machinery (BatchedOptimizer) exists for
+CUDA launch-overhead reasons and is unnecessary under jit; its median-based
+clipping_scale is replaced by optax.clip_by_global_norm composition.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import chex
+import jax
+import jax.numpy as jnp
+import optax
+
+
+class ScaledAdamState(NamedTuple):
+    count: chex.Array
+    m: optax.Updates  # first moment (direction)
+    v: optax.Updates  # second moment (direction)
+    scale_m: optax.Updates  # first moment of the scale channel (per tensor)
+    scale_v: optax.Updates  # second moment of the scale channel
+
+
+def scaled_adam(
+    learning_rate=0.025,
+    *,
+    b1: float = 0.9,
+    b2: float = 0.98,
+    eps: float = 1e-8,
+    param_rms_min: float = 1e-5,
+    scale_lr_scale: float = 0.1,
+) -> optax.GradientTransformation:
+    sched = learning_rate if callable(learning_rate) else (lambda _: learning_rate)
+
+    def init(params):
+        zeros = lambda t: jax.tree_util.tree_map(jnp.zeros_like, t)
+        scalar_zeros = jax.tree_util.tree_map(lambda p: jnp.zeros(()), params)
+        return ScaledAdamState(jnp.zeros((), jnp.int32), zeros(params), zeros(params), scalar_zeros, scalar_zeros)
+
+    def update(grads, state, params):
+        if params is None:
+            raise ValueError("scaled_adam requires params")
+        count = state.count + 1
+        lr = sched(state.count)
+        bc1 = 1 - b1**count
+        bc2 = 1 - b2**count
+
+        def upd(g, p, m, v, sm, sv):
+            m = b1 * m + (1 - b1) * g
+            v = b2 * v + (1 - b2) * (g * g)
+            m_hat = m / bc1
+            v_hat = v / bc2
+            direction = m_hat / (jnp.sqrt(v_hat) + eps)
+            if p.ndim <= 1:
+                # scalars/vectors: plain Adam at base lr (ref: scalar_lr_scale)
+                return -lr * direction, m, v, sm, sv
+            rms = jnp.sqrt(jnp.mean(p * p))
+            rms = jnp.maximum(rms, param_rms_min)
+            delta = -lr * rms * direction
+            # scale channel: grad of loss wrt log-scale of the tensor is
+            # <g, p> (direction fixed); learn it with its own Adam moments
+            sg = jnp.sum(g * p) / jnp.maximum(rms, param_rms_min)
+            sm = b1 * sm + (1 - b1) * sg
+            sv = b2 * sv + (1 - b2) * sg * sg
+            s_dir = (sm / bc1) / (jnp.sqrt(sv / bc2) + eps)
+            delta = delta - (lr * scale_lr_scale) * s_dir * (p / jnp.maximum(rms, param_rms_min))
+            return delta, m, v, sm, sv
+
+        flat = jax.tree_util.tree_map(upd, grads, params, state.m, state.v, state.scale_m, state.scale_v)
+        deltas = jax.tree_util.tree_map(lambda t: t[0], flat, is_leaf=lambda x: isinstance(x, tuple))
+        new_m = jax.tree_util.tree_map(lambda t: t[1], flat, is_leaf=lambda x: isinstance(x, tuple))
+        new_v = jax.tree_util.tree_map(lambda t: t[2], flat, is_leaf=lambda x: isinstance(x, tuple))
+        new_sm = jax.tree_util.tree_map(lambda t: t[3], flat, is_leaf=lambda x: isinstance(x, tuple))
+        new_sv = jax.tree_util.tree_map(lambda t: t[4], flat, is_leaf=lambda x: isinstance(x, tuple))
+        return deltas, ScaledAdamState(count, new_m, new_v, new_sm, new_sv)
+
+    return optax.GradientTransformation(init, update)
+
+
+def scaled_adam_with_clip(learning_rate=0.025, *, grad_clip: float = 1.0, **kw) -> optax.GradientTransformation:
+    """ScaledAdam behind global-norm clipping (replaces the reference's
+    median-based clipping_scale)."""
+    return optax.chain(optax.clip_by_global_norm(grad_clip), scaled_adam(learning_rate, **kw))

@@ -56,3 +56,12 @@ def test_make_reject_y_shapes():
     assert np.all(np.asarray(rej_lens) >= 1)
     # rejected differs from chosen for at least one sequence
     assert not np.array_equal(np.asarray(rej), np.asarray(y))
+
+
+def test_s1_train_step_scaled_adam():
+    model = T2SDecoder(TINY)
+    cfg = TrainConfig(grad_accum=1, warmup_steps=2)
+    state = init_state(jax.random.PRNGKey(0), model, cfg, optimizer="scaled_adam")
+    step = make_train_step(model, cfg, optimizer="scaled_adam")
+    state, m = step(state, _batch(jax.random.PRNGKey(1)), jax.random.PRNGKey(2))
+    assert np.isfinite(float(m["loss"]))
