@@ -47,9 +47,13 @@ def scaled_adam(
     sched = learning_rate if callable(learning_rate) else (lambda _: learning_rate)
 
     def init(params):
+        import numpy as _np
+
         zeros = lambda t: jax.tree_util.tree_map(jnp.zeros_like, t)
-        scalar_zeros = jax.tree_util.tree_map(lambda p: jnp.zeros(()), params)
-        return ScaledAdamState(jnp.zeros((), jnp.int32), zeros(params), zeros(params), scalar_zeros, scalar_zeros)
+        # device_put distinct host arrays: tiny jnp constants are cached and
+        # would alias, which breaks buffer donation of the optimizer state
+        scalar_zeros = lambda: jax.tree_util.tree_map(lambda p: jax.device_put(_np.zeros(())), params)
+        return ScaledAdamState(jnp.zeros((), jnp.int32), zeros(params), zeros(params), scalar_zeros(), scalar_zeros())
 
     def update(grads, state, params):
         if params is None:
