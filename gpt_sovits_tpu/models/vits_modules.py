@@ -482,7 +482,7 @@ class VQCodebook(nn.Module):
     """EMA-kmeans Euclidean codebook. The codebook lives in the 'params'
     collection (frozen during S2 fine-tune, matching freeze_quantizer=True);
     EMA updates for from-scratch training are computed functionally by
-    `ema_update` in train/s2_train.py."""
+    `vq_ema_update` in train/s2_train.py."""
 
     codebook_size: int = 1024
     dim: int = 768

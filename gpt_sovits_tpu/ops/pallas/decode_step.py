@@ -96,78 +96,73 @@ def _make_kernel(num_layers: int, b: int, d: int, h: int, t_pad: int, chunk: int
         scale = 1.0 / np.sqrt(dh)
         hmj = hm_ref[:]
 
-        def attend_one(bi):
-            qb = q[bi] * scale  # (D,)
-            q_bd = qb[:, None] * hmj  # (D, H) block-diagonal expansion
+        # one strided DMA per chunk covers ALL batch rows; flash state is
+        # kept stacked (B,H)/(B,D) and the tiny per-b matmuls unroll
+        q_bd = (q * scale)[:, :, None] * hmj[None]  # (B, D, H)
 
-            def _dma(ci, slot):
-                return (
-                    pltpu.make_async_copy(
-                        k_hbm.at[li, bi, pl.ds(ci * chunk, chunk), :], kbuf.at[slot], sems.at[slot, 0]
-                    ),
-                    pltpu.make_async_copy(
-                        v_hbm.at[li, bi, pl.ds(ci * chunk, chunk), :], vbuf.at[slot], sems.at[slot, 1]
-                    ),
-                )
+        def _dma(ci, slot):
+            return (
+                pltpu.make_async_copy(
+                    k_hbm.at[li, :, pl.ds(ci * chunk, chunk), :], kbuf.at[slot], sems.at[slot, 0]
+                ),
+                pltpu.make_async_copy(
+                    v_hbm.at[li, :, pl.ds(ci * chunk, chunk), :], vbuf.at[slot], sems.at[slot, 1]
+                ),
+            )
 
-            # double-buffered streaming: chunk ci+1 is in flight while ci
-            # computes
-            @pl.when(nvalid_ref[0] > 0)
+        @pl.when(nvalid_ref[0] > 0)
+        def _():
+            k0, v0 = _dma(0, 0)
+            k0.start()
+            v0.start()
+
+        def chunk_body(ci, carry):
+            m_run, s_run, ctx = carry  # (B,H), (B,H), (B,D)
+            slot = ci % 2
+
+            @pl.when(ci + 1 < pl.cdiv(nvalid_ref[0], chunk))
             def _():
-                k0, v0 = _dma(0, 0)
-                k0.start()
-                v0.start()
+                kn, vn = _dma(ci + 1, (ci + 1) % 2)
+                kn.start()
+                vn.start()
 
-            def chunk_body(ci, carry):
-                m_run, s_run, ctx = carry
-                slot = ci % 2
-
-                @pl.when(ci + 1 < pl.cdiv(nvalid_ref[0], chunk))
-                def _():
-                    kn, vn = _dma(ci + 1, (ci + 1) % 2)
-                    kn.start()
-                    vn.start()
-
-                cp_k, cp_v = _dma(ci, slot)
-                cp_k.wait()
-                cp_v.wait()
-                kc = kbuf[slot].astype(jnp.float32)  # (C, D)
-                vc = vbuf[slot].astype(jnp.float32)
-                sc = jnp.dot(kc, q_bd, preferred_element_type=jnp.float32)  # (C, H)
+            cp_k, cp_v = _dma(ci, slot)
+            cp_k.wait()
+            cp_v.wait()
+            m_out, s_out, c_out = [], [], []
+            for bi in range(b):
+                kc = kbuf[slot, bi].astype(jnp.float32)  # (C, D)
+                vc = vbuf[slot, bi].astype(jnp.float32)
+                sc = jnp.dot(kc, q_bd[bi], preferred_element_type=jnp.float32)  # (C, H)
                 msk = mask_ref[bi, pl.ds(ci * chunk, chunk)]  # (C,)
                 sc = jnp.where(msk[:, None] > 0, sc, NEG)
-                m_new = jnp.maximum(m_run, jnp.max(sc, axis=0))  # (H,)
-                alpha = jnp.exp(m_run - m_new)  # (H,)
+                m_new = jnp.maximum(m_run[bi], jnp.max(sc, axis=0))  # (H,)
+                alpha = jnp.exp(m_run[bi] - m_new)
                 p = jnp.exp(sc - m_new[None, :])  # (C, H)
-                s_new = s_run * alpha + jnp.sum(p, axis=0)
+                s_out.append(s_run[bi] * alpha + jnp.sum(p, axis=0))
                 p_full = jnp.dot(p, hmj.T, preferred_element_type=jnp.float32)  # (C, D)
-                ctx_new = ctx * jnp.dot(alpha[None, :], hmj.T)[0] + jnp.sum(p_full * vc, axis=0)
-                return m_new, s_new, ctx_new
+                c_out.append(ctx[bi] * jnp.dot(alpha[None, :], hmj.T)[0] + jnp.sum(p_full * vc, axis=0))
+                m_out.append(m_new)
+            return jnp.stack(m_out), jnp.stack(s_out), jnp.stack(c_out)
 
-            m0 = jnp.full((h,), NEG, jnp.float32)
-            s0 = jnp.zeros((h,), jnp.float32)
-            c0 = jnp.zeros((d,), jnp.float32)
-            # only sweep the live prefix of the cache (slots >= n_valid are
-            # never attendable); keeps DMA volume proportional to context
-            n_live = pl.cdiv(nvalid_ref[0], chunk)
-            m_run, s_run, ctx = jax.lax.fori_loop(0, n_live, chunk_body, (m0, s0, c0))
+        m0 = jnp.full((b, h), NEG, jnp.float32)
+        s0 = jnp.zeros((b, h), jnp.float32)
+        c0 = jnp.zeros((b, d), jnp.float32)
+        # only sweep the live prefix of the cache (slots >= n_valid are
+        # never attendable); keeps DMA volume proportional to context
+        n_live = pl.cdiv(nvalid_ref[0], chunk)
+        m_run, s_run, ctx0 = jax.lax.fori_loop(0, n_live, chunk_body, (m0, s0, c0))
 
-            # current token's own K/V (always attendable)
-            # scaled q·k_self per head via the head-mask matmul (Mosaic
-            # cannot shape-cast (D,) -> (H, dh) vectors)
-            sc_self = jnp.dot((qb * k_new[bi])[None, :], hmj, preferred_element_type=jnp.float32)[0]
-            m_new = jnp.maximum(m_run, sc_self)
-            alpha = jnp.exp(m_run - m_new)
-            p_self = jnp.exp(sc_self - m_new)  # (H,)
-            s_fin = s_run * alpha + p_self
-            alpha_d = jnp.dot(alpha[None, :], hmj.T)[0]
-            p_self_d = jnp.dot(p_self[None, :], hmj.T)[0]
-            ctx = ctx * alpha_d + p_self_d * v_new[bi]
-            s_d = jnp.dot(s_fin[None, :], hmj.T)[0]
-            return ctx / s_d
-
-        ctxs = [attend_one(bi) for bi in range(b)]
-        ctx = jnp.stack(ctxs, axis=0)  # (B, D)
+        # current token's own K/V (always attendable); per-head dot via the
+        # head-mask matmul (Mosaic cannot shape-cast (D,) -> (H, dh))
+        sc_self = jnp.dot(q * scale * k_new, hmj, preferred_element_type=jnp.float32)  # (B, H)
+        m_new = jnp.maximum(m_run, sc_self)
+        alpha = jnp.exp(m_run - m_new)
+        p_self = jnp.exp(sc_self - m_new)  # (B, H)
+        s_fin = s_run * alpha + p_self
+        alpha_d = jnp.dot(alpha, hmj.T)  # (B, D)
+        p_self_d = jnp.dot(p_self, hmj.T)
+        ctx = (ctx0 * alpha_d + p_self_d * v_new) / jnp.dot(s_fin, hmj.T)
 
         attn_out = jnp.dot(ctx, wo_ref[0].astype(jnp.float32), preferred_element_type=jnp.float32) + bo_ref[0, 0][None, :]
         xa = x + attn_out
@@ -211,6 +206,9 @@ def fused_decode_step(
     b2 (L,D)."""
     L, bsz, t_pad, d = k_cache.shape
     h = num_heads
+    # keep the double-buffered (2, B, chunk, D) KV scratch within ~4 MB
+    if bsz > 2:
+        chunk = min(chunk, 256 if bsz <= 4 else 128)
     assert t_pad % chunk == 0, (t_pad, chunk)
     f = weights["fc1"].shape[-1]
 
@@ -250,8 +248,8 @@ def fused_decode_step(
         ],
         scratch_shapes=[
             pltpu.VMEM((bsz, d), jnp.float32),
-            pltpu.VMEM((2, chunk, d), k_cache.dtype),
-            pltpu.VMEM((2, chunk, d), v_cache.dtype),
+            pltpu.VMEM((2, bsz, chunk, d), k_cache.dtype),
+            pltpu.VMEM((2, bsz, chunk, d), v_cache.dtype),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )

@@ -51,6 +51,44 @@ TEXT_MODULES = ("text_embedding", "encoder_text", "mrte")
 FROZEN_MODULES = ("quantizer", "ssl_proj")
 
 
+@flax.struct.dataclass
+class VQEmaState:
+    """EMA-kmeans codebook statistics (ref core_vq.py EuclideanCodebook:
+    cluster_size + embed_avg buffers)."""
+
+    cluster_size: jnp.ndarray  # (K,)
+    embed_avg: jnp.ndarray  # (K, D)
+
+    @classmethod
+    def init(cls, embed: jnp.ndarray) -> "VQEmaState":
+        return cls(cluster_size=jnp.zeros(embed.shape[0]), embed_avg=jnp.asarray(embed))
+
+
+def vq_ema_update(
+    embed: jnp.ndarray,  # (K, D) current codebook
+    state: VQEmaState,
+    x: jnp.ndarray,  # (N, D) encoder outputs assigned this step
+    codes: jnp.ndarray,  # (N,) assignments
+    *,
+    decay: float = 0.99,
+    epsilon: float = 1e-5,
+) -> tuple[jnp.ndarray, VQEmaState]:
+    """One EMA-kmeans codebook step (core_vq.py:199-225): EMA of per-code
+    counts and sums, then laplace-smoothed normalization. Pure function —
+    from-scratch S2 training applies it after each train step (the
+    fine-tune recipe keeps freeze_quantizer=True and never calls this)."""
+    k = embed.shape[0]
+    onehot = jax.nn.one_hot(codes, k, dtype=x.dtype)  # (N, K)
+    counts = onehot.sum(axis=0)
+    sums = onehot.T @ x  # (K, D)
+    cluster_size = state.cluster_size * decay + counts * (1 - decay)
+    embed_avg = state.embed_avg * decay + sums * (1 - decay)
+    n = cluster_size.sum()
+    smoothed = (cluster_size + epsilon) / (n + k * epsilon) * n
+    new_embed = embed_avg / smoothed[:, None]
+    return new_embed, VQEmaState(cluster_size, embed_avg)
+
+
 def _label_params_g(params, freeze_quantizer: bool):
     """'text' for low-lr text modules, 'frozen' for vq, 'base' otherwise."""
 

@@ -120,6 +120,63 @@ def load_sv(path: Optional[str] = None):
     return model, params_from_torch(sd, cfg)
 
 
+def build_v3_bundle(s2_path: str, vocoder_path: Optional[str], version: str = "v3", *, sample_steps: int = 32):
+    """Assemble the v3/v4 serving bundle: CFM synthesizer + vocoder
+    (reference TTS.init_vocoder constants, TTS.py:601-660)."""
+    from gpt_sovits_tpu.infer.pipeline import V3Bundle
+    from gpt_sovits_tpu.utils.config import MEL_V3, MEL_V4
+
+    model, params, version = load_s2(s2_path, version)
+    if version == "v3":
+        from gpt_sovits_tpu.models.bigvgan import BigVGAN, BigVGANConfig, params_from_torch as bigvgan_from_torch
+
+        voc = BigVGAN(BigVGANConfig())
+        voc_params = None
+        if vocoder_path:
+            import torch
+
+            sd = torch.load(vocoder_path, map_location="cpu", weights_only=False)
+            sd = sd.get("generator", sd)
+            voc_params = bigvgan_from_torch(sd)
+        return V3Bundle(
+            model=model, params=params, vocoder=voc, vocoder_params=voc_params,
+            mel_cfg=MEL_V3, t_ref=468, t_chunk=934, out_sr=24000, sample_steps=sample_steps,
+        )
+    # v4: ×480 HiFiGAN generator to 48 kHz (TTS.py:631-655)
+    from gpt_sovits_tpu.models.vits import Generator
+    from gpt_sovits_tpu.utils.config import replace as cfg_replace, s2_config_for_version
+
+    vcfg = cfg_replace(
+        s2_config_for_version("v4"),
+        upsample_rates=(10, 6, 2, 2, 2), upsample_kernel_sizes=(20, 12, 4, 4, 4),
+        upsample_initial_channel=512,
+    )
+    voc = Generator(vcfg, use_post_bias=True)
+    voc_params = None
+    if vocoder_path:
+        import torch
+
+        from gpt_sovits_tpu.utils.checkpoint_compat import s2_params_from_torch  # noqa: F401
+        from gpt_sovits_tpu.utils.checkpoint_compat import _SD
+
+        sd = _SD(torch.load(vocoder_path, map_location="cpu", weights_only=False))
+        p: dict = {"conv_pre": {"Conv_0": sd.conv("conv_pre")}, "conv_post": {"Conv_0": sd.conv("conv_post")}}
+        n_k = len(vcfg.resblock_kernel_sizes)
+        for i in range(len(vcfg.upsample_rates)):
+            p[f"up_{i}"] = sd.convtrans(f"ups.{i}")
+            for j in range(n_k):
+                rb = {}
+                for di in range(len(vcfg.resblock_dilation_sizes[j])):
+                    rb[f"c1_{di}"] = {"Conv_0": sd.conv(f"resblocks.{i * n_k + j}.convs1.{di}")}
+                    rb[f"c2_{di}"] = {"Conv_0": sd.conv(f"resblocks.{i * n_k + j}.convs2.{di}")}
+                p[f"resblock_{i}_{j}"] = rb
+        voc_params = {"params": p}
+    return V3Bundle(
+        model=model, params=params, vocoder=voc, vocoder_params=voc_params,
+        mel_cfg=MEL_V4, t_ref=500, t_chunk=1000, out_sr=48000, sample_steps=sample_steps,
+    )
+
+
 def build_pipeline(
     *,
     s1_path: Optional[str] = None,
@@ -146,7 +203,7 @@ def build_pipeline(
     if version in ("v3", "v4"):
         raise NotImplementedError(
             "v3/v4 serving via build_pipeline needs the vocoder checkpoint; "
-            "construct V3Bundle directly (see infer/pipeline.py)"
+            "use build_v3_bundle(...) and pass v3_bundle to TTSPipeline"
         )
     return TTSPipeline(
         s1_model=s1_model, s1_params=s1_params,

@@ -69,3 +69,21 @@ def test_s2_train_step():
     # generator actually updated
     dec_after = np.asarray(jax.tree_util.tree_leaves(state.params_g["params"]["dec"])[0])
     assert not np.allclose(dec_after, dec_before)
+
+
+def test_vq_ema_update_moves_codes_toward_data():
+    from gpt_sovits_tpu.train.s2_train import VQEmaState, vq_ema_update
+
+    rng = np.random.default_rng(0)
+    k, d = 8, 4
+    embed = jnp.asarray(rng.standard_normal((k, d)).astype(np.float32))
+    state = VQEmaState.init(embed)
+    # all data near code 0's target location
+    target = np.ones(d, np.float32) * 3.0
+    x = jnp.asarray(target[None].repeat(64, 0) + rng.standard_normal((64, d)).astype(np.float32) * 0.01)
+    codes = jnp.zeros(64, jnp.int32)
+    e = embed
+    for _ in range(200):
+        e, state = vq_ema_update(e, state, x, codes, decay=0.9)
+    # code 0 converges to the data mean; others decay toward laplace prior
+    np.testing.assert_allclose(np.asarray(e[0]), target, atol=0.1)
