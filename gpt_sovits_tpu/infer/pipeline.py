@@ -73,6 +73,9 @@ class V3Bundle:
     t_chunk: int  # 934 (v3) / 1000 (v4)
     out_sr: int  # 24000 (v3) / 48000 (v4)
     sample_steps: int = 32
+    # optional AP-BWE super-resolution (v3 24k->48k, TTS.py:1407-1417)
+    sr_model: Any = None
+    sr_params: Any = None
 
 
 class TTSPipeline:
@@ -309,6 +312,8 @@ class TTSPipeline:
 
         if self.v3 is not None:
             sr = self.v3.out_sr
+            if self.v3.sr_model is not None and self.v3.sr_params is not None:
+                sr = self.v3.sr_model.cfg.hr_sampling_rate
         silence = np.zeros(int(sr * fragment_interval), np.float32)
         pieces = []
         for i in range(len(segments)):
@@ -343,6 +348,8 @@ class TTSPipeline:
         if not segments:
             return
         sr = self.v3.out_sr if self.v3 is not None else self.mel_cfg.sampling_rate
+        if self.v3 is not None and self.v3.sr_model is not None and self.v3.sr_params is not None:
+            sr = self.v3.sr_model.cfg.hr_sampling_rate
         key = jax.random.PRNGKey(seed)
         synth = self._synthesize_v3_batch if self.v3 is not None else self._synthesize_batch
         silence = np.zeros(int(sr * fragment_interval), np.float32)
@@ -504,7 +511,13 @@ class TTSPipeline:
                 idx += ln
             mel_full = denorm_spec(jnp.asarray(np.concatenate(mel_chunks, axis=1)))
             wav = np.asarray(self._vocoder_fwd(v3.vocoder_params, mel_full))[0, :, 0]
-            out_wavs.append(wav[: total * upsample])
+            wav = wav[: total * upsample]
+            if v3.sr_model is not None and v3.sr_params is not None:
+                from gpt_sovits_tpu.models.apbwe import super_resolve
+
+                up, _ = super_resolve(v3.sr_model, v3.sr_params, jnp.asarray(wav[None]), v3.out_sr)
+                wav = np.asarray(up)[0]
+            out_wavs.append(wav)
         return out_wavs
 
 

@@ -105,3 +105,26 @@ def test_v3_requires_ref_text(v3_pipeline):
     v3_pipeline._fea_ref_cache = None
     with pytest.raises(ValueError, match="reference text"):
         v3_pipeline.run("hello there friend", "en", seed=0, max_sec=1)
+
+
+def test_v3_with_super_resolution(v3_pipeline):
+    """AP-BWE super-resolution doubles the output rate after the vocoder."""
+    from gpt_sovits_tpu.models.apbwe import APBWEConfig, APNetBWE
+
+    rng = np.random.default_rng(2)
+    sr_cfg = APBWEConfig(n_fft=64, hop_size=16, win_size=64, channels=16, layers=1,
+                         hr_sampling_rate=v3_pipeline.v3.out_sr * 2)
+    sr_model = APNetBWE(sr_cfg)
+    bins = sr_cfg.n_fft // 2 + 1
+    sr_params = sr_model.init(jax.random.PRNGKey(0), jnp.zeros((1, bins, 8)), jnp.zeros((1, bins, 8)))
+    v3_pipeline.v3.sr_model = sr_model
+    v3_pipeline.v3.sr_params = sr_params
+    try:
+        wav = (rng.standard_normal(8000) * 0.1).astype(np.float32)
+        v3_pipeline.set_ref_audio(wav, sr=8000, ref_text="hello world")
+        sr, audio = v3_pipeline.run("Super resolution check.", "en", seed=2, max_sec=1)
+        assert sr == sr_cfg.hr_sampling_rate
+        assert len(audio) > 0 and np.isfinite(audio.astype(np.float32)).all()
+    finally:
+        v3_pipeline.v3.sr_model = None
+        v3_pipeline.v3.sr_params = None
