@@ -17,7 +17,6 @@ SURVEY.md §1 L6). Subcommands mirror the reference workflow:
 from __future__ import annotations
 
 import argparse
-import json
 import os
 import sys
 

@@ -36,7 +36,7 @@ from gpt_sovits_tpu.text import cleaned_text_to_sequence
 from gpt_sovits_tpu.text.cleaner import clean_text
 from gpt_sovits_tpu.text.lang_segmenter import segment as lang_segment
 from gpt_sovits_tpu.text.segmentation import get_method, split_big_text
-from gpt_sovits_tpu.utils.config import InferenceConfig, MelConfig, S1Config, S2Config
+from gpt_sovits_tpu.utils.config import InferenceConfig, MelConfig
 
 
 def _next_bucket(n: int, buckets=(32, 64, 128, 256, 512)) -> int:

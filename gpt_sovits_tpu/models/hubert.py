@@ -17,7 +17,7 @@ Architecture (HF transformers HubertModel, config hubert-base):
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Sequence
 
 import flax.linen as nn

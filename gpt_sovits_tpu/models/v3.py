@@ -18,7 +18,6 @@ Generator (v4, ×480 to 48 kHz).
 
 from __future__ import annotations
 
-from typing import Optional
 
 import flax.linen as nn
 import jax

@@ -21,7 +21,7 @@ encoder output (models.py:227-230).
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence
+from typing import Optional, Sequence
 
 import flax.linen as nn
 import jax

@@ -23,7 +23,7 @@ the reference's explicit symmetric padding.
 
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Sequence
 
 import flax.linen as nn
 import jax

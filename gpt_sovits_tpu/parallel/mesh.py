@@ -15,10 +15,9 @@ compiler-inserted collectives from shardings on a (data, model) mesh:
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 

@@ -4,7 +4,7 @@ Re-design of the reference fork's server/ (training_service.py:1750,
 training_steps.py): character CRUD, audio upload -> slice -> dataset,
 background training orchestration (prepare -> S2 -> S1), filesystem-backed
 status, and inference against a trained character. The reference launches
-每 step as a subprocess with env-var config; here steps are plain callables
+each step as a subprocess with env-var config; here steps are plain callables
 run on a worker thread in the single controller process.
 
 Filesystem layout per character (mirrors the reference's per-character
@@ -25,7 +25,7 @@ import shutil
 import threading
 import time
 import urllib.parse
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Callable, Optional
 

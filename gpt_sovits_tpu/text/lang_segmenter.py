@@ -9,7 +9,6 @@ current run, matching the reference's per-char CJK merging behavior.
 
 from __future__ import annotations
 
-import unicodedata
 
 
 def _char_lang(ch: str) -> str | None:

@@ -10,7 +10,7 @@ BigVGAN-v2 recipe's core. One jitted two-optimizer step, like s2_train.
 
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Any
 
 import flax
 import jax
@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import optax
 
 from gpt_sovits_tpu.dsp.mel import mel_spectrogram
-from gpt_sovits_tpu.models.bigvgan import BigVGAN, BigVGANConfig
+from gpt_sovits_tpu.models.bigvgan import BigVGAN
 from gpt_sovits_tpu.models.discriminators import (
     MultiPeriodDiscriminator,
     discriminator_loss,

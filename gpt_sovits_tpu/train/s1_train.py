@@ -15,8 +15,7 @@ jitted step when enabled.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Optional
+from typing import Any
 
 import flax
 import jax
@@ -24,7 +23,7 @@ import jax.numpy as jnp
 import optax
 
 from gpt_sovits_tpu.models.t2s import T2SDecoder, t2s_loss
-from gpt_sovits_tpu.utils.config import S1Config, TrainConfig
+from gpt_sovits_tpu.utils.config import TrainConfig
 
 
 @flax.struct.dataclass

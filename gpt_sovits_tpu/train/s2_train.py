@@ -18,8 +18,7 @@ ssl_proj + quantizer frozen when freeze_quantizer (models.py:915-920).
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Optional
+from typing import Any
 
 import flax
 import jax

@@ -17,7 +17,6 @@ Freezing matches the reference:
 
 from __future__ import annotations
 
-import functools
 from typing import Any
 
 import flax
@@ -26,7 +25,7 @@ import jax.numpy as jnp
 import optax
 
 from gpt_sovits_tpu.models.v3 import SynthesizerTrnV3
-from gpt_sovits_tpu.utils.config import S2Config, TrainConfig
+from gpt_sovits_tpu.utils.config import TrainConfig
 
 FROZEN_V3 = ("ssl_proj", "quantizer", "enc_p")
 LORA_TARGETS = ("to_q", "to_k", "to_v", "to_out")

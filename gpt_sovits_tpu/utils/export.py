@@ -14,7 +14,6 @@ The same graph split as the reference is exposed:
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Sequence
 
 import jax

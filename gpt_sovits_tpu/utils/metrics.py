@@ -19,8 +19,7 @@ import contextlib
 import json
 import os
 import time
-from dataclasses import dataclass, field
-from typing import Any, Optional
+from dataclasses import dataclass
 
 
 class MetricsLogger:
