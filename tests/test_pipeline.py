@@ -104,3 +104,42 @@ def test_run_end_to_end(pipeline):
         "Hello world. Testing the pipeline now!", "en", seed=3, max_sec=2, cut_method="cut5",
     )
     np.testing.assert_array_equal(audio, audio2)
+
+
+def test_v2pro_pipeline_with_sv(tmp_path):
+    """v2Pro path: ERes2NetV2 speaker embedding fused into ge."""
+    from gpt_sovits_tpu.models.eres2net import ERes2NetConfig, ERes2NetV2
+    from gpt_sovits_tpu.utils.config import replace
+
+    key = jax.random.PRNGKey(0)
+    sv_cfg = ERes2NetConfig(num_blocks=(1, 1, 1, 1), m_channels=4, feat_dim=80, base_width=24, scale=4, expansion=4)
+    sv_model = ERes2NetV2(sv_cfg)
+    sv_params = sv_model.init(key, jnp.zeros((1, 32, 80)))
+    sv_dim = 4 * 8 * 4 * (80 // 8)  # m*8*expansion * fdim/8
+
+    s2_cfg = replace(S2_TINY, version="v2Pro", sv_dim=sv_dim)
+    s2 = SynthesizerTrn(s2_cfg)
+    s2_params = s2.init(
+        {"params": key, "noise": key, "slice": key},
+        jnp.zeros((1, 8, s2_cfg.ssl_dim)), jnp.zeros((1, 10, s2_cfg.spec_channels)),
+        jnp.asarray([10]), jnp.zeros((1, 5), jnp.int32), jnp.asarray([5]),
+        sv_emb=jnp.zeros((1, sv_dim)),
+        method=SynthesizerTrn.init_all,
+    )
+    s1 = T2SDecoder(S1_TINY)
+    s1_params = s1.init(key, method=T2SDecoder.init_all)
+    hub = HubertEncoder(HUBERT_TINY)
+    hub_params = hub.init(key, jnp.zeros((1, 800)))
+    pipe = TTSPipeline(
+        s1_model=s1, s1_params=s1_params, s2_model=s2, s2_params=s2_params,
+        hubert_model=hub, hubert_params=hub_params,
+        sv_model=sv_model, sv_params=sv_params,
+        mel_cfg=MEL_TINY,
+        infer_cfg=InferenceConfig(min_ref_sec=0.1, max_ref_sec=30.0, batch_size=2, version="v2Pro"),
+    )
+    rng = np.random.default_rng(3)
+    wav = (rng.standard_normal(16000) * 0.1).astype(np.float32)
+    ref = pipe.set_ref_audio(wav, sr=8000)
+    assert ref.sv_emb is not None and ref.sv_emb.shape == (sv_dim,)
+    sr, audio = pipe.run("Pro path check.", "en", seed=1, max_sec=1)
+    assert len(audio) > 0 and np.isfinite(audio.astype(np.float32)).all()
