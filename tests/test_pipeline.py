@@ -143,3 +143,35 @@ def test_v2pro_pipeline_with_sv(tmp_path):
     assert ref.sv_emb is not None and ref.sv_emb.shape == (sv_dim,)
     sr, audio = pipe.run("Pro path check.", "en", seed=1, max_sec=1)
     assert len(audio) > 0 and np.isfinite(audio.astype(np.float32)).all()
+
+
+def test_zh_bert_features_in_pipeline(pipeline):
+    """zh segments get phone-level BERT features (layer -3, word2ph repeat)."""
+    from gpt_sovits_tpu.models.bert import BertConfig, BertEncoder
+
+    cfg = BertConfig(vocab_size=64, hidden_size=1024, num_layers=3, num_heads=4,
+                     intermediate_size=128, max_position_embeddings=64)
+    bert = BertEncoder(cfg)
+    bert_params = bert.init(jax.random.PRNGKey(0), jnp.zeros((1, 6), jnp.int32))
+
+    class StubTok:
+        def __call__(self, text, return_tensors="np"):
+            ids = np.asarray([[2] + [min(ord(c) % 60 + 3, 63) for c in text] + [3]])
+            return {"input_ids": ids}
+
+    pipeline.bert = bert
+    pipeline.bert_params = bert_params
+    pipeline.bert_tokenizer = StubTok()
+    try:
+        segs = pipeline.preprocess("你好。", "zh", "cut0")
+        assert segs
+        feats = segs[0]["bert"]
+        assert feats.shape[1] == 1024
+        assert np.abs(feats).sum() > 0  # non-zero for zh
+        # en still zero
+        segs_en = pipeline.preprocess("hello there", "en", "cut0")
+        assert np.abs(segs_en[0]["bert"]).sum() == 0
+    finally:
+        pipeline.bert = None
+        pipeline.bert_params = None
+        pipeline.bert_tokenizer = None
