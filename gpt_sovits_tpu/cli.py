@@ -38,6 +38,18 @@ def cmd_slice(args):
     print(f"wrote {i + 1} slices to {args.out_dir}")
 
 
+def cmd_denoise(args):
+    from gpt_sovits_tpu.corpus.denoise import spectral_gate
+    from gpt_sovits_tpu.dsp.audio_io import load_wav, save_wav
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    names = [f for f in os.listdir(args.in_dir) if f.lower().endswith(".wav")]
+    for name in names:
+        wav, sr = load_wav(os.path.join(args.in_dir, name))
+        save_wav(os.path.join(args.out_dir, name), spectral_gate(wav, sr), sr)
+    print(f"denoised {len(names)} files -> {args.out_dir}")
+
+
 def cmd_prepare(args):
     import jax
 
@@ -207,6 +219,11 @@ def main(argv=None):
     s.add_argument("--hop-size", type=int, default=10)
     s.add_argument("--max-sil-kept", type=int, default=500)
     s.set_defaults(fn=cmd_slice)
+
+    s = sub.add_parser("denoise")
+    s.add_argument("--in-dir", required=True)
+    s.add_argument("--out-dir", required=True)
+    s.set_defaults(fn=cmd_denoise)
 
     s = sub.add_parser("prepare")
     s.add_argument("--list", required=True)
