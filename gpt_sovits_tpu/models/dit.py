@@ -52,11 +52,15 @@ def precompute_freqs_cis(dim: int, end: int, theta: float = 10000.0) -> np.ndarr
 
 
 def rope_rotate(x: jnp.ndarray, t_len: int, dim_head: int) -> jnp.ndarray:
-    """x_transformers-convention rotary embedding on (B, T, H*Dh).
+    """Rotary embedding exactly as the reference applies it.
 
-    freqs are repeated in interleaved pairs ([f0,f0,f1,f1,...]) and
-    rotate_half swaps adjacent pairs (x_transformers.rotate_half)."""
-    half = dim_head // 2
+    QUIRK (faithfully reproduced): the reference calls x_transformers'
+    apply_rotary_pos_emb on the (B, T, H*Dh) projection BEFORE splitting
+    heads (f5_tts/model/modules.py:419-424), and the freqs table is only
+    dim_head wide — so only the FIRST dim_head channels (head 0 after the
+    split) are rotated; the rest pass through unchanged. Pairs are
+    interleaved ([f0,f0,f1,f1,...]) with rotate_half swapping adjacent
+    pairs (x_transformers convention)."""
     inv_freq = 1.0 / (10000.0 ** (np.arange(0, dim_head, 2).astype(np.float64) / dim_head))
     t = np.arange(t_len)
     freqs = np.einsum("t,f->tf", t, inv_freq)  # (T, Dh/2)
@@ -64,11 +68,12 @@ def rope_rotate(x: jnp.ndarray, t_len: int, dim_head: int) -> jnp.ndarray:
     cos = jnp.asarray(np.cos(freqs), dtype=x.dtype)
     sin = jnp.asarray(np.sin(freqs), dtype=x.dtype)
     b, tl, d = x.shape
-    xh = x.reshape(b, tl, d // dim_head, dim_head)
-    x_pairs = xh.reshape(b, tl, d // dim_head, dim_head // 2, 2)
-    rot = jnp.stack([-x_pairs[..., 1], x_pairs[..., 0]], axis=-1).reshape(xh.shape)
-    out = xh * cos[None, :, None, :] + rot * sin[None, :, None, :]
-    return out.reshape(b, tl, d)
+    x_rot = x[..., :dim_head]
+    x_pass = x[..., dim_head:]
+    pairs = x_rot.reshape(b, tl, dim_head // 2, 2)
+    rot = jnp.stack([-pairs[..., 1], pairs[..., 0]], axis=-1).reshape(b, tl, dim_head)
+    out = x_rot * cos[None] + rot * sin[None]
+    return jnp.concatenate([out, x_pass], axis=-1)
 
 
 class TimestepEmbedding(nn.Module):

@@ -286,6 +286,84 @@ def s2_params_from_torch(state_dict: dict, cfg) -> dict:
     return {"params": params}
 
 
+def _map_dit(sd: _SD, pre: str, depth: int, conv_layers: int = 4) -> dict:
+    """Reference f5_tts DiT state dict -> models/dit.py param tree."""
+
+    def mlp(p):
+        return {
+            "mlp1": sd.dense(f"{p}.time_mlp.0"),
+            "mlp2": sd.dense(f"{p}.time_mlp.2"),
+        }
+
+    text_embed: dict[str, Any] = {}
+    for i in range(conv_layers):
+        tp = f"{pre}.text_embed.text_blocks.{i}"
+        text_embed[f"block_{i}"] = {
+            "dwconv": sd.conv(f"{tp}.dwconv"),
+            "norm": sd.ln(f"{tp}.norm", "weight", "bias"),
+            "pwconv1": sd.dense(f"{tp}.pwconv1"),
+            "pwconv2": sd.dense(f"{tp}.pwconv2"),
+            "grn": {
+                "gamma": jnp.asarray(sd.get(f"{tp}.grn.gamma")),
+                "beta": jnp.asarray(sd.get(f"{tp}.grn.beta")),
+            },
+        }
+    out: dict[str, Any] = {
+        "time_embed": mlp(f"{pre}.time_embed"),
+        "d_embed": mlp(f"{pre}.d_embed"),
+        "text_embed": text_embed,
+        "input_embed": {
+            "proj": sd.dense(f"{pre}.input_embed.proj"),
+            "conv_pos_embed": {
+                "conv1": sd.conv(f"{pre}.input_embed.conv_pos_embed.conv1d.0"),
+                "conv2": sd.conv(f"{pre}.input_embed.conv_pos_embed.conv1d.2"),
+            },
+        },
+        "norm_out_linear": sd.dense(f"{pre}.norm_out.linear"),
+        "proj_out": sd.dense(f"{pre}.proj_out"),
+    }
+    for i in range(depth):
+        bp = f"{pre}.transformer_blocks.{i}"
+        out[f"block_{i}"] = {
+            "ada_linear": sd.dense(f"{bp}.attn_norm.linear"),
+            "to_q": sd.dense(f"{bp}.attn.to_q"),
+            "to_k": sd.dense(f"{bp}.attn.to_k"),
+            "to_v": sd.dense(f"{bp}.attn.to_v"),
+            "to_out": sd.dense(f"{bp}.attn.to_out.0"),
+            "ff1": sd.dense(f"{bp}.ff.ff.0.0"),
+            "ff2": sd.dense(f"{bp}.ff.ff.2"),
+        }
+    return out
+
+
+def s2v3_params_from_torch(state_dict: dict, cfg) -> dict:
+    """Reference SynthesizerTrnV3 state_dict -> models/v3.py flax params."""
+    sd = _SD(state_dict)
+    n_layers = cfg.n_layers
+    params: dict[str, Any] = {
+        "enc_p": {
+            "ssl_proj": {"Conv_0": sd.conv("enc_p.ssl_proj")},
+            "encoder_ssl": _map_relpos_encoder(sd, "enc_p.encoder_ssl", n_layers // 2),
+            "text_embedding": sd.embed("enc_p.text_embedding"),
+            "encoder_text": _map_relpos_encoder(sd, "enc_p.encoder_text", n_layers),
+            "mrte": _map_mrte(sd, "enc_p.mrte"),
+            "encoder2": _map_relpos_encoder(sd, "enc_p.encoder2", n_layers // 2),
+            "proj": {"Conv_0": sd.conv("enc_p.proj")},
+        },
+        "ref_enc": _map_style_encoder(sd, "ref_enc"),
+        "ssl_proj": sd.conv("ssl_proj"),
+        "quantizer": {"embed": jnp.asarray(sd.get("quantizer.vq.layers.0._codebook.embed"))},
+        "bridge": {"Conv_0": sd.conv("bridge.0")},
+        "wns1": {
+            "pre": {"Conv_0": sd.conv("wns1.pre")},
+            "enc": _map_wn(sd, "wns1.enc", 8, has_cond=True),
+            "proj": {"Conv_0": sd.conv("wns1.proj")},
+        },
+        "cfm": {"estimator": _map_dit(sd, "cfm.estimator", cfg.cfm_dit_depth)},
+    }
+    return {"params": params}
+
+
 # ---------------------------------------------------------------------------
 # Inverse mapping: flax params -> reference torch state dict
 # ---------------------------------------------------------------------------

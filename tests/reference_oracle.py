@@ -34,15 +34,35 @@ def load_reference():
         xtx = _stub("x_transformers.x_transformers")
         xt.x_transformers = xtx
 
+        # functional stand-ins reproducing x_transformers' rotary math
+        # (interleaved-pair convention) so DiT forwards run for parity tests
         class RotaryEmbedding(torch.nn.Module):
-            def __init__(self, dim, *a, **k):
+            def __init__(self, dim, theta=10000, *a, **k):
                 super().__init__()
+                inv = 1.0 / (theta ** (torch.arange(0, dim, 2).float() / dim))
+                self.register_buffer("inv_freq", inv)
 
             def forward_from_seq_len(self, seq_len):
-                return None, 1.0
+                t = torch.arange(seq_len, device=self.inv_freq.device).float()
+                freqs = torch.einsum("i,j->ij", t, self.inv_freq)
+                freqs = torch.repeat_interleave(freqs, 2, dim=-1)
+                return freqs, None  # xpos_scale None -> scale 1.0
+
+        def _rotate_half(x):
+            x = x.reshape(*x.shape[:-1], -1, 2)
+            x1, x2 = x.unbind(-1)
+            return torch.stack((-x2, x1), -1).reshape(*x.shape[:-2], -1)
+
+        def apply_rotary_pos_emb(t, freqs, scale=1.0):
+            rot_dim = freqs.shape[-1]
+            seq_len = t.shape[-2]
+            freqs = freqs[-seq_len:]
+            t_rot, t_pass = t[..., :rot_dim], t[..., rot_dim:]
+            out = t_rot * freqs.cos() * scale + _rotate_half(t_rot) * freqs.sin() * scale
+            return torch.cat((out, t_pass), dim=-1)
 
         xtx.RotaryEmbedding = RotaryEmbedding
-        xtx.apply_rotary_pos_emb = lambda *a, **k: (_ for _ in ()).throw(NotImplementedError)
+        xtx.apply_rotary_pos_emb = apply_rotary_pos_emb
 
     if "torchaudio" not in sys.modules:
         _stub("torchaudio")
