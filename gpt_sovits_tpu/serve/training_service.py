@@ -125,6 +125,37 @@ class CharacterStore:
                 f.write(f"{os.path.join(p, 'dataset', wav)}|{name}|{lang}|{text}\n")
         return manifest
 
+    # -- label editing (the reference's subfix_webui dataset proofreading) --
+
+    def read_labels(self, name: str) -> list[dict]:
+        manifest = os.path.join(self.path(name), "dataset", "files.list")
+        if not os.path.exists(manifest):
+            return []
+        out = []
+        with open(manifest, encoding="utf-8") as f:
+            for line in f:
+                parts = line.rstrip("\n").split("|")
+                if len(parts) == 4:
+                    out.append({"path": parts[0], "speaker": parts[1], "lang": parts[2], "text": parts[3]})
+        return out
+
+    def update_label(self, name: str, index: int, *, text: str | None = None, lang: str | None = None, delete: bool = False) -> list[dict]:
+        labels = self.read_labels(name)
+        if not (0 <= index < len(labels)):
+            raise IndexError(index)
+        if delete:
+            labels.pop(index)
+        else:
+            if text is not None:
+                labels[index]["text"] = text.replace("|", " ")
+            if lang is not None:
+                labels[index]["lang"] = lang
+        manifest = os.path.join(self.path(name), "dataset", "files.list")
+        with open(manifest, "w", encoding="utf-8") as f:
+            for l in labels:
+                f.write(f"{l['path']}|{l['speaker']}|{l['lang']}|{l['text']}\n")
+        return labels
+
 
 class TrainingService:
     def __init__(self, root: str, steps: TrainingSteps):
@@ -216,6 +247,12 @@ def make_handler(svc: TrainingService):
                 if not svc.store.exists(name):
                     return self._send(404, {"message": "not found"})
                 return self._send(200, svc.training_status(name))
+            m = re.fullmatch(r"/api/v1/characters/([\w\-]+)/labels", path)
+            if m:
+                name = m.group(1)
+                if not svc.store.exists(name):
+                    return self._send(404, {"message": "not found"})
+                return self._send(200, {"labels": svc.store.read_labels(name)})
             return self._send(404, {"message": "not found"})
 
         def do_POST(self):
@@ -243,6 +280,17 @@ def make_handler(svc: TrainingService):
                 req = json.loads(self._body())
                 p = svc.store.write_manifest(name, [tuple(e) for e in req["entries"]])
                 return self._send(200, {"manifest": p})
+            m = re.fullmatch(r"/api/v1/characters/([\w\-]+)/labels/(\d+)", path)
+            if m:
+                name, idx = m.group(1), int(m.group(2))
+                try:
+                    req = json.loads(self._body() or b"{}")
+                    labels = svc.store.update_label(
+                        name, idx, text=req.get("text"), lang=req.get("lang"), delete=bool(req.get("delete"))
+                    )
+                    return self._send(200, {"labels": labels})
+                except IndexError:
+                    return self._send(404, {"message": f"label {idx} out of range"})
             m = re.fullmatch(r"/api/v1/characters/([\w\-]+)/training/start", path)
             if m:
                 name = m.group(1)

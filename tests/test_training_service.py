@@ -115,3 +115,27 @@ def test_failed_step_reported(tmp_path):
             break
         time.sleep(0.02)
     assert st["state"] == "failed" and "no data" in st["error"]
+
+
+def test_label_editing(service):
+    base, svc, _, tmp = service
+    _req(base + "/api/v1/characters", "POST", json.dumps({"name": "carol"}).encode())
+    svc.store.write_manifest("carol", [("a.wav", "en", "hello world"), ("b.wav", "en", "oops txet")])
+    code, body, _ = _req(base + "/api/v1/characters/carol/labels")
+    assert code == 200
+    labels = json.loads(body)["labels"]
+    assert len(labels) == 2 and labels[1]["text"] == "oops txet"
+    # fix label 1
+    code, body, _ = _req(
+        base + "/api/v1/characters/carol/labels/1", "POST", json.dumps({"text": "fixed text"}).encode()
+    )
+    assert code == 200 and json.loads(body)["labels"][1]["text"] == "fixed text"
+    # delete label 0
+    code, body, _ = _req(
+        base + "/api/v1/characters/carol/labels/0", "POST", json.dumps({"delete": True}).encode()
+    )
+    labels = json.loads(body)["labels"]
+    assert len(labels) == 1 and labels[0]["text"] == "fixed text"
+    # out of range
+    code, _, _ = _req(base + "/api/v1/characters/carol/labels/9", "POST", b"{}")
+    assert code == 404
