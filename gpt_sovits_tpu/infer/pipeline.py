@@ -97,6 +97,7 @@ class TTSPipeline:
         infer_cfg: InferenceConfig = InferenceConfig(),
         v3_bundle: Optional[V3Bundle] = None,
         use_fused_s1: Optional[bool] = None,  # default: True on TPU
+        mesh=None,  # jax.sharding.Mesh: dp-shard synthesis batches over 'data'
     ):
         self.s1 = s1_model
         self.s1_params = s1_params
@@ -117,6 +118,7 @@ class TTSPipeline:
         if use_fused_s1 is None:
             use_fused_s1 = jax.default_backend() not in ("cpu",)
         self.use_fused_s1 = use_fused_s1
+        self.mesh = mesh
         self._s2_decode = jax.jit(
             functools.partial(s2_model.apply, method=SynthesizerTrn.decode),
             static_argnames=("speed",),
@@ -377,10 +379,11 @@ class TTSPipeline:
         prompts = np.broadcast_to(ref.prompt_semantic, (b, tp)).copy()
         max_new = int(self.s1.cfg.semantic_frame_rate * max_sec)
 
+        phones_d, bert_d, prompts_d = self._dp(phones, bert, prompts)
         out = generate(
             self.s1, self.s1_params,
-            jnp.asarray(phones), jnp.asarray(x_lens), jnp.asarray(bert),
-            jnp.asarray(prompts), jnp.full((b,), tp, jnp.int32), key,
+            jnp.asarray(phones_d), jnp.asarray(x_lens), jnp.asarray(bert_d),
+            jnp.asarray(prompts_d), jnp.full((b,), tp, jnp.int32), key,
             max_new_tokens=max_new, top_k=top_k, top_p=top_p,
             temperature=temperature, repetition_penalty=repetition_penalty,
             use_fused_kernel=self.use_fused_s1,
@@ -409,6 +412,19 @@ class TTSPipeline:
         return out_wavs
 
 
+    def _dp(self, *arrays):
+        """Device-put arrays with batch-dim DP sharding when a mesh is set
+        (multi-host/multi-chip serving: utterances spread over 'data')."""
+        if self.mesh is None:
+            return arrays
+        n_data = self.mesh.shape.get("data", 1)
+        if arrays[0].shape[0] % n_data != 0:
+            return arrays  # uneven tail batch: let XLA replicate
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sh = NamedSharding(self.mesh, P("data"))
+        return tuple(jax.device_put(jnp.asarray(a), sh) for a in arrays)
+
     # ------------------------------------------------------------------
     # v3/v4: chunked CFM with rolling reference + vocoder (TTS.py:1440-1495)
     # ------------------------------------------------------------------
@@ -428,10 +444,11 @@ class TTSPipeline:
             x_lens[i] = n
         prompts = np.broadcast_to(ref.prompt_semantic, (b, tp)).copy()
         max_new = int(self.s1.cfg.semantic_frame_rate * max_sec)
+        phones_d, bert_d, prompts_d = self._dp(phones, bert, prompts)
         out = generate(
             self.s1, self.s1_params,
-            jnp.asarray(phones), jnp.asarray(x_lens), jnp.asarray(bert),
-            jnp.asarray(prompts), jnp.full((b,), tp, jnp.int32), key,
+            jnp.asarray(phones_d), jnp.asarray(x_lens), jnp.asarray(bert_d),
+            jnp.asarray(prompts_d), jnp.full((b,), tp, jnp.int32), key,
             max_new_tokens=max_new, top_k=top_k, top_p=top_p,
             temperature=temperature, repetition_penalty=repetition_penalty,
             use_fused_kernel=self.use_fused_s1,

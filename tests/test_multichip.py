@@ -70,3 +70,46 @@ def test_s1_generate_under_mesh():
         jax.block_until_ready(out.tokens)
     assert out.tokens.shape == (8, 8)
     assert np.all(np.asarray(out.lengths) >= 1)
+
+
+def test_pipeline_under_mesh():
+    """Serving pipeline with batches dp-sharded over the mesh (the
+    multi-host serving configuration, BASELINE config 5)."""
+    import numpy as np
+
+    from gpt_sovits_tpu.infer.pipeline import TTSPipeline
+    from gpt_sovits_tpu.models.hubert import HubertEncoder
+    from gpt_sovits_tpu.models.t2s import T2SDecoder
+    from gpt_sovits_tpu.models.vits import SynthesizerTrn
+    from gpt_sovits_tpu.utils.config import InferenceConfig
+
+    from test_pipeline import HUBERT_TINY, MEL_TINY, S1_TINY, S2_TINY
+
+    mesh = make_mesh(8, 1)
+    key = jax.random.PRNGKey(0)
+    s1 = T2SDecoder(S1_TINY)
+    s1_params = s1.init(key, method=T2SDecoder.init_all)
+    s2 = SynthesizerTrn(S2_TINY)
+    s2_params = s2.init(
+        {"params": key, "noise": key, "slice": key},
+        jnp.zeros((1, 8, S2_TINY.ssl_dim)), jnp.zeros((1, 24, S2_TINY.spec_channels)),
+        jnp.asarray([24]), jnp.zeros((1, 5), jnp.int32), jnp.asarray([5]),
+        method=SynthesizerTrn.init_all,
+    )
+    hub = HubertEncoder(HUBERT_TINY)
+    hub_params = hub.init(key, jnp.zeros((1, 800)))
+    with mesh:
+        pipe = TTSPipeline(
+            s1_model=s1, s1_params=shard_params(s1_params, mesh),
+            s2_model=s2, s2_params=shard_params(s2_params, mesh),
+            hubert_model=hub, hubert_params=hub_params,
+            mel_cfg=MEL_TINY,
+            infer_cfg=InferenceConfig(min_ref_sec=0.1, max_ref_sec=30.0, batch_size=8),
+            mesh=mesh,
+        )
+        rng = np.random.default_rng(0)
+        pipe.set_ref_audio((rng.standard_normal(8000) * 0.1).astype(np.float32), sr=8000)
+        sr, audio = pipe.run(
+            "The first sentence is here. Second one follows now! A third sentence appears? Fourth piece of text. Fifth sentence arrives! Sixth one as well? Seventh in the row. Eighth closes it out!", "en", seed=1, max_sec=1, cut_method="cut5",
+        )
+    assert len(audio) > 0 and np.isfinite(audio.astype(np.float32)).all()
