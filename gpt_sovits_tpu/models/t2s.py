@@ -374,22 +374,30 @@ def generate(
         fused_weights = stack_weights_from_params(params, cfg.num_layers)
         head_kernel = params["params"]["predict"]["kernel"].astype(jnp.float32)
         d_model = cfg.hidden_dim
-        k_caches = k_caches.reshape(cfg.num_layers, b, t_total, d_model).astype(jnp.bfloat16)
-        v_caches = v_caches.reshape(cfg.num_layers, b, t_total, d_model).astype(jnp.bfloat16)
+        # combined K||V cache: one DMA per attention chunk in the kernel
+        kv_caches = jnp.concatenate(
+            [
+                k_caches.reshape(cfg.num_layers, b, t_total, d_model),
+                v_caches.reshape(cfg.num_layers, b, t_total, d_model),
+            ],
+            axis=-1,
+        ).astype(jnp.bfloat16)
 
-        def fused_step(tok_emb, k_c, v_c, valid_excl, write_idx):
-            y, k_c, v_c = fused_decode_step(
-                tok_emb[:, 0].astype(jnp.float32), fused_weights, k_c, v_c,
+        def fused_step(tok_emb, kv_c, valid_excl, write_idx):
+            y, kv_c = fused_decode_step(
+                tok_emb[:, 0].astype(jnp.float32), fused_weights, kv_c,
                 valid_excl.astype(jnp.float32), write_idx, num_heads=cfg.num_heads,
             )
-            return y @ head_kernel, k_c, v_c
+            return y @ head_kernel, kv_c
 
         # step -1: the kernel always attends to the query's own fresh K/V, so
         # exclude the last prompt token's prefill slot (identical values)
         valid_excl = prefill_valid.at[jnp.arange(b), tx + jnp.maximum(prompt_lens - 1, 0)].set(False)
-        first_logits, k_caches, v_caches = fused_step(
-            last_emb, k_caches, v_caches, valid_excl, jnp.asarray(scratch_idx, jnp.int32)
+        first_logits, kv_caches = fused_step(
+            last_emb, kv_caches, valid_excl, jnp.asarray(scratch_idx, jnp.int32)
         )
+        # the loop state carries the combined cache in the k slot; v unused
+        k_caches, v_caches = kv_caches, jnp.zeros((0,), jnp.bfloat16)
     else:
         first_logits, k_caches, v_caches = model.apply(
             params, last_emb, k_caches, v_caches, prefill_valid, scratch_idx, method=T2SDecoder.decode_step
@@ -433,7 +441,8 @@ def generate(
         valid = s.valid.at[:, write_idx].set(True)
         if use_fused_kernel:
             # the kernel adds the current token itself; mask excludes it
-            logits, k_c, v_c = fused_step(s.tok_emb, s.k_caches, s.v_caches, s.valid, write_idx)
+            logits, k_c = fused_step(s.tok_emb, s.k_caches, s.valid, write_idx)
+            v_c = s.v_caches
         else:
             logits, k_c, v_c = model.apply(
                 params, s.tok_emb, s.k_caches, s.v_caches, valid, write_idx, method=T2SDecoder.decode_step

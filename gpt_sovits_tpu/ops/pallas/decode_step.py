@@ -66,19 +66,16 @@ def _make_kernel(num_layers: int, b: int, d: int, h: int, t_pad: int, chunk: int
         b1_ref,  # (1, F)
         fc2_ref,  # (1, F, D)
         b2_ref,  # (1, D)
-        k_hbm,  # (L, B, T_pad, D) ANY
-        v_hbm,  # (L, B, T_pad, D) ANY
+        kv_hbm,  # (L, B, T_pad, 2D) ANY — K and V concatenated on channels
         mask_ref,  # (B, T_pad) f32 (1=attend) VMEM
         hm_ref,  # (D, H) f32 head-membership one-hot VMEM
         # outputs
         y_ref,  # (B, D) f32
-        knew_ref,  # (L, B, D) block (1, B, D)
-        vnew_ref,  # (1, B, D)
+        kvnew_ref,  # (L, B, 2D) block (1, B, 2D)
         # scratch
         x_scr,  # (B, D) f32
-        kbuf,  # (2, chunk, D) bf16
-        vbuf,  # (2, chunk, D) bf16
-        sems,  # DMA sems (2, 2)
+        kvbuf,  # (2, B, chunk, 2D) bf16 — one DMA carries K and V together
+        sems,  # DMA sems (2,)
     ):
         li = pl.program_id(0)
 
@@ -90,8 +87,7 @@ def _make_kernel(num_layers: int, b: int, d: int, h: int, t_pad: int, chunk: int
         wqkv = wqkv_ref[0].astype(jnp.float32)
         qkv = jnp.dot(x, wqkv, preferred_element_type=jnp.float32) + bqkv_ref[0, 0][None, :]
         q, k_new, v_new = qkv[:, :d], qkv[:, d : 2 * d], qkv[:, 2 * d :]
-        knew_ref[0] = k_new.astype(knew_ref.dtype)
-        vnew_ref[0] = v_new.astype(vnew_ref.dtype)
+        kvnew_ref[0] = qkv[:, d:].astype(kvnew_ref.dtype)
 
         scale = 1.0 / np.sqrt(dh)
         hmj = hm_ref[:]
@@ -101,20 +97,13 @@ def _make_kernel(num_layers: int, b: int, d: int, h: int, t_pad: int, chunk: int
         q_bd = (q * scale)[:, :, None] * hmj[None]  # (B, D, H)
 
         def _dma(ci, slot):
-            return (
-                pltpu.make_async_copy(
-                    k_hbm.at[li, :, pl.ds(ci * chunk, chunk), :], kbuf.at[slot], sems.at[slot, 0]
-                ),
-                pltpu.make_async_copy(
-                    v_hbm.at[li, :, pl.ds(ci * chunk, chunk), :], vbuf.at[slot], sems.at[slot, 1]
-                ),
+            return pltpu.make_async_copy(
+                kv_hbm.at[li, :, pl.ds(ci * chunk, chunk), :], kvbuf.at[slot], sems.at[slot]
             )
 
         @pl.when(nvalid_ref[0] > 0)
         def _():
-            k0, v0 = _dma(0, 0)
-            k0.start()
-            v0.start()
+            _dma(0, 0).start()
 
         def chunk_body(ci, carry):
             m_run, s_run, ctx = carry  # (B,H), (B,H), (B,D)
@@ -122,17 +111,13 @@ def _make_kernel(num_layers: int, b: int, d: int, h: int, t_pad: int, chunk: int
 
             @pl.when(ci + 1 < pl.cdiv(nvalid_ref[0], chunk))
             def _():
-                kn, vn = _dma(ci + 1, (ci + 1) % 2)
-                kn.start()
-                vn.start()
+                _dma(ci + 1, (ci + 1) % 2).start()
 
-            cp_k, cp_v = _dma(ci, slot)
-            cp_k.wait()
-            cp_v.wait()
+            _dma(ci, slot).wait()
             m_out, s_out, c_out = [], [], []
             for bi in range(b):
-                kc = kbuf[slot, bi].astype(jnp.float32)  # (C, D)
-                vc = vbuf[slot, bi].astype(jnp.float32)
+                kc = kvbuf[slot, bi, :, :d].astype(jnp.float32)  # (C, D)
+                vc = kvbuf[slot, bi, :, d:].astype(jnp.float32)
                 sc = jnp.dot(kc, q_bd[bi], preferred_element_type=jnp.float32)  # (C, H)
                 msk = mask_ref[bi, pl.ds(ci * chunk, chunk)]  # (C,)
                 sc = jnp.where(msk[:, None] > 0, sc, NEG)
@@ -192,19 +177,19 @@ def _make_kernel(num_layers: int, b: int, d: int, h: int, t_pad: int, chunk: int
 def fused_decode_step(
     x,  # (B, D) f32 — token embedding / hidden input
     weights: dict,  # stacked per-layer weights, see below
-    k_cache,  # (L, B, T_pad, D) bf16
-    v_cache,  # (L, B, T_pad, D)
+    kv_cache,  # (L, B, T_pad, 2D) bf16 — K||V on the channel axis: one DMA
     mask,  # (B, T_pad) f32, 1 = attendable cache slot (EXCLUDES current token)
     write_idx,  # () int32 — slot for the new token's K/V
     *,
     chunk: int = 512,
     num_heads: int = 16,
 ):
-    """Returns (hidden (B,D), k_cache', v_cache') with the new K/V written
-    at write_idx. weights keys: wqkv (L,D,3D), bqkv (L,3D), wo (L,D,D),
+    """Returns (hidden (B,D), kv_cache') with the new K||V written at
+    write_idx. weights keys: wqkv (L,D,3D), bqkv (L,3D), wo (L,D,D),
     bo (L,D), n1s/n1b/n2s/n2b (L,D), fc1 (L,D,F), b1 (L,F), fc2 (L,F,D),
     b2 (L,D)."""
-    L, bsz, t_pad, d = k_cache.shape
+    L, bsz, t_pad, d2 = kv_cache.shape
+    d = d2 // 2
     h = num_heads
     # keep the double-buffered (2, B, chunk, D) KV scratch within ~4 MB
     if bsz > 2:
@@ -236,30 +221,26 @@ def fused_decode_step(
             vspec(f),
             lspec((f, d)),
             vspec(d),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # k_hbm
-            pl.BlockSpec(memory_space=pltpu.ANY),  # v_hbm
+            pl.BlockSpec(memory_space=pltpu.ANY),  # kv_hbm
             pl.BlockSpec(memory_space=pltpu.VMEM),  # mask
             pl.BlockSpec(memory_space=pltpu.VMEM),  # head mask
         ],
         out_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bsz, d), lambda i, *_s: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bsz, d), lambda i, *_s: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bsz, 2 * d), lambda i, *_s: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
             pltpu.VMEM((bsz, d), jnp.float32),
-            pltpu.VMEM((2, bsz, chunk, d), k_cache.dtype),
-            pltpu.VMEM((2, bsz, chunk, d), v_cache.dtype),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.VMEM((2, bsz, chunk, 2 * d), kv_cache.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    y, k_new, v_new = pl.pallas_call(
+    y, kv_new = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((bsz, d), jnp.float32),
-            jax.ShapeDtypeStruct((L, bsz, d), k_cache.dtype),
-            jax.ShapeDtypeStruct((L, bsz, d), v_cache.dtype),
+            jax.ShapeDtypeStruct((L, bsz, 2 * d), kv_cache.dtype),
         ],
     )(
         jnp.asarray(write_idx, jnp.int32).reshape(1),
@@ -267,16 +248,13 @@ def fused_decode_step(
         weights["wqkv"], weights["bqkv"], weights["wo"], weights["bo"],
         weights["n1s"], weights["n1b"], weights["n2s"], weights["n2b"],
         weights["fc1"], weights["b1"], weights["fc2"], weights["b2"],
-        k_cache, v_cache, mask, jnp.asarray(_head_mask(d, h)),
+        kv_cache, mask, jnp.asarray(_head_mask(d, h)),
     )
 
-    k_cache = jax.lax.dynamic_update_slice(
-        k_cache, k_new[:, :, None, :].astype(k_cache.dtype), (0, 0, write_idx, 0)
+    kv_cache = jax.lax.dynamic_update_slice(
+        kv_cache, kv_new[:, :, None, :].astype(kv_cache.dtype), (0, 0, write_idx, 0)
     )
-    v_cache = jax.lax.dynamic_update_slice(
-        v_cache, v_new[:, :, None, :].astype(v_cache.dtype), (0, 0, write_idx, 0)
-    )
-    return y, k_cache, v_cache
+    return y, kv_cache
 
 
 def stack_weights_from_params(params: dict, num_layers: int) -> dict:

@@ -54,18 +54,19 @@ def test_fused_decode_matches_flax(b):
     # reference hidden before the head: recompute via predict^-1 is awkward;
     # instead compare k/v writes and the final logits through the head
     weights = stack_weights_from_params(params, L)
-    # kernel wants (L, B, T, D) flat caches
-    kc_flat = jnp.asarray(k_c.reshape(L, b, t_pad, d))
-    vc_flat = jnp.asarray(v_c.reshape(L, b, t_pad, d))
+    # kernel wants a combined (L, B, T, 2D) K||V cache
+    kv_flat = jnp.concatenate(
+        [jnp.asarray(k_c.reshape(L, b, t_pad, d)), jnp.asarray(v_c.reshape(L, b, t_pad, d))], axis=-1
+    )
     with pltpu.force_tpu_interpret_mode():
-        y, k_out, v_out = fused_decode_step(
-            jnp.asarray(x[:, 0]), weights, kc_flat, vc_flat,
+        y, kv_out = fused_decode_step(
+            jnp.asarray(x[:, 0]), weights, kv_flat,
             jnp.asarray(valid.astype(np.float32)), jnp.asarray(write_idx),
             chunk=64, num_heads=h,
         )
     # compare new K/V written at write_idx
     np.testing.assert_allclose(
-        np.asarray(k_out[:, :, write_idx]).reshape(L, b, h, dh),
+        np.asarray(kv_out[:, :, write_idx, :d]).reshape(L, b, h, dh),
         np.asarray(k_ref[:, :, write_idx]),
         atol=2e-2, rtol=2e-2,  # kernel stores bf16-free f32; flax casts via dtype
     )
