@@ -1,38 +1,49 @@
 """Vocal separation interface (UVR5 family).
 
 Counterpart of tools/uvr5/ (VR spectrogram-mask CNNs, MDX-Net ONNX,
-BS/Mel-RoFormer — 5.1 kLoC of vendored model code plus ~1 GB of weights).
-Those pretrained models are not redistributable with this framework; this
-module defines the separation interface, routes to installed backends
-(audio-separator covers all three families), and provides an HPSS-based
-vocal-emphasis fallback for roughly pre-cleaning music-bed recordings.
+BS/Mel-RoFormer). The neural separators are implemented natively:
+BS/Mel-Band RoFormer in corpus/roformer.py and the VR cascaded-mask CNNs
+in corpus/vr.py, both loading the public UVR5 checkpoints directly.  This
+module is the router: given a model file it picks the family the same way
+the reference webui does (tools/uvr5/webui.py:45), and provides an
+HPSS-based weights-free vocal-emphasis fallback.
 """
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 
-def separate_vocals(wav: np.ndarray, sr: int, *, backend: str = "auto") -> tuple[np.ndarray, np.ndarray]:
-    """-> (vocals, accompaniment). backend: auto|audio-separator|hpss."""
-    if backend in ("auto", "audio-separator"):
-        try:
-            return _separate_audio_separator(wav, sr)
-        except ImportError:
-            if backend == "audio-separator":
-                raise
+def separate_vocals(
+    wav: np.ndarray,
+    sr: int,
+    *,
+    backend: str = "auto",
+    model_path: str | None = None,
+    config_path: str | None = None,
+    agg: int = 10,
+) -> tuple[np.ndarray, np.ndarray]:
+    """-> (vocals, accompaniment) at the input rate. backend:
+    auto|roformer|vr|hpss; `auto` routes by the model filename like the
+    reference webui (roformer substrings -> RoFormer, else VR), or HPSS
+    when no model file is given."""
+    if model_path and backend in ("auto", "roformer", "vr"):
+        name = os.path.basename(model_path).lower()
+        is_rof = backend == "roformer" or any(
+            k in name for k in ("bs_roformer", "bsroformer", "mel_band_roformer", "melbandroformer")
+        )
+        if is_rof:
+            from gpt_sovits_tpu.corpus.roformer import separate as rof_separate
+
+            return rof_separate(wav, sr, model_path, config_path=config_path)
+        from gpt_sovits_tpu.corpus.vr import separate as vr_separate
+
+        return vr_separate(wav, sr, model_path, agg=agg)
+    if backend not in ("auto", "hpss"):
+        raise ValueError(f"backend {backend!r} needs model_path")
     return hpss_vocal_emphasis(wav, sr)
-
-
-def _separate_audio_separator(wav: np.ndarray, sr: int):
-    try:
-        from audio_separator.separator import Separator  # noqa: F401
-    except ImportError as e:
-        raise ImportError(
-            "no neural separation backend installed (pip install audio-separator); "
-            "falling back to HPSS is available via backend='hpss'"
-        ) from e
-    raise NotImplementedError("wire audio-separator here when the package+weights are present")
 
 
 def hpss_vocal_emphasis(
