@@ -29,7 +29,7 @@ def separate_vocals(
     auto|roformer|vr|hpss; `auto` routes by the model filename like the
     reference webui (roformer substrings -> RoFormer, else VR), or HPSS
     when no model file is given."""
-    if model_path and backend in ("auto", "roformer", "vr"):
+    if model_path and backend in ("auto", "roformer", "vr", "mdx"):
         name = os.path.basename(model_path).lower()
         is_rof = backend == "roformer" or any(
             k in name for k in ("bs_roformer", "bsroformer", "mel_band_roformer", "melbandroformer")
@@ -38,6 +38,10 @@ def separate_vocals(
             from gpt_sovits_tpu.corpus.roformer import separate as rof_separate
 
             return rof_separate(wav, sr, model_path, config_path=config_path)
+        if backend == "mdx" or name.endswith(".onnx"):
+            from gpt_sovits_tpu.corpus.mdx import separate as mdx_separate
+
+            return mdx_separate(wav, sr, model_path)
         from gpt_sovits_tpu.corpus.vr import separate as vr_separate
 
         return vr_separate(wav, sr, model_path, agg=agg)
