@@ -112,7 +112,8 @@ def _han_to_pinyin(text: str) -> list[str]:
     try:
         from pypinyin import Style, lazy_pinyin
 
-        return lazy_pinyin(text, style=Style.TONE3, neutral_tone_with_five=True)
+        base = lazy_pinyin(text, style=Style.TONE3, neutral_tone_with_five=True)
+        return _g2pw_overlay(text, base)
     except ImportError:
         out = []
         for ch in text:
@@ -125,7 +126,18 @@ def _han_to_pinyin(text: str) -> list[str]:
                     f"pypinyin not installed and {ch!r} not in the built-in mini-lexicon; "
                     "install pypinyin for full Chinese support"
                 )
-        return [o for o in out if o]
+        return _g2pw_overlay(text, [o for o in out if o])
+
+
+def _g2pw_overlay(text: str, base: list[str]) -> list[str]:
+    """Polyphone fixes from g2pW when enabled (text/g2pw.py). Applies only
+    when the base list is per-char aligned (pure-hanzi runs)."""
+    from gpt_sovits_tpu.text import g2pw
+
+    model = g2pw.active()
+    if model is None or len(base) != len(text):
+        return base
+    return model.correct(text, base)
 
 
 def normalize(text: str) -> str:
