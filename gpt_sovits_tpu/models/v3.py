@@ -169,6 +169,153 @@ class SynthesizerTrnV3(nn.Module):
         return loss
 
 
+class SynthesizerTrnV3b(nn.Module):
+    """Hybrid GAN + CFM synthesizer (models.py:1276 `SynthesizerTrnV3b`).
+
+    The v1/v2 VITS stack (posterior encoder, flow, HiFiGAN decoder) trains
+    jointly with the v3 CFM mel path; an extra `linear_mel` 1x1 head adds a
+    direct mel MSE on the wns1 features (models.py:1390-1399). Experimental
+    in the reference (no product flow uses it); included for training
+    parity completeness.
+    """
+
+    cfg: S2Config
+
+    @property
+    def dit_config(self) -> DiTConfig:
+        c = self.cfg
+        return DiTConfig(
+            dim=c.cfm_dit_dim, depth=c.cfm_dit_depth, heads=c.cfm_dit_heads,
+            ff_mult=2, mel_dim=c.cfm_mel_channels, text_dim=512, conv_layers=4,
+        )
+
+    def setup(self):
+        from gpt_sovits_tpu.models.vits import Generator, PosteriorEncoder
+        from gpt_sovits_tpu.models.vits_modules import ResidualCouplingBlock
+
+        c = self.cfg
+        self.enc_p = TextEncoder(c, name="enc_p")
+        self.ref_enc = MelStyleEncoder(min(704, c.spec_channels), out_dim=c.gin_channels, name="ref_enc")
+        self.dec = Generator(c, name="dec")
+        self.enc_q = PosteriorEncoder(c, name="enc_q")
+        self.flow = ResidualCouplingBlock(
+            c.inter_channels, c.hidden_channels, 5, 1, 4, gin_channels=c.gin_channels, name="flow"
+        )
+        self.ssl_proj = nn.Conv(c.ssl_dim, (2,), strides=(2,), padding="VALID", name="ssl_proj")
+        self.quantizer = VQCodebook(c.n_codes, c.ssl_dim, name="quantizer")
+        self.bridge = Conv1d(512, 1, name="bridge")
+        self.wns1 = WNEncoder(512, 512, 5, 8, gin_channels=c.gin_channels, name="wns1")
+        self.linear_mel = Conv1d(c.cfm_mel_channels, 1, name="linear_mel")
+        self.cfm = CFM(self.dit_config, name="cfm")
+
+    def compute_ge(self, refer_spec, refer_mask):
+        ref = refer_spec[..., : min(704, self.cfg.spec_channels)]
+        return self.ref_enc(ref * refer_mask, refer_mask)
+
+    def extract_latent(self, ssl):
+        x = self.ssl_proj(ssl)
+        _, codes = self.quantizer(x)
+        return codes
+
+    def _fea(self, x, mel_mask, ge):
+        fea = nn.leaky_relu(self.bridge(x), 0.01)
+        fea = interpolate_nearest(fea, 1.875)
+        return self.wns1(fea, mel_mask, g=ge)
+
+    def decode_encp(self, codes, codes_lengths, text, text_lengths, refer_spec, refer_lengths, *, ge=None):
+        """models.py:1411: wns1 mask runs at codes*2.5*1.5 (not 3.875)."""
+        if ge is None:
+            refer_mask = sequence_mask(refer_lengths, refer_spec.shape[1])
+            ge = self.compute_ge(refer_spec, refer_mask)
+        quantized = jnp.repeat(self.quantizer.decode(codes), 2, axis=1)
+        y_mask = sequence_mask(codes_lengths * 2, quantized.shape[1])
+        text_mask = sequence_mask(text_lengths, text.shape[1])
+        x, _, _, _ = self.enc_p(quantized, y_mask, text, text_mask, ge)
+        fea = nn.leaky_relu(self.bridge(x), 0.01)
+        fea = interpolate_nearest(fea, 1.875)
+        mel_len = (codes_lengths.astype(jnp.float32) * 2.5 * 1.5).astype(jnp.int32)
+        fea = self.wns1(fea, sequence_mask(mel_len, fea.shape[1]), g=ge)
+        return fea, ge, mel_len
+
+    def __call__(
+        self,
+        ssl,  # (B, Ts, 768)
+        spec,  # (B, T, spec_channels)
+        spec_lengths,
+        mel,  # (B, Tm, 100) normalized target mel
+        mel_lengths,
+        text,
+        text_lengths,
+        *,
+        rngs_noise,
+        rng_slice,
+        rng_cfm,
+    ):
+        """models.py:1370 forward: GAN pieces + cfm_loss + mel MSE."""
+        c = self.cfg
+        y_mask = sequence_mask(spec_lengths, spec.shape[1])
+        ge = self.compute_ge(spec, y_mask)
+
+        x = self.ssl_proj(ssl)
+        quantized, _ = self.quantizer(x)
+        commit_loss = jnp.mean((quantized - jax.lax.stop_gradient(x)) ** 2)
+        quantized = x + jax.lax.stop_gradient(quantized - x)
+        if c.freeze_quantizer:
+            quantized = jax.lax.stop_gradient(quantized)
+        quantized = jnp.repeat(quantized, 2, axis=1)
+        tdiff = spec.shape[1] - quantized.shape[1]
+        if tdiff > 0:
+            quantized = jnp.pad(quantized, ((0, 0), (0, tdiff), (0, 0)))
+        elif tdiff < 0:
+            quantized = quantized[:, : spec.shape[1]]
+        text_mask = sequence_mask(text_lengths, text.shape[1])
+        xh, m_p, logs_p, y_mask = self.enc_p(quantized, y_mask, text, text_mask, ge)
+
+        z, m_q, logs_q = self.enc_q(spec, y_mask, g=ge, rng=rngs_noise)
+        z_p = self.flow(z, y_mask, g=ge)
+        seg = c.segment_size
+        max_starts = jnp.maximum(spec_lengths - seg, 0)
+        starts = (jax.random.uniform(rng_slice, (z.shape[0],)) * (max_starts + 1)).astype(jnp.int32)
+        z_slice = jax.vmap(lambda zb, s: jax.lax.dynamic_slice(zb, (s, 0), (seg, zb.shape[1])))(z, starts)
+        o = self.dec(z_slice, g=ge)
+
+        mel_mask = sequence_mask(mel_lengths, int(quantized.shape[1] * 1.875))
+        fea = self._fea(xh, mel_mask, ge)
+        learned_mel = self.linear_mel(fea)
+        minn = min(mel.shape[1], fea.shape[1])
+        k1, k2 = jax.random.split(rng_cfm)
+        prompt_max = (mel_lengths * 2) // 3
+        prompt_len = (jax.random.uniform(k1, (mel.shape[0],)) * prompt_max).astype(jnp.int32)
+        cfm_loss = self.cfm.loss(mel[:, :minn], jnp.minimum(mel_lengths, minn), prompt_len, fea[:, :minn], k2)
+        mel_mse = jnp.mean((learned_mel[:, :minn] - mel[:, :minn]) ** 2)
+
+        return {
+            "wav_hat": o,
+            "commit_loss": commit_loss,
+            "cfm_loss": cfm_loss,
+            "mel_mse": mel_mse,
+            "ids_slice": starts,
+            "y_mask": y_mask,
+            "z": z,
+            "z_p": z_p,
+            "m_p": m_p,
+            "logs_p": logs_p,
+            "m_q": m_q,
+            "logs_q": logs_q,
+        }
+
+    def init_all(self, ssl, spec, spec_lengths, mel, mel_lengths, text, text_lengths):
+        out = self(
+            ssl, spec, spec_lengths, mel, mel_lengths, text, text_lengths,
+            rngs_noise=self.make_rng("noise"), rng_slice=self.make_rng("noise"), rng_cfm=self.make_rng("noise"),
+        )
+        codes = self.extract_latent(ssl)
+        _ = self.decode_encp(
+            codes, jnp.full((codes.shape[0],), codes.shape[1]), text, text_lengths, spec, spec_lengths
+        )
+        return out
+
+
 class CFM(nn.Module):
     """Conditional flow matching wrapper over the DiT estimator."""
 

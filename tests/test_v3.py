@@ -105,3 +105,60 @@ def test_v4_interp_factor():
     cfg = replace(V3_TINY, version="v4")
     model = SynthesizerTrnV3(cfg)
     assert model.interp_factor == 2.0
+
+
+# ---------------------------------------------------------------------------
+# SynthesizerTrnV3b (hybrid GAN + CFM, models.py:1276)
+# ---------------------------------------------------------------------------
+
+
+def test_v3b_forward_and_decode():
+    from gpt_sovits_tpu.models.v3 import SynthesizerTrnV3b
+
+    cfg = replace(
+        V3_TINY,
+        segment_size=8,
+        upsample_rates=(4, 4),
+        upsample_initial_channel=32,
+        upsample_kernel_sizes=(8, 8),
+        resblock_kernel_sizes=(3,),
+        resblock_dilation_sizes=((1, 3),),
+    )
+    model = SynthesizerTrnV3b(cfg)
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 5)
+    ssl = jax.random.normal(ks[0], (B, TS, cfg.ssl_dim))
+    spec = jax.random.normal(ks[1], (B, TSPEC, cfg.spec_channels))
+    spec_lengths = jnp.array([TSPEC, TSPEC - 4])
+    mel = jax.random.normal(ks[2], (B, TMEL, cfg.cfm_mel_channels))
+    mel_lengths = jnp.array([TMEL, TMEL - 6])
+    text = jax.random.randint(ks[3], (B, TT), 0, cfg.phoneme_vocab_size)
+    text_lengths = jnp.array([TT, TT - 2])
+
+    params = model.init(
+        {"params": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2)},
+        ssl, spec, spec_lengths, mel, mel_lengths, text, text_lengths,
+        method=SynthesizerTrnV3b.init_all,
+    )["params"]
+
+    out = model.apply(
+        {"params": params},
+        ssl, spec, spec_lengths, mel, mel_lengths, text, text_lengths,
+        rngs_noise=jax.random.PRNGKey(3), rng_slice=jax.random.PRNGKey(4), rng_cfm=jax.random.PRNGKey(5),
+    )
+    # GAN side: sliced waveform at segment_size * prod(upsample_rates)
+    assert out["wav_hat"].shape == (B, cfg.segment_size * 16, 1)
+    for k in ("commit_loss", "cfm_loss", "mel_mse"):
+        assert np.isfinite(float(out[k])), k
+    assert out["z"].shape == out["z_p"].shape
+
+    # inference-side conditioning: mel_len = codes * 2.5 * 1.5 (models.py:1411)
+    codes = model.apply({"params": params}, ssl, method=SynthesizerTrnV3b.extract_latent)
+    fea, ge, mel_len = model.apply(
+        {"params": params},
+        codes, jnp.full((B,), codes.shape[1]), text, text_lengths, spec, spec_lengths,
+        method=SynthesizerTrnV3b.decode_encp,
+    )
+    assert fea.shape[0] == B and fea.shape[2] == 512
+    assert int(mel_len[0]) == int(codes.shape[1] * 2.5 * 1.5)
+    assert ge.shape[-1] == cfg.gin_channels
