@@ -50,6 +50,31 @@ def cmd_denoise(args):
     print(f"denoised {len(names)} files -> {args.out_dir}")
 
 
+def cmd_separate(args):
+    """Vocal separation (uvr5 webui equivalent, tools/uvr5/webui.py:45)."""
+    from gpt_sovits_tpu.corpus.uvr5 import separate_vocals
+    from gpt_sovits_tpu.dsp.audio_io import load_wav, save_wav
+
+    os.makedirs(args.vocal_dir, exist_ok=True)
+    os.makedirs(args.other_dir, exist_ok=True)
+    paths = (
+        [os.path.join(args.in_dir, f) for f in sorted(os.listdir(args.in_dir)) if f.lower().endswith(".wav")]
+        if args.in_dir
+        else [args.input]
+    )
+    for path in paths:
+        wav, sr = load_wav(path, mono=False)
+        if wav.ndim == 2:
+            wav = wav.T  # (L, C) -> (C, L)
+        vocals, other = separate_vocals(
+            wav, sr, backend=args.backend, model_path=args.model, config_path=args.config, agg=args.agg
+        )
+        base = os.path.splitext(os.path.basename(path))[0]
+        save_wav(os.path.join(args.vocal_dir, f"vocal_{base}.wav"), vocals.T if vocals.ndim == 2 else vocals, sr)
+        save_wav(os.path.join(args.other_dir, f"instrument_{base}.wav"), other.T if other.ndim == 2 else other, sr)
+    print(f"separated {len(paths)} files -> {args.vocal_dir} / {args.other_dir}")
+
+
 def cmd_prepare(args):
     import jax
 
@@ -286,6 +311,18 @@ def main(argv=None):
     s.add_argument("--s2")
     s.add_argument("--version")
     s.set_defaults(fn=cmd_export)
+
+    s = sub.add_parser("separate", help="UVR5 vocal separation (roformer/vr/mdx/hpss)")
+    g = s.add_mutually_exclusive_group(required=True)
+    g.add_argument("--input")
+    g.add_argument("--in-dir")
+    s.add_argument("--vocal-dir", required=True)
+    s.add_argument("--other-dir", required=True)
+    s.add_argument("--model", help="UVR5 weight file (.ckpt/.pth/.onnx); omit for HPSS fallback")
+    s.add_argument("--config", help="roformer YAML (optional)")
+    s.add_argument("--backend", default="auto", choices=["auto", "roformer", "vr", "mdx", "hpss"])
+    s.add_argument("--agg", type=int, default=10, help="VR aggressiveness 0-100")
+    s.set_defaults(fn=cmd_separate)
 
     args = p.parse_args(argv)
     args.fn(args)

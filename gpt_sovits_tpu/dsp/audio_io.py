@@ -60,7 +60,7 @@ def _parse_wav(data: bytes) -> tuple[np.ndarray, int]:
     else:
         raise ValueError(f"unsupported WAV format tag {audio_fmt}")
     if n_ch > 1:
-        x = x.reshape(-1, n_ch).mean(axis=1)
+        x = x.reshape(-1, n_ch)
     return x, sr
 
 
@@ -75,24 +75,33 @@ def _ffmpeg_load(path: str, sr: int | None) -> tuple[np.ndarray, int]:
     return np.frombuffer(proc.stdout, dtype=np.float32).copy(), out_sr
 
 
-def load_wav(path: str, sr: int | None = None) -> tuple[np.ndarray, int]:
-    """Load audio as mono float32 in [-1, 1]; optionally resample to `sr`."""
+def load_wav(path: str, sr: int | None = None, *, mono: bool = True) -> tuple[np.ndarray, int]:
+    """Load audio as float32 in [-1, 1]; optionally resample to `sr`.
+
+    mono=True (default) downmixes; mono=False keeps (L, C) for stereo
+    files (the UVR5 separators want both channels)."""
     ext = os.path.splitext(path)[1].lower()
     if ext == ".wav":
         with open(path, "rb") as f:
             x, file_sr = _parse_wav(f.read())
+        if mono and x.ndim == 2:
+            x = x.mean(axis=1)
     elif shutil.which("ffmpeg"):
         return _ffmpeg_load(path, sr)
     else:
         raise ValueError(f"cannot load {ext} without ffmpeg; provide a .wav")
     if sr is not None and sr != file_sr:
-        x = resample(x, file_sr, sr)
+        x = resample(x.T if x.ndim == 2 else x, file_sr, sr)
+        x = x.T if x.ndim == 2 else x
         file_sr = sr
     return x, file_sr
 
 
 def save_wav(path: str, x: np.ndarray, sr: int, *, subtype: str = "pcm16") -> None:
-    x = np.asarray(x, dtype=np.float32).reshape(-1)
+    """x: (L,) mono or (L, C) interleaved multichannel."""
+    x = np.asarray(x, dtype=np.float32)
+    n_ch = 1 if x.ndim == 1 else x.shape[1]
+    x = x.reshape(-1)
     if subtype == "pcm16":
         pcm = np.clip(np.round(x * 32768.0), -32768, 32767).astype("<i2").tobytes()
         bits, fmt_tag = 16, 1
@@ -101,12 +110,12 @@ def save_wav(path: str, x: np.ndarray, sr: int, *, subtype: str = "pcm16") -> No
         bits, fmt_tag = 32, 3
     else:
         raise ValueError(subtype)
-    byte_rate = sr * bits // 8
+    byte_rate = sr * n_ch * bits // 8
     header = (
         b"RIFF"
         + struct.pack("<I", 36 + len(pcm))
         + b"WAVEfmt "
-        + struct.pack("<IHHIIHH", 16, fmt_tag, 1, sr, byte_rate, bits // 8, bits)
+        + struct.pack("<IHHIIHH", 16, fmt_tag, n_ch, sr, byte_rate, n_ch * bits // 8, bits)
         + b"data"
         + struct.pack("<I", len(pcm))
     )
