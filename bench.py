@@ -81,12 +81,17 @@ def main():
     codes = jnp.zeros((b, N_NEW_TOKENS), jnp.int32)
     codes_lengths = jnp.full((b,), N_NEW_TOKENS, jnp.int32)
 
+    from gpt_sovits_tpu.ops.folded_conv import fold_generator_params, generator_apply
+
+    folded_dec = fold_generator_params(s2_params["params"]["dec"], s2_cfg)
+
     @jax.jit
     def s2_step(codes):
-        return s2.apply(
+        z, ge = s2.apply(
             s2_params, codes, codes_lengths, text, text_lengths,
-            refer_spec, refer_lengths, method=SynthesizerTrn.decode,
+            refer_spec, refer_lengths, method=SynthesizerTrn.decode_latent,
         )
+        return generator_apply(folded_dec, z, ge)
 
     # warmup / compile
     out = s1_step(jax.random.PRNGKey(1))

@@ -206,6 +206,36 @@ class SynthesizerTrn(nn.Module):
         z = self.flow(z_p, y_mask, g=ge, reverse=True)
         return self.dec(z * y_mask, g=ge)
 
+    def decode_latent(
+        self,
+        codes,
+        codes_lengths,
+        text,
+        text_lengths,
+        refer_spec,
+        refer_lengths,
+        *,
+        noise_rng=None,
+        noise_scale: float = 0.5,
+        speed: float = 1.0,
+        sv_emb=None,
+    ):
+        """`decode` minus the vocoder: -> (z * y_mask, ge). Serving runs the
+        generator separately through the lane-folded fast path
+        (ops/folded_conv.py)."""
+        c = self.cfg
+        refer_mask = sequence_mask(refer_lengths, refer_spec.shape[1])
+        ge = self.compute_ge(refer_spec, refer_mask, sv_emb)
+        ge_for_enc = self.ge_to512(ge) if c.is_pro else ge
+        quantized = self.decode_codes(codes)
+        y_mask = sequence_mask(codes_lengths * 2, quantized.shape[1])
+        text_mask = sequence_mask(text_lengths, text.shape[1])
+        _, m_p, logs_p, y_mask = self.enc_p(quantized, y_mask, text, text_mask, ge_for_enc, speed=speed)
+        noise = jax.random.normal(noise_rng, m_p.shape) if noise_rng is not None else 0.0
+        z_p = m_p + noise * jnp.exp(logs_p) * noise_scale
+        z = self.flow(z_p, y_mask, g=ge, reverse=True)
+        return z * y_mask, ge
+
     # -- training forward -----------------------------------------------------
 
     def __call__(
