@@ -97,6 +97,7 @@ class TTSPipeline:
         infer_cfg: InferenceConfig = InferenceConfig(),
         v3_bundle: Optional[V3Bundle] = None,
         use_fused_s1: Optional[bool] = None,  # default: True on TPU
+        s1_weight_quant: str = "bf16",  # "int8": weight-only quantized decode (~1.35x S1)
         mesh=None,  # jax.sharding.Mesh: dp-shard synthesis batches over 'data'
     ):
         self.s1 = s1_model
@@ -118,6 +119,7 @@ class TTSPipeline:
         if use_fused_s1 is None:
             use_fused_s1 = jax.default_backend() not in ("cpu",)
         self.use_fused_s1 = use_fused_s1
+        self.s1_weight_quant = s1_weight_quant
         self.mesh = mesh
         # S2 decode runs as decode_latent (flax) + the lane-folded generator
         # (ops/folded_conv.py) — exact same waveform, ~1.8x faster vocoder.
@@ -399,6 +401,7 @@ class TTSPipeline:
             max_new_tokens=max_new, top_k=top_k, top_p=top_p,
             temperature=temperature, repetition_penalty=repetition_penalty,
             use_fused_kernel=self.use_fused_s1,
+            weight_quant=self.s1_weight_quant,
         )
         tokens = np.asarray(out.tokens)
         lengths = np.asarray(out.lengths)
@@ -464,6 +467,7 @@ class TTSPipeline:
             max_new_tokens=max_new, top_k=top_k, top_p=top_p,
             temperature=temperature, repetition_penalty=repetition_penalty,
             use_fused_kernel=self.use_fused_s1,
+            weight_quant=self.s1_weight_quant,
         )
         return np.asarray(out.tokens), np.asarray(out.lengths)
 

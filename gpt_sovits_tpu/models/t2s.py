@@ -293,7 +293,7 @@ class _LoopState(NamedTuple):
     jax.jit,
     static_argnames=(
         "model", "max_new_tokens", "top_k", "top_p", "temperature", "repetition_penalty",
-        "early_stop_num", "use_fused_kernel",
+        "early_stop_num", "use_fused_kernel", "weight_quant",
     ),
 )
 def generate(
@@ -313,6 +313,7 @@ def generate(
     repetition_penalty: float = 1.35,
     early_stop_num: int = -1,
     use_fused_kernel: bool = False,
+    weight_quant: str = "bf16",
 ) -> GenResult:
     """Batched zero/few-shot semantic token generation.
 
@@ -371,7 +372,7 @@ def generate(
     if use_fused_kernel:
         from gpt_sovits_tpu.ops.pallas.decode_step import fused_decode_step, stack_weights_from_params
 
-        fused_weights = stack_weights_from_params(params, cfg.num_layers)
+        fused_weights = stack_weights_from_params(params, cfg.num_layers, quant=weight_quant)
         head_kernel = params["params"]["predict"]["kernel"].astype(jnp.float32)
         d_model = cfg.hidden_dim
         # combined K||V cache: one DMA per attention chunk in the kernel

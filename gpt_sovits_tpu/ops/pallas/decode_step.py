@@ -48,7 +48,7 @@ def _head_mask(d: int, h: int) -> np.ndarray:
     return m
 
 
-def _make_kernel(num_layers: int, b: int, d: int, h: int, t_pad: int, chunk: int):
+def _make_kernel(num_layers: int, b: int, d: int, h: int, t_pad: int, chunk: int, quant: bool = False):
     dh = d // h
     n_chunks = t_pad // chunk
 
@@ -57,7 +57,7 @@ def _make_kernel(num_layers: int, b: int, d: int, h: int, t_pad: int, chunk: int
         nvalid_ref,  # (1,) int32 — number of live cache slots (= write_idx)
         # inputs
         x_ref,  # (B, D) f32
-        wqkv_ref,  # (1, D, 3D)
+        wqkv_ref,  # (1, D, 3D) bf16 | int8
         bqkv_ref,  # (1, 3D)
         wo_ref,  # (1, D, D)
         bo_ref,  # (1, D)
@@ -66,17 +66,23 @@ def _make_kernel(num_layers: int, b: int, d: int, h: int, t_pad: int, chunk: int
         b1_ref,  # (1, F)
         fc2_ref,  # (1, F, D)
         b2_ref,  # (1, D)
-        kv_hbm,  # (L, B, T_pad, 2D) ANY — K and V concatenated on channels
-        mask_ref,  # (B, T_pad) f32 (1=attend) VMEM
-        hm_ref,  # (D, H) f32 head-membership one-hot VMEM
-        # outputs
-        y_ref,  # (B, D) f32
-        kvnew_ref,  # (L, B, 2D) block (1, B, 2D)
-        # scratch
-        x_scr,  # (B, D) f32
-        kvbuf,  # (2, B, chunk, 2D) bf16 — one DMA carries K and V together
-        sems,  # DMA sems (2,)
+        *rest,
+        # quant-only inputs (per-output-channel f32 dequant scales):
+        #   wqkv_s (1,1,3D), wo_s (1,1,D), fc1_s (1,1,F), fc2_s (1,1,D)
+        # then: kv_hbm (ANY), mask (VMEM), head mask (VMEM)
+        # outputs: y (B,D), kvnew (1,B,2D)
+        # scratch: x_scr, kvbuf, sems
     ):
+        if quant:
+            (wqkv_s_ref, wo_s_ref, fc1_s_ref, fc2_s_ref,
+             kv_hbm, mask_ref, hm_ref, y_ref, kvnew_ref, x_scr, kvbuf, sems) = rest
+        else:
+            (kv_hbm, mask_ref, hm_ref, y_ref, kvnew_ref, x_scr, kvbuf, sems) = rest
+            wqkv_s_ref = wo_s_ref = fc1_s_ref = fc2_s_ref = None
+
+        def descale(y, s_ref):
+            return y * s_ref[0, 0][None, :] if s_ref is not None else y
+
         li = pl.program_id(0)
 
         @pl.when(li == 0)
@@ -85,7 +91,7 @@ def _make_kernel(num_layers: int, b: int, d: int, h: int, t_pad: int, chunk: int
 
         x = x_scr[:]  # (B, D) f32
         wqkv = wqkv_ref[0].astype(jnp.float32)
-        qkv = jnp.dot(x, wqkv, preferred_element_type=jnp.float32) + bqkv_ref[0, 0][None, :]
+        qkv = descale(jnp.dot(x, wqkv, preferred_element_type=jnp.float32), wqkv_s_ref) + bqkv_ref[0, 0][None, :]
         q, k_new, v_new = qkv[:, :d], qkv[:, d : 2 * d], qkv[:, 2 * d :]
         kvnew_ref[0] = qkv[:, d:].astype(kvnew_ref.dtype)
 
@@ -149,16 +155,22 @@ def _make_kernel(num_layers: int, b: int, d: int, h: int, t_pad: int, chunk: int
         p_self_d = jnp.dot(p_self, hmj.T)
         ctx = (ctx0 * alpha_d + p_self_d * v_new) / jnp.dot(s_fin, hmj.T)
 
-        attn_out = jnp.dot(ctx, wo_ref[0].astype(jnp.float32), preferred_element_type=jnp.float32) + bo_ref[0, 0][None, :]
+        attn_out = descale(
+            jnp.dot(ctx, wo_ref[0].astype(jnp.float32), preferred_element_type=jnp.float32), wo_s_ref
+        ) + bo_ref[0, 0][None, :]
         xa = x + attn_out
         mu = jnp.mean(xa, axis=-1, keepdims=True)
         var = jnp.mean((xa - mu) ** 2, axis=-1, keepdims=True)
         xn = (xa - mu) * jax.lax.rsqrt(var + 1e-5) * n1s_ref[0, 0][None, :] + n1b_ref[0, 0][None, :]
 
         hdn = jnp.maximum(
-            jnp.dot(xn, fc1_ref[0].astype(jnp.float32), preferred_element_type=jnp.float32) + b1_ref[0, 0][None, :], 0.0
+            descale(jnp.dot(xn, fc1_ref[0].astype(jnp.float32), preferred_element_type=jnp.float32), fc1_s_ref)
+            + b1_ref[0, 0][None, :],
+            0.0,
         )
-        x2 = jnp.dot(hdn, fc2_ref[0].astype(jnp.float32), preferred_element_type=jnp.float32) + b2_ref[0, 0][None, :]
+        x2 = descale(
+            jnp.dot(hdn, fc2_ref[0].astype(jnp.float32), preferred_element_type=jnp.float32), fc2_s_ref
+        ) + b2_ref[0, 0][None, :]
         xb = xn + x2
         mu2 = jnp.mean(xb, axis=-1, keepdims=True)
         var2 = jnp.mean((xb - mu2) ** 2, axis=-1, keepdims=True)
@@ -196,8 +208,9 @@ def fused_decode_step(
         chunk = min(chunk, 256 if bsz <= 4 else 128)
     assert t_pad % chunk == 0, (t_pad, chunk)
     f = weights["fc1"].shape[-1]
+    quant = weights["wqkv"].dtype == jnp.int8
 
-    kernel = _make_kernel(L, bsz, d, h, t_pad, chunk)
+    kernel = _make_kernel(L, bsz, d, h, t_pad, chunk, quant)
 
     def lspec(shape):
         return pl.BlockSpec((1,) + shape, lambda i, *_s: (i,) + (0,) * len(shape), memory_space=pltpu.VMEM)
@@ -221,6 +234,7 @@ def fused_decode_step(
             vspec(f),
             lspec((f, d)),
             vspec(d),
+            *((vspec(3 * d), vspec(d), vspec(f), vspec(d)) if quant else ()),  # dequant scales
             pl.BlockSpec(memory_space=pltpu.ANY),  # kv_hbm
             pl.BlockSpec(memory_space=pltpu.VMEM),  # mask
             pl.BlockSpec(memory_space=pltpu.VMEM),  # head mask
@@ -248,6 +262,7 @@ def fused_decode_step(
         weights["wqkv"], weights["bqkv"], weights["wo"], weights["bo"],
         weights["n1s"], weights["n1b"], weights["n2s"], weights["n2b"],
         weights["fc1"], weights["b1"], weights["fc2"], weights["b2"],
+        *((weights["wqkv_s"], weights["wo_s"], weights["fc1_s"], weights["fc2_s"]) if quant else ()),
         kv_cache, mask, jnp.asarray(_head_mask(d, h)),
     )
 
@@ -257,10 +272,44 @@ def fused_decode_step(
     return y, kv_cache
 
 
-def stack_weights_from_params(params: dict, num_layers: int) -> dict:
-    """Build the stacked-weight dict from a T2SDecoder param tree."""
+def _quantize_cols(w):
+    """(L, Din, Dout) f32 -> per-output-channel symmetric int8 + scales.
+
+    y = (x @ w_q) * s is exact modulo rounding of w (activations stay f32);
+    the dequant scale applies after the matmul since s varies only along
+    the output channel."""
+    w = jnp.asarray(w, jnp.float32)
+    s = jnp.max(jnp.abs(w), axis=1, keepdims=True) / 127.0  # (L, 1, Dout)
+    s = jnp.maximum(s, 1e-12)
+    q = jnp.clip(jnp.round(w / s), -127, 127).astype(jnp.int8)
+    return q, s
+
+
+def stack_weights_from_params(params: dict, num_layers: int, quant: str = "bf16") -> dict:
+    """Build the stacked-weight dict from a T2SDecoder param tree.
+
+    quant="int8": weight-only per-output-channel symmetric quantization —
+    halves the per-token HBM weight streaming (the decode bound)."""
     p = params["params"]
     get = lambda i: p[f"layer_{i}"]
+    if quant == "int8":
+        out = {}
+        for name, key in [("wqkv", "wqkv"), ("wo", "wo"), ("fc1", "fc1"), ("fc2", "fc2")]:
+            w = jnp.stack([get(i)[key]["kernel"] for i in range(num_layers)])
+            q, s = _quantize_cols(w)
+            out[name] = q
+            out[f"{name}_s"] = s
+        out.update({
+            "bqkv": jnp.stack([get(i)["wqkv"]["bias"] for i in range(num_layers)])[:, None].astype(jnp.float32),
+            "bo": jnp.stack([get(i)["wo"]["bias"] for i in range(num_layers)])[:, None].astype(jnp.float32),
+            "n1s": jnp.stack([get(i)["norm1"]["scale"] for i in range(num_layers)])[:, None].astype(jnp.float32),
+            "n1b": jnp.stack([get(i)["norm1"]["bias"] for i in range(num_layers)])[:, None].astype(jnp.float32),
+            "n2s": jnp.stack([get(i)["norm2"]["scale"] for i in range(num_layers)])[:, None].astype(jnp.float32),
+            "n2b": jnp.stack([get(i)["norm2"]["bias"] for i in range(num_layers)])[:, None].astype(jnp.float32),
+            "b1": jnp.stack([get(i)["fc1"]["bias"] for i in range(num_layers)])[:, None].astype(jnp.float32),
+            "b2": jnp.stack([get(i)["fc2"]["bias"] for i in range(num_layers)])[:, None].astype(jnp.float32),
+        })
+        return out
     return {
         "wqkv": jnp.stack([get(i)["wqkv"]["kernel"] for i in range(num_layers)]).astype(jnp.bfloat16),
         "bqkv": jnp.stack([get(i)["wqkv"]["bias"] for i in range(num_layers)])[:, None].astype(jnp.float32),

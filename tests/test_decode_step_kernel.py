@@ -109,3 +109,36 @@ def test_generate_fused_matches_xla_greedy():
     n = min(int(out_xla.lengths.min()), int(out_fused.lengths.min()))
     match = (t_x[:, :n] == t_f[:, :n]).mean()
     assert match >= 0.9, (match, t_x[:, :n], t_f[:, :n])
+
+
+def test_generate_fused_int8_close_to_bf16():
+    """Weight-only int8 decode: greedy tokens track the bf16 fused path."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from gpt_sovits_tpu.models.t2s import generate
+    from gpt_sovits_tpu.ops.pallas.decode_step import _quantize_cols
+
+    # quantization itself is exact modulo rounding: dequantized weights are
+    # within one scale step of the originals
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.standard_normal((2, 8, 16)).astype(np.float32))
+    q, s = _quantize_cols(w)
+    np.testing.assert_allclose(np.asarray(q, np.float32) * np.asarray(s), np.asarray(w), atol=float(s.max()) * 0.51)
+
+    model = T2SDecoder(TINY)
+    params = model.init(jax.random.PRNGKey(0), method=T2SDecoder.init_all)
+    nrng = np.random.default_rng(5)
+    b, tx, tp = 1, 10, 7
+    phones = jnp.asarray(nrng.integers(0, TINY.phoneme_vocab_size, (b, tx)))
+    bert = jnp.asarray(nrng.standard_normal((b, tx, TINY.bert_dim)).astype(np.float32) * 0.1)
+    prompts = jnp.asarray(nrng.integers(0, TINY.vocab_size - 1, (b, tp)))
+    kw = dict(max_new_tokens=10, top_k=1, repetition_penalty=1.0, early_stop_num=-1)
+    args = (model, params, phones, jnp.asarray([tx]), bert, prompts, jnp.asarray([tp]))
+
+    with pltpu.force_tpu_interpret_mode():
+        out16 = generate(*args, jax.random.PRNGKey(1), use_fused_kernel=True, **kw)
+        out8 = generate(*args, jax.random.PRNGKey(1), use_fused_kernel=True, weight_quant="int8", **kw)
+    t16, t8 = np.asarray(out16.tokens), np.asarray(out8.tokens)
+    n = min(int(out16.lengths.min()), int(out8.lengths.min()))
+    match = (t16[:, :n] == t8[:, :n]).mean()
+    assert match >= 0.8, (match, t16[:, :n], t8[:, :n])
