@@ -64,7 +64,69 @@ class TTSService:
         self.pipeline = pipeline
         self.weight_loader = weight_loader
         self._ref_path = None
+        # legacy api.py default reference (DefaultRefer, api.py:177)
+        self.default_ref = {"path": "", "text": "", "language": ""}
         self.lock = threading.Lock()
+
+    # -- legacy api.py contract (GET/POST "/", /change_refer) ---------------
+
+    def change_refer(self, req: dict) -> tuple[int, bytes, str]:
+        """api.py:1079 handle_change: set the default reference."""
+        path = req.get("refer_wav_path", "")
+        text = req.get("prompt_text", "")
+        lang = req.get("prompt_language", "")
+        if not (path and text and lang):
+            return 400, json.dumps({"code": 400, "message": "missing refer_wav_path/prompt_text/prompt_language"}).encode(), "application/json"
+        self.default_ref = {"path": path, "text": text, "language": lang}
+        return 200, json.dumps({"code": 0, "message": "Success"}).encode(), "application/json"
+
+    @staticmethod
+    def _cut_by_punc(text: str, punc: str) -> str:
+        """api.py cut_text: insert newlines at the given punctuation set."""
+        if not punc:
+            return text
+        puncs = [p for p in ",.;?!、，。？！;：…" if p in punc]
+        if not puncs:
+            return text
+        import re as _re
+
+        items = _re.split("(" + "|".join(map(_re.escape, puncs)) + ")", text)
+        merged = ["".join(g) for g in zip(items[::2], items[1::2])]
+        if len(items) % 2 == 1 and items[-1]:
+            merged.append(items[-1])
+        return "\n".join(m for m in merged if m.strip())
+
+    def legacy_tts(self, req: dict) -> tuple[int, bytes, str]:
+        """api.py:1100 handle: param names of the legacy endpoint mapped to
+        the modern service; falls back to the /change_refer default."""
+        path = req.get("refer_wav_path") or self.default_ref["path"]
+        ptext = req.get("prompt_text") or self.default_ref["text"]
+        plang = req.get("prompt_language") or self.default_ref["language"]
+        if not (path and ptext and plang):
+            return 400, json.dumps({"code": 400, "message": "no reference given and no default set"}).encode(), "application/json"
+        text = req.get("text", "")
+        if "cut_punc" in req and req["cut_punc"]:
+            text = self._cut_by_punc(text, req["cut_punc"])
+        # the legacy endpoint accepts display-name languages (api.py dict_language)
+        zh_names = {
+            "中文": "zh", "英文": "en", "日文": "ja", "韩文": "ko", "粤语": "yue",
+            "中英混合": "zh", "日英混合": "ja", "韩英混合": "ko", "粤英混合": "yue", "多语种混合": "auto",
+        }
+        tlang = req.get("text_language", "")
+        tlang = zh_names.get(tlang, tlang)
+        modern = {
+            "ref_audio_path": path,
+            "prompt_text": ptext,
+            "prompt_lang": plang,
+            "text": text,
+            "text_lang": tlang,
+            "text_split_method": "cut0" if req.get("cut_punc") else "cut5",
+            "media_type": "wav",
+        }
+        for src, dst in (("top_k", "top_k"), ("top_p", "top_p"), ("temperature", "temperature"), ("speed", "speed_factor"), ("sample_steps", "sample_steps")):
+            if src in req:
+                modern[dst] = req[src]
+        return self.tts(modern)
 
     def validate(self, req: dict) -> Optional[tuple[int, str]]:
         if not req.get("ref_audio_path"):
@@ -219,8 +281,12 @@ def make_handler(service: TTSService):
         def do_GET(self):
             route = urllib.parse.urlparse(self.path).path
             params = self._params()
-            if route in ("/", "/index.html"):
+            if route == "/" and params.get("text"):  # legacy api.py GET /
+                self._send(*service.legacy_tts(params))
+            elif route in ("/", "/index.html"):
                 self._send(200, _INDEX_HTML, "text/html; charset=utf-8")
+            elif route == "/change_refer":
+                self._send(*service.change_refer(params))
             elif route == "/health":
                 self._send(200, b'{"status":"ok"}', "application/json")
             elif route == "/tts" and params.get("streaming_mode") in _BOOL:
@@ -252,6 +318,10 @@ def make_handler(service: TTSService):
                 return
             if route == "/tts":
                 self._send(*service.tts(params))
+            elif route == "/":  # legacy api.py POST /
+                self._send(*service.legacy_tts(params))
+            elif route == "/change_refer":
+                self._send(*service.change_refer(params))
             else:
                 self._send(404, b'{"message":"not found"}', "application/json")
 

@@ -31,9 +31,9 @@ def clean_text(text: str, language: str, version: str = "v2"):
         phones, norm = clean_text_ko(text)
         word2ph = None
     elif language == "yue":
-        raise NotImplementedError(
-            "Cantonese g2p requires the ToJyutping lexicon (not installed)"
-        )
+        from gpt_sovits_tpu.text.cantonese import clean_text_yue
+
+        phones, word2ph, norm = clean_text_yue(text)
     else:
         raise ValueError(f"unknown language {language!r}")
     # UNK fallback (ref cleaner.py:38-44)

@@ -110,3 +110,27 @@ def test_tts_streaming_mode(server):
     declared = struct.unpack("<I", data[40:44])[0]
     assert declared == 0
     assert len(data) > 44 + 1000
+
+
+def test_legacy_api_contract(server):
+    """Legacy api.py endpoints: /change_refer + GET '/' with query params."""
+    base, ref, _ = server
+
+    # no default ref and no params -> 400 (api.py:1115-1129)
+    code, body, _c = _get(base + "/?" + urllib.parse.urlencode({"text": "hi there", "text_language": "en"}))
+    assert code == 400
+
+    # set a default reference (api.py handle_change)
+    q = urllib.parse.urlencode({"refer_wav_path": ref, "prompt_text": "hello ref", "prompt_language": "en"})
+    code, body, _c = _get(base + "/change_refer?" + q)
+    assert code == 200 and json.loads(body)["code"] == 0
+
+    # legacy GET / now synthesizes with the default reference
+    q = urllib.parse.urlencode({"text": "hello there. nice day.", "text_language": "en", "cut_punc": ".", "top_k": 5})
+    code, body, _c = _get(base + "/?" + q)
+    assert code == 200 and body[:4] == b"RIFF"
+
+    # display-name language mapping
+    q = urllib.parse.urlencode({"text": "good morning", "text_language": "英文"})
+    code, body, _c = _get(base + "/?" + q)
+    assert code == 200 and body[:4] == b"RIFF"

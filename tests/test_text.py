@@ -173,3 +173,55 @@ def test_korean_jamo_g2p():
     symbols = set(get_symbols("v2"))
     phones, _, _ = clean_text("안녕하세요?", "ko")
     assert phones and all(p in symbols for p in phones), phones
+
+
+# ---------------------------------------------------------------------------
+# Cantonese (yue) — reference text/cantonese.py
+# ---------------------------------------------------------------------------
+
+
+def test_yue_jyutping_to_phones():
+    from gpt_sovits_tpu.text.cantonese import jyutping_to_phones
+
+    # 佢個鋤頭太短啦。 -> keoi5 go3 co4 tau4 taai3 dyun2 laa1 + "."
+    syl = ["keoi5", "go3", "co4 tau4", "taai3", "dyun2", "laa1", "."]
+    phones, word2ph = jyutping_to_phones(syl)
+    assert phones == [
+        "Yk", "Yeoi5", "Yg", "Yo3", "Yc", "Yo4", "Yt", "Yau4",
+        "Yt", "Yaai3", "Yd", "Yyun2", "Yl", "Yaa1", ".",
+    ]
+    assert word2ph == [2, 2, 2, 2, 2, 2, 2, 1]
+
+    # vowel-onset syllable: "aa" onset matches first in reference order
+    phones2, w2 = jyutping_to_phones(["aap3"])
+    assert phones2 == ["Yaa", "Yp3"] and w2 == [2]
+    # nga special-case split
+    phones3, _ = jyutping_to_phones(["ngaa4"])
+    assert phones3 == ["Yng", "Yaa4"]
+
+
+def test_yue_phones_in_v2_symbols():
+    from gpt_sovits_tpu.text import get_symbols
+    from gpt_sovits_tpu.text.cantonese import jyutping_to_phones
+
+    syms = set(get_symbols("v2"))
+    phones, _ = jyutping_to_phones(["keoi5", "go3", "co4", "tau4", "taai3", "dyun2", "laa1"])
+    missing = [p for p in phones if p not in syms]
+    assert not missing, missing
+
+
+def test_yue_clean_text_with_stub_lexicon(tmp_path, monkeypatch):
+    import importlib
+
+    lex = tmp_path / "jyut.tsv"
+    lex.write_text("佢\tkeoi5\n個\tgo3\n", encoding="utf-8")
+    monkeypatch.setenv("GPT_SOVITS_JYUTPING_LEXICON", str(lex))
+    import gpt_sovits_tpu.text.cantonese as yue
+
+    yue._LEXICON = None  # reset cache
+    from gpt_sovits_tpu.text.cleaner import clean_text
+
+    phones, word2ph, norm = clean_text("佢個。", "yue")
+    assert phones == ["Yk", "Yeoi5", "Yg", "Yo3", "."]
+    assert word2ph == [2, 2, 1]
+    yue._LEXICON = None
