@@ -215,14 +215,35 @@ class S2Dataset:
     def lengths(self) -> list[int]:
         return list(self._frames)
 
+    def _load_batch_files(self, names: list[str]) -> tuple[list, list]:
+        """WAV + SSL features for a batch; threaded native decode
+        (gpt_sovits_tpu/native, gsvt_io.cc) when built, python otherwise."""
+        from gpt_sovits_tpu import native
+
+        wav_paths = [os.path.join(self.exp_dir, "5-wav32k", n) for n in names]
+        ssl_paths = [os.path.join(self.exp_dir, "4-cnhubert", f"{n}.npy") for n in names]
+        if native.load() is not None:
+            max_len = max(os.path.getsize(p) // 2 for p in wav_paths) + 8  # pcm16 bound
+            res = native.wav_batch(wav_paths, max_len)
+            ssl_cols = np.load(ssl_paths[0], mmap_mode="r").shape[-1]
+            max_rows = max(os.path.getsize(p) for p in ssl_paths) // (2 * ssl_cols) + 4
+            res2 = native.npy_batch(ssl_paths, max_rows, ssl_cols)
+            if res is not None and res2 is not None and not res[3].any() and not res2[2].any():
+                out, lengths, _, _ = res
+                ssl_out, rows, _ = res2
+                wavs = [out[i, : lengths[i]] for i in range(len(names))]
+                ssls = [ssl_out[i, : rows[i]] for i in range(len(names))]
+                return wavs, ssls
+        wavs, ssls = [], []
+        for wp, sp in zip(wav_paths, ssl_paths):
+            wav, _ = load_wav(wp)
+            wavs.append(wav)
+            ssls.append(np.load(sp).astype(np.float32))
+        return wavs, ssls
+
     def collate(self, idxs: Sequence[int], buckets=(128, 256, 512, 1024, 1600)) -> dict:
         names = [self.names[i] for i in idxs]
-        wavs, ssls, specs = [], [], []
-        for name in names:
-            wav, _ = load_wav(os.path.join(self.exp_dir, "5-wav32k", name))
-            ssl = np.load(os.path.join(self.exp_dir, "4-cnhubert", f"{name}.npy")).astype(np.float32)
-            wavs.append(wav)
-            ssls.append(ssl)
+        wavs, ssls = self._load_batch_files(names)
         hop = self.mel_cfg.hop_size
         t_spec = _next_bucket(max(len(w) // hop for w in wavs), buckets)
         t_ssl = t_spec * 2  # 50 Hz ssl vs 25 Hz latent at hop 640
@@ -263,6 +284,41 @@ class S2Dataset:
         return batch
 
 
-def data_iterator(dataset, sampler: BucketSampler, epoch: int) -> Iterator[dict]:
-    for idxs in sampler.epoch_batches(epoch):
-        yield dataset.collate(idxs)
+def data_iterator(dataset, sampler: BucketSampler, epoch: int, *, prefetch: int = 2) -> Iterator[dict]:
+    """Batches for one epoch, assembled `prefetch` ahead on a background
+    thread so host IO overlaps device compute (the reference gets this from
+    torch DataLoader workers)."""
+    batches = sampler.epoch_batches(epoch)
+    if prefetch <= 0 or len(batches) <= 1:
+        for idxs in batches:
+            yield dataset.collate(idxs)
+        return
+
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+    stop = threading.Event()
+
+    def worker():
+        try:
+            for idxs in batches:
+                if stop.is_set():
+                    return
+                q.put(dataset.collate(idxs))
+            q.put(None)
+        except BaseException as e:  # surface worker errors to the consumer
+            q.put(e)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
