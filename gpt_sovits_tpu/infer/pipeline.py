@@ -167,6 +167,15 @@ class TTSPipeline:
             self._cfm_infer = _cfm
             self._fea_ref_cache = None
 
+    def recover(self):
+        """Error recovery (TTS.py:1352-1363 empty_cache + model reload
+        equivalent): drop cached reference features and jit executables so a
+        poisoned compilation or OOM'd buffer can't wedge the service."""
+        self.ref = None
+        if getattr(self, "_fea_ref_cache", None) is not None:
+            self._fea_ref_cache = None
+        jax.clear_caches()
+
     # ------------------------------------------------------------------
     # reference audio
     # ------------------------------------------------------------------

@@ -191,6 +191,10 @@ class TTSService:
                 )
             except (ValueError, FileNotFoundError, NotImplementedError) as e:
                 return 400, json.dumps({"message": str(e)}).encode(), "application/json"
+            except Exception as e:  # TTS.py:1352-1363 — recover and report
+                self.pipeline.recover()
+                self._ref_path = None
+                return 500, json.dumps({"message": f"internal error (recovered): {e}"}).encode(), "application/json"
         if req.get("media_type", "wav") == "raw":
             return 200, audio.astype("<i2").tobytes(), "audio/raw"
         return 200, wav_bytes(audio, sr), "audio/wav"
@@ -302,6 +306,18 @@ def make_handler(service: TTSService):
                 if cmd == "exit":
                     self._send(200, b"{}", "application/json")
                     threading.Thread(target=self.server.shutdown, daemon=True).start()
+                elif cmd == "restart":
+                    # re-exec the serving process (api_v2.py:252-257)
+                    import os as _os
+                    import sys as _sys
+
+                    self._send(200, b"{}", "application/json")
+
+                    def _restart():
+                        self.server.shutdown()
+                        _os.execl(_sys.executable, _sys.executable, *_sys.argv)
+
+                    threading.Thread(target=_restart, daemon=True).start()
                 else:
                     self._send(400, json.dumps({"message": f"unsupported command {cmd}"}).encode(), "application/json")
             else:
