@@ -123,20 +123,28 @@ class TTSPipeline:
         self.mesh = mesh
         # S2 decode runs as decode_latent (flax) + the lane-folded generator
         # (ops/folded_conv.py) — exact same waveform, ~1.8x faster vocoder.
-        from gpt_sovits_tpu.ops.folded_conv import fold_generator_params, generator_apply
+        # (v3/v4 pipelines pass s2_params=None; the CFM path replaces S2.)
+        if s2_params is not None:
+            from gpt_sovits_tpu.ops.folded_conv import fold_generator_params, generator_apply
 
-        _folded_dec = fold_generator_params(s2_params["params"]["dec"], s2_model.cfg)
-        _decode_latent = functools.partial(s2_model.apply, method=SynthesizerTrn.decode_latent)
+            _folded_dec = fold_generator_params(s2_params["params"]["dec"], s2_model.cfg)
+            _decode_latent = functools.partial(s2_model.apply, method=SynthesizerTrn.decode_latent)
 
-        @functools.partial(jax.jit, static_argnames=("speed",))
-        def _s2_decode(params, codes, codes_lengths, text, text_lengths, refer_spec, refer_lengths, *, speed=1.0, sv_emb=None):
-            z, ge = _decode_latent(
-                params, codes, codes_lengths, text, text_lengths, refer_spec, refer_lengths,
-                speed=speed, sv_emb=sv_emb,
+            @functools.partial(jax.jit, static_argnames=("speed",))
+            def _s2_decode(params, codes, codes_lengths, text, text_lengths, refer_spec, refer_lengths, *, speed=1.0, sv_emb=None):
+                z, ge = _decode_latent(
+                    params, codes, codes_lengths, text, text_lengths, refer_spec, refer_lengths,
+                    speed=speed, sv_emb=sv_emb,
+                )
+                return generator_apply(_folded_dec, z, ge)
+
+            self._s2_decode = _s2_decode
+        elif s2_model is not None:
+            self._s2_decode = jax.jit(
+                functools.partial(s2_model.apply, method=SynthesizerTrn.decode), static_argnames=("speed",)
             )
-            return generator_apply(_folded_dec, z, ge)
-
-        self._s2_decode = _s2_decode
+        else:
+            self._s2_decode = None
         self._extract_latent = jax.jit(functools.partial(s2_model.apply, method=SynthesizerTrn.extract_latent))
         if hubert_model is not None:
             self._hubert_fwd = jax.jit(hubert_model.apply)
