@@ -62,6 +62,27 @@ def _leaky(x, slope):
     return jnp.where(x >= 0, x, slope * x)
 
 
+def fold_convt_weight(w: np.ndarray, stride: int, pad: int, r_in: int):
+    """Transposed conv (torch semantics, kernel (k, Cin, Cout)) as a folded
+    subpixel conv: input folded by r_in -> output folded by r_in*stride.
+
+    ConvT = conv(zero-stuffed input, flipped kernel, pad k-1-p). On the
+    stride-fine grid the stuffed signal folded by r_in*stride has only
+    every stride-th input block nonzero, so the folded block-Toeplitz
+    weights collapse to (k', r_in*Cin, r_in*stride*Cout) — no zero
+    multiplies, full lane occupancy. Exact.
+    """
+    k, cin, cout = w.shape
+    if k - stride - 2 * pad != 0:
+        raise ValueError(f"folded convT assumes length-preserving config, got k={k} s={stride} p={pad}")
+    flipw = w[::-1]
+    r_fine = r_in * stride
+    wf_full, pads = fold_conv_weight(np.ascontiguousarray(flipw), 1, k - 1 - pad, r_fine)
+    kp = wf_full.shape[0]
+    wf = wf_full.reshape(kp, r_fine, cin, r_fine * cout)[:, ::stride]  # keep stuffed-nonzero blocks
+    return np.ascontiguousarray(wf.reshape(kp, r_in * cin, r_fine * cout)), pads
+
+
 def _pick_r(ch: int, max_r: int = 8) -> int:
     """Smallest power-of-two fold maximizing lane occupancy of r*ch."""
     import math
@@ -98,34 +119,24 @@ def fold_generator_params(dec_params, cfg, dtype=jnp.float32) -> dict:
         out["cond_w"] = p["cond"]["Conv_0"]["kernel"]
         out["cond_b"] = p["cond"]["Conv_0"]["bias"]
 
-    plan = []  # per stage: (rate, kernel, ch, r_in, r_out, folded_convt)
+    plan = []  # per stage: (rate, kernel, ch, r_in, r_out)
     r = 1
     for i, (u, k) in enumerate(zip(rates, kernels)):
         ch = uic // (2 ** (i + 1))
-        cin = uic // (2**i)
         up = p[f"up_{i}"]
         r_in = r
-        if r_in == 1 or k != u:
-            # standard ConvT (if folded on entry, unfold first — free reshape)
-            r_out = _pick_r(ch)
-            folded_convt = False
-            out[f"up_{i}_w"] = up["kernel"]
-            out[f"up_{i}_b"] = up["bias"]
-        else:
-            # k == u: transposed conv is a pure block matmul in folded layout
-            r_out = r_in * u
-            folded_convt = True
-            w = up["kernel"]  # (k, Cin, Cout)
-            wf = np.zeros((r_in * cin, r_out * ch), np.float32)
-            for ii in range(r_in):
-                for pp in range(u):
-                    wf[ii * cin : (ii + 1) * cin, (ii * u + pp) * ch : (ii * u + pp + 1) * ch] = w[pp]
-            out[f"up_{i}_w"] = wf
-            out[f"up_{i}_b"] = np.tile(up["bias"], r_out)
-        # cap r_out at the lane-optimal fold for ch
-        r_tgt = _pick_r(ch)
-        if r_out > r_tgt:
-            r_out = r_tgt  # unfold down (free reshape) before the MRF
+        # every transposed conv runs as a folded subpixel conv — no
+        # zero-stuffed multiplies, full lanes (fold_convt_weight)
+        r_fine = r_in * u
+        wf, ct_pads = fold_convt_weight(np.asarray(up["kernel"]), u, (k - u) // 2, r_in)
+        out[f"up_{i}_w"] = wf
+        out[f"up_{i}_b"] = np.tile(up["bias"], r_fine)
+        out.setdefault("_pads", {})[f"up_{i}"] = ct_pads
+        # relax the fold to the lane-optimal divisor of r_fine for the MRF
+        r_out = max(
+            (rr for rr in range(1, r_fine + 1) if r_fine % rr == 0),
+            key=lambda rr: ((rr * ch) / (LANES * -(-(rr * ch) // LANES)), -rr),
+        )
         r = r_out
 
         for j, (rk, rd) in enumerate(zip(rks, rds)):
@@ -145,7 +156,7 @@ def fold_generator_params(dec_params, cfg, dtype=jnp.float32) -> dict:
                         out[f"rb_{i}_{j}_{name}_{jj}_b"] = b
                         plan_pads = (pad, pad)
                     out.setdefault("_pads", {})[f"rb_{i}_{j}_{name}_{jj}"] = plan_pads
-        plan.append((u, k, ch, r_in, r_out, folded_convt))
+        plan.append((u, k, ch, r_in, r_out))
 
     w = p["conv_post"]["Conv_0"]["kernel"]  # (7, ch, 1)
     if r > 1:
@@ -189,25 +200,13 @@ def generator_apply(folded: dict, x: jnp.ndarray, g: Optional[jnp.ndarray] = Non
 
     B = x.shape[0]
     r = 1
-    for i, (u, k, ch, r_in, r_out, folded_convt) in enumerate(plan):
+    for i, (u, k, ch, r_in, r_out) in enumerate(plan):
         x = _leaky(x, 0.1)
-        if not folded_convt:
-            if r > 1:  # unfold before a k!=u transposed conv (free reshape)
-                x = x.reshape(B, x.shape[1] * r, x.shape[2] // r)
-            w = a[f"up_{i}_w"]
-            y = jax.lax.conv_general_dilated(
-                x, jnp.flip(w, 0), (1,), [(k - 1 - (k - u) // 2,) * 2],
-                lhs_dilation=(u,), dimension_numbers=("NWC", "WIO", "NWC"),
-            )
-            x = y + a[f"up_{i}_b"]
-            if r_out > 1:  # enter folded layout (free reshape)
-                x = x.reshape(B, x.shape[1] // r_out, r_out * ch)
-        else:
-            y = jnp.einsum("bqc,cd->bqd", x, a[f"up_{i}_w"]) + a[f"up_{i}_b"]
-            cur_r = r_in * u
-            if cur_r != r_out:  # relax the fold back to the lane-optimal r
-                y = y.reshape(B, y.shape[1] * cur_r // r_out, r_out * ch)
-            x = y
+        y = conv(x, a[f"up_{i}_w"], a[f"up_{i}_b"], pads[f"up_{i}"])
+        cur_r = r_in * u
+        if cur_r != r_out:  # relax the fold to the MRF's lane-optimal r
+            y = y.reshape(B, y.shape[1] * cur_r // r_out, r_out * ch)
+        x = y
         r = r_out
 
         xs = None
