@@ -159,7 +159,26 @@ class TTSPipeline:
                 functools.partial(v3_bundle.model.apply, method=SynthesizerTrnV3.decode_encp),
                 static_argnames=("speed",),
             )
-            self._vocoder_fwd = jax.jit(v3_bundle.vocoder.apply)
+            from gpt_sovits_tpu.models.vits import Generator as _Generator
+
+            if isinstance(v3_bundle.vocoder, _Generator) and v3_bundle.vocoder_params is not None:
+                # v4 vocoder: same lane-folded fast path as the v2 decoder
+                import types as _types
+
+                from gpt_sovits_tpu.ops.folded_conv import fold_generator_params, generator_apply
+
+                voc = v3_bundle.vocoder
+                eff = _types.SimpleNamespace(
+                    upsample_rates=voc.upsample_rates or voc.cfg.upsample_rates,
+                    upsample_kernel_sizes=voc.upsample_kernel_sizes or voc.cfg.upsample_kernel_sizes,
+                    upsample_initial_channel=voc.cfg.upsample_initial_channel,
+                    resblock_kernel_sizes=voc.cfg.resblock_kernel_sizes,
+                    resblock_dilation_sizes=voc.cfg.resblock_dilation_sizes,
+                )
+                _folded_voc = fold_generator_params(v3_bundle.vocoder_params["params"], eff)
+                self._vocoder_fwd = jax.jit(lambda _params, mel: generator_apply(_folded_voc, mel))
+            else:
+                self._vocoder_fwd = jax.jit(v3_bundle.vocoder.apply)
 
             from gpt_sovits_tpu.models.dit import DiT
             from gpt_sovits_tpu.models.v3 import cfm_inference

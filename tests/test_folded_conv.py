@@ -117,3 +117,38 @@ def test_decode_latent_plus_folded_equals_decode():
     folded = fold_generator_params(params["dec"], cfg)
     got = np.asarray(generator_apply(folded, z, ge))
     np.testing.assert_allclose(got, want, atol=3e-4)
+
+
+def test_folded_v4_vocoder_matches_standard():
+    """v4 standalone vocoder config: post bias, no ge conditioning,
+    rates (10,6,2,2,2) (loaders.py build_v3_bundle v4)."""
+    import types
+
+    from gpt_sovits_tpu.models.vits import Generator
+
+    cfg = S2Config(
+        version="v4",
+        inter_channels=20,  # mel input channels for the standalone vocoder
+        upsample_rates=(10, 6, 2, 2, 2),
+        upsample_kernel_sizes=(20, 12, 4, 4, 4),
+        upsample_initial_channel=128,  # stages: 64, 32, 16, 8, 4
+        resblock_kernel_sizes=(3, 7),
+        resblock_dilation_sizes=((1, 3), (1, 3)),
+    )
+    gen = Generator(cfg, use_post_bias=True)
+    key = jax.random.PRNGKey(2)
+    mel = jax.random.normal(key, (1, 25, cfg.inter_channels)) * 0.5
+    params = gen.init(key, mel)["params"]
+    want = np.asarray(gen.apply({"params": params}, mel))
+
+    eff = types.SimpleNamespace(
+        upsample_rates=cfg.upsample_rates,
+        upsample_kernel_sizes=cfg.upsample_kernel_sizes,
+        upsample_initial_channel=cfg.upsample_initial_channel,
+        resblock_kernel_sizes=cfg.resblock_kernel_sizes,
+        resblock_dilation_sizes=cfg.resblock_dilation_sizes,
+    )
+    folded = fold_generator_params(params, eff)
+    got = np.asarray(generator_apply(folded, mel))
+    assert got.shape == want.shape == (1, 25 * 480, 1)
+    np.testing.assert_allclose(got, want, atol=3e-4)
