@@ -83,7 +83,9 @@ def main():
 
     from gpt_sovits_tpu.ops.folded_conv import fold_generator_params, generator_apply
 
-    folded_dec = fold_generator_params(s2_params["params"]["dec"], s2_cfg)
+    # bf16 vocoder — the serving default (pipeline half=True, mirroring the
+    # reference's is_half fp16 default)
+    folded_dec = fold_generator_params(s2_params["params"]["dec"], s2_cfg, dtype=dtype)
 
     @jax.jit
     def s2_step(codes):
@@ -91,7 +93,7 @@ def main():
             s2_params, codes, codes_lengths, text, text_lengths,
             refer_spec, refer_lengths, method=SynthesizerTrn.decode_latent,
         )
-        return generator_apply(folded_dec, z, ge)
+        return generator_apply(folded_dec, z.astype(dtype), ge.astype(dtype)).astype(jnp.float32)
 
     # warmup / compile
     wav = s2_step(s1_step(jax.random.PRNGKey(1)).tokens[:, :N_NEW_TOKENS])

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Any, Generator, Optional
 
 import jax
@@ -57,6 +58,13 @@ class RefCache:
     prompt_norm_text: str = ""
     raw_wav: Optional[np.ndarray] = None  # original wav for v3/v4 ref mel
     raw_sr: int = 0
+    # multi-reference tone fusion (aux_ref_audio_paths, TTS.py:1098-1109):
+    # extra reference specs (+ per-ref sv embs for v2Pro). ge is the mean of
+    # per-ref timbre vectors, precomputed at set_ref_audio time — each ref
+    # encoded at its own length, exactly like the reference's list handling.
+    aux_specs: Optional[list] = None  # list of (Tr_i, spec_channels)
+    aux_sv_embs: Optional[list] = None
+    ge: Optional[np.ndarray] = None  # (1, 1, gin) fused timbre vector
 
 
 @dataclasses.dataclass
@@ -98,6 +106,7 @@ class TTSPipeline:
         v3_bundle: Optional[V3Bundle] = None,
         use_fused_s1: Optional[bool] = None,  # default: True on TPU
         s1_weight_quant: str = "bf16",  # "int8": weight-only quantized decode (~1.35x S1)
+        half: Optional[bool] = None,  # bf16 vocoder (reference is_half default); None: True on TPU
         mesh=None,  # jax.sharding.Mesh: dp-shard synthesis batches over 'data'
     ):
         self.s1 = s1_model
@@ -118,6 +127,10 @@ class TTSPipeline:
         self.v3 = v3_bundle
         if use_fused_s1 is None:
             use_fused_s1 = jax.default_backend() not in ("cpu",)
+        if half is None:
+            half = jax.default_backend() not in ("cpu",)
+        self.half = half
+        _voc_dtype = jnp.bfloat16 if half else jnp.float32
         self.use_fused_s1 = use_fused_s1
         self.s1_weight_quant = s1_weight_quant
         self.mesh = mesh
@@ -127,16 +140,18 @@ class TTSPipeline:
         if s2_params is not None:
             from gpt_sovits_tpu.ops.folded_conv import fold_generator_params, generator_apply
 
-            _folded_dec = fold_generator_params(s2_params["params"]["dec"], s2_model.cfg)
+            _folded_dec = fold_generator_params(s2_params["params"]["dec"], s2_model.cfg, dtype=_voc_dtype)
             _decode_latent = functools.partial(s2_model.apply, method=SynthesizerTrn.decode_latent)
 
             @functools.partial(jax.jit, static_argnames=("speed",))
-            def _s2_decode(params, codes, codes_lengths, text, text_lengths, refer_spec, refer_lengths, *, speed=1.0, sv_emb=None):
+            def _s2_decode(params, codes, codes_lengths, text, text_lengths, refer_spec, refer_lengths, *, speed=1.0, sv_emb=None, ge=None):
                 z, ge = _decode_latent(
                     params, codes, codes_lengths, text, text_lengths, refer_spec, refer_lengths,
-                    speed=speed, sv_emb=sv_emb,
+                    speed=speed, sv_emb=sv_emb, ge=ge,
                 )
-                return generator_apply(_folded_dec, z, ge)
+                return generator_apply(
+                    _folded_dec, z.astype(_voc_dtype), ge.astype(_voc_dtype)
+                ).astype(jnp.float32)
 
             self._s2_decode = _s2_decode
         elif s2_model is not None:
@@ -175,8 +190,10 @@ class TTSPipeline:
                     resblock_kernel_sizes=voc.cfg.resblock_kernel_sizes,
                     resblock_dilation_sizes=voc.cfg.resblock_dilation_sizes,
                 )
-                _folded_voc = fold_generator_params(v3_bundle.vocoder_params["params"], eff)
-                self._vocoder_fwd = jax.jit(lambda _params, mel: generator_apply(_folded_voc, mel))
+                _folded_voc = fold_generator_params(v3_bundle.vocoder_params["params"], eff, dtype=_voc_dtype)
+                self._vocoder_fwd = jax.jit(
+                    lambda _params, mel: generator_apply(_folded_voc, mel.astype(_voc_dtype)).astype(jnp.float32)
+                )
             else:
                 self._vocoder_fwd = jax.jit(v3_bundle.vocoder.apply)
 
@@ -207,8 +224,31 @@ class TTSPipeline:
     # reference audio
     # ------------------------------------------------------------------
 
-    def set_ref_audio(self, wav, sr: Optional[int] = None, ref_text: Optional[str] = None):
-        """wav: path or float array. Extracts and caches prompt features."""
+    def _ref_spec_sv(self, wav, sr: int):
+        """spec (+ v2Pro sv emb) for ONE reference clip (_get_ref_spec,
+        TTS.py:758-793: mono, max-normalize to <=1, spectrogram; v2Pro also
+        16 kHz audio -> ERes2NetV2 embedding)."""
+        sr_native = self.mel_cfg.sampling_rate
+        wav_native = resample(np.asarray(wav, np.float32), sr, sr_native)
+        maxx = float(np.abs(wav_native).max()) if wav_native.size else 0.0
+        if maxx > 1.0:
+            wav_native = wav_native / min(2.0, maxx)
+        spec = np.asarray(spectrogram(wav_native[None, :], self.mel_cfg))[0].T  # (T, bins)
+        sv_emb = None
+        if self.s2 is not None and self.s2.cfg.is_pro and self.sv is not None:
+            from gpt_sovits_tpu.models.eres2net import kaldi_fbank
+
+            wav16 = resample(wav_native, sr_native, 16000)
+            feat = kaldi_fbank(jnp.asarray(wav16[None, :]))
+            sv_emb = np.asarray(self.sv.apply(self.sv_params, feat))[0]
+        return spec.astype(np.float32), sv_emb
+
+    def set_ref_audio(self, wav, sr: Optional[int] = None, ref_text: Optional[str] = None, aux_wavs=None):
+        """wav: path or float array. Extracts and caches prompt features.
+
+        aux_wavs: optional list of paths or (wav, sr) pairs — auxiliary
+        references for multi-speaker tone fusion (aux_ref_audio_paths,
+        TTS.py:1098-1109); missing paths are skipped like the reference."""
         if isinstance(wav, str):
             wav, sr = load_wav(wav)
         assert sr is not None, "sr required for array input"
@@ -220,29 +260,54 @@ class TTSPipeline:
         wav16 = resample(np.asarray(wav, np.float32), sr, 16000)
         # pad tail like the reference (zero_wav 0.3 s, inference_webui.py)
         wav16 = np.concatenate([wav16, np.zeros(int(16000 * 0.3), np.float32)])
-        sr_native = self.mel_cfg.sampling_rate
-        wav_native = resample(np.asarray(wav, np.float32), sr, sr_native)
 
         if self.hubert is None:
             raise RuntimeError("hubert model required for reference encoding")
         ssl = self._hubert_fwd(self.hubert_params, wav16[None, :])  # (1,T,768)
         latent_params = self.v3.params if self.v3 is not None else self.s2_params
         codes = self._extract_latent(latent_params, ssl)  # (1, T//2)
-        spec = np.asarray(spectrogram(wav_native[None, :], self.mel_cfg))[0].T  # (T, bins)
+        spec, sv_emb = self._ref_spec_sv(wav, sr)
 
-        sv_emb = None
-        if self.s2.cfg.is_pro and self.sv is not None:
-            from gpt_sovits_tpu.models.eres2net import kaldi_fbank
+        aux_specs: list = []
+        aux_svs: list = []
+        for aux in aux_wavs or []:
+            if isinstance(aux, str):
+                if not aux or not os.path.exists(aux):
+                    continue  # reference skips missing aux files (TTS.py:1106)
+                a_wav, a_sr = load_wav(aux)
+            else:
+                a_wav, a_sr = aux
+            a_spec, a_sv = self._ref_spec_sv(a_wav, a_sr)
+            aux_specs.append(a_spec)
+            aux_svs.append(a_sv)
 
-            feat = kaldi_fbank(jnp.asarray(wav16[None, :]))
-            sv_emb = np.asarray(self.sv.apply(self.sv_params, feat))[0]
+        ge = None
+        if aux_specs and self.s2 is not None:
+            # fused timbre: mean of per-ref ge, each ref at its own length
+            # (models.py:977-984); precomputed once per reference set
+            ges = []
+            for s, e in zip([spec] + aux_specs, [sv_emb] + aux_svs):
+                ges.append(
+                    np.asarray(
+                        self.s2.apply(
+                            self.s2_params, jnp.asarray(s[None]),
+                            jnp.asarray([s.shape[0]], jnp.int32),
+                            jnp.asarray(e[None]) if e is not None else None,
+                            method=SynthesizerTrn.compute_ge_masked,
+                        )
+                    )
+                )
+            ge = np.mean(ges, axis=0, dtype=np.float32)
 
         self.ref = RefCache(
             prompt_semantic=np.asarray(codes[0], np.int32),
-            refer_spec=spec.astype(np.float32),
+            refer_spec=spec,
             sv_emb=sv_emb,
             raw_wav=np.asarray(wav, np.float32),
             raw_sr=sr,
+            aux_specs=aux_specs or None,
+            aux_sv_embs=aux_svs or None,
+            ge=ge,
         )
         if ref_text:
             phones, _, norm = self._g2p_segment(ref_text, "auto")
@@ -445,6 +510,9 @@ class TTSPipeline:
         refer_spec = jnp.asarray(ref.refer_spec[None].repeat(b, axis=0))
         refer_lens = jnp.full((b,), ref.refer_spec.shape[0], jnp.int32)
         sv = jnp.asarray(ref.sv_emb[None].repeat(b, axis=0)) if ref.sv_emb is not None else None
+        # multi-reference: the fused ge (precomputed in set_ref_audio)
+        # short-circuits the in-graph reference encoder
+        ge = jnp.asarray(ref.ge.repeat(b, axis=0)) if ref.ge is not None else None
         tc = _next_bucket(int(lengths.max()))
         codes = jnp.asarray(tokens[:, :tc])
         wav = self._s2_decode(
@@ -452,7 +520,7 @@ class TTSPipeline:
             codes, jnp.asarray(lengths), jnp.asarray(phones_right(batch, tx_max)),
             jnp.asarray([len(s["phones"]) for s in batch], dtype=jnp.int32),
             refer_spec, refer_lens,
-            speed=speed, sv_emb=sv,
+            speed=speed, sv_emb=sv, ge=ge,
         )
         wav = np.asarray(wav)[..., 0]
         hop_up = int(np.prod(self.s2.cfg.upsample_rates))

@@ -160,6 +160,14 @@ class SynthesizerTrn(nn.Module):
             ge = jnp.where(ge >= 0, ge, ge * self.prelu_alpha)
         return ge
 
+    def compute_ge_masked(self, refer_spec, refer_lengths, sv_emb=None):
+        """compute_ge with the mask built from lengths; entry point for
+        precomputing ge per reference (multi-reference tone fusion averages
+        these — models.py:977-984, aux_ref_audio_paths TTS.py:1098-1109;
+        each reference is encoded at its own length, like the reference)."""
+        refer_mask = sequence_mask(refer_lengths, refer_spec.shape[1])
+        return self.compute_ge(refer_spec, refer_mask, sv_emb)
+
     # -- semantic codes -------------------------------------------------------
 
     def extract_latent(self, ssl):
@@ -190,11 +198,15 @@ class SynthesizerTrn(nn.Module):
         noise_scale: float = 0.5,
         speed: float = 1.0,
         sv_emb=None,
+        ge=None,
     ):
-        """models.py:961 `decode`: codes + reference -> waveform (B, T_wav, 1)."""
+        """models.py:961 `decode`: codes + reference -> waveform (B, T_wav, 1).
+
+        Pass a precomputed `ge` (e.g. a multi-reference mean) to skip the
+        reference encoder; refer_spec/refer_lengths may then be None."""
         c = self.cfg
-        refer_mask = sequence_mask(refer_lengths, refer_spec.shape[1])
-        ge = self.compute_ge(refer_spec, refer_mask, sv_emb)
+        if ge is None:
+            ge = self.compute_ge_masked(refer_spec, refer_lengths, sv_emb)
         ge_for_enc = self.ge_to512(ge) if c.is_pro else ge
 
         quantized = self.decode_codes(codes)
@@ -219,13 +231,14 @@ class SynthesizerTrn(nn.Module):
         noise_scale: float = 0.5,
         speed: float = 1.0,
         sv_emb=None,
+        ge=None,
     ):
         """`decode` minus the vocoder: -> (z * y_mask, ge). Serving runs the
         generator separately through the lane-folded fast path
-        (ops/folded_conv.py)."""
+        (ops/folded_conv.py). `ge` as in `decode`."""
         c = self.cfg
-        refer_mask = sequence_mask(refer_lengths, refer_spec.shape[1])
-        ge = self.compute_ge(refer_spec, refer_mask, sv_emb)
+        if ge is None:
+            ge = self.compute_ge_masked(refer_spec, refer_lengths, sv_emb)
         ge_for_enc = self.ge_to512(ge) if c.is_pro else ge
         quantized = self.decode_codes(codes)
         y_mask = sequence_mask(codes_lengths * 2, quantized.shape[1])

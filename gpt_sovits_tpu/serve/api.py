@@ -64,6 +64,7 @@ class TTSService:
         self.pipeline = pipeline
         self.weight_loader = weight_loader
         self._ref_path = None
+        self._aux_paths: tuple = ()
         # legacy api.py default reference (DefaultRefer, api.py:177)
         self.default_ref = {"path": "", "text": "", "language": ""}
         self.lock = threading.Lock()
@@ -146,14 +147,26 @@ class TTSService:
             return 400, f"text_split_method:{req.get('text_split_method')} is not supported"
         return None
 
+    def _ensure_ref(self, req: dict) -> None:
+        """(Re)build the prompt cache when the main or aux reference set
+        changes (TTS.py:1093-1109 prompt-cache invalidation)."""
+        ref_path = req["ref_audio_path"]
+        aux = req.get("aux_ref_audio_paths") or []
+        if isinstance(aux, str):
+            aux = [p for p in aux.split(",") if p]
+        aux = tuple(aux)
+        if ref_path != self._ref_path or aux != getattr(self, "_aux_paths", ()):
+            self.pipeline.set_ref_audio(
+                ref_path, ref_text=req.get("prompt_text") or None, aux_wavs=list(aux) or None
+            )
+            self._ref_path = ref_path
+            self._aux_paths = aux
+
     def tts_stream(self, req: dict):
         """Streaming synthesis: yields (sr, pcm-bytes fragments).
         Raises ValueError on bad input (validate first)."""
-        ref_path = req["ref_audio_path"]
         with self.lock:
-            if ref_path != self._ref_path:
-                self.pipeline.set_ref_audio(ref_path, ref_text=req.get("prompt_text") or None)
-                self._ref_path = ref_path
+            self._ensure_ref(req)
             seed = int(req.get("seed", -1))
             if seed < 0:
                 seed = int(np.random.default_rng().integers(0, 2**31 - 1))
@@ -170,10 +183,7 @@ class TTSService:
             return err[0], json.dumps({"message": err[1]}).encode(), "application/json"
         with self.lock:
             try:
-                ref_path = req["ref_audio_path"]
-                if ref_path != self._ref_path:
-                    self.pipeline.set_ref_audio(ref_path, ref_text=req.get("prompt_text") or None)
-                    self._ref_path = ref_path
+                self._ensure_ref(req)
                 seed = int(req.get("seed", -1))
                 if seed < 0:
                     seed = np.random.default_rng().integers(0, 2**31 - 1)
@@ -194,10 +204,22 @@ class TTSService:
             except Exception as e:  # TTS.py:1352-1363 — recover and report
                 self.pipeline.recover()
                 self._ref_path = None
+                self._aux_paths = ()
                 return 500, json.dumps({"message": f"internal error (recovered): {e}"}).encode(), "application/json"
         if req.get("media_type", "wav") == "raw":
             return 200, audio.astype("<i2").tobytes(), "audio/raw"
         return 200, wav_bytes(audio, sr), "audio/wav"
+
+    def set_refer_audio(self, path: str) -> tuple[int, bytes, str]:
+        """GET /set_refer_audio (api_v2.py:441-448): pre-set the reference."""
+        try:
+            with self.lock:
+                self.pipeline.set_ref_audio(path)
+                self._ref_path = path
+                self._aux_paths = ()
+            return 200, json.dumps({"message": "success"}).encode(), "application/json"
+        except Exception as e:
+            return 400, json.dumps({"message": "set refer audio failed", "Exception": str(e)}).encode(), "application/json"
 
     def set_weights(self, which: str, path: str) -> tuple[int, bytes, str]:
         if self.weight_loader is None:
@@ -297,6 +319,8 @@ def make_handler(service: TTSService):
                 self._stream_tts(params)
             elif route == "/tts":
                 self._send(*service.tts(params))
+            elif route == "/set_refer_audio":
+                self._send(*service.set_refer_audio(params.get("refer_audio_path", "")))
             elif route == "/set_gpt_weights":
                 self._send(*service.set_weights("gpt", params.get("weights_path", "")))
             elif route == "/set_sovits_weights":
@@ -368,6 +392,11 @@ def make_fastapi_app(service: TTSService):
         else:
             req = await request.json()
         code, body, ctype = service.tts(req)
+        return Response(content=body, status_code=code, media_type=ctype)
+
+    @app.get("/set_refer_audio")
+    async def set_refer(refer_audio_path: str = ""):
+        code, body, ctype = service.set_refer_audio(refer_audio_path)
         return Response(content=body, status_code=code, media_type=ctype)
 
     @app.get("/set_gpt_weights")

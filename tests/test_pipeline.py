@@ -175,3 +175,52 @@ def test_zh_bert_features_in_pipeline(pipeline):
         pipeline.bert = None
         pipeline.bert_params = None
         pipeline.bert_tokenizer = None
+
+def test_multi_reference_tone_fusion(pipeline):
+    """aux_wavs: ge averages over main+aux refs (models.py:977-984,
+    TTS.py aux_ref_audio_paths). Must run end-to-end and differ from the
+    single-ref output while staying deterministic."""
+    rng = np.random.default_rng(7)
+    wav = (rng.standard_normal(8000) * 0.1).astype(np.float32)
+    aux1 = (rng.standard_normal(6000) * 0.2).astype(np.float32)
+    aux2 = (rng.standard_normal(9000) * 0.05).astype(np.float32)
+
+    pipeline.set_ref_audio(wav, sr=8000)
+    sr, single = pipeline.run("Fusion check sentence.", "en", seed=5, max_sec=1)
+
+    ref = pipeline.set_ref_audio(wav, sr=8000, aux_wavs=[(aux1, 8000), (aux2, 8000)])
+    assert ref.aux_specs is not None and len(ref.aux_specs) == 2
+    sr2, fused = pipeline.run("Fusion check sentence.", "en", seed=5, max_sec=1)
+    assert sr2 == sr and len(fused) > 0
+    assert np.isfinite(fused.astype(np.float32)).all()
+    # timbre vector changed -> waveform changes
+    if len(fused) == len(single):
+        assert not np.array_equal(fused, single)
+    # deterministic under the same aux set
+    _, fused2 = pipeline.run("Fusion check sentence.", "en", seed=5, max_sec=1)
+    np.testing.assert_array_equal(fused, fused2)
+    pipeline.set_ref_audio(wav, sr=8000)  # restore for other tests
+
+
+def test_multi_reference_ge_is_mean_of_per_ref_ge(pipeline):
+    """RefCache.ge == mean of per-ref compute_ge_masked, each ref encoded at
+    its OWN length (reference encodes the spec list one by one; padding is
+    not equivalent because the temporal convs see pad rows)."""
+    rng = np.random.default_rng(11)
+    wav = (rng.standard_normal(8000) * 0.1).astype(np.float32)
+    aux = (rng.standard_normal(5600) * 0.2).astype(np.float32)
+    ref = pipeline.set_ref_audio(wav, sr=8000, aux_wavs=[(aux, 8000)])
+    assert ref.ge is not None and ref.ge.shape[0] == 1
+
+    ges = []
+    for s in [ref.refer_spec] + list(ref.aux_specs):
+        ge = pipeline.s2.apply(
+            pipeline.s2_params, jnp.asarray(s[None]),
+            jnp.asarray([s.shape[0]], jnp.int32), None,
+            method=SynthesizerTrn.compute_ge_masked,
+        )
+        ges.append(np.asarray(ge))
+    np.testing.assert_allclose(ref.ge, np.mean(ges, axis=0), rtol=1e-6, atol=1e-7)
+    # single ref -> no precomputed ge (in-graph path unchanged)
+    ref1 = pipeline.set_ref_audio(wav, sr=8000)
+    assert ref1.ge is None

@@ -134,3 +134,39 @@ def test_legacy_api_contract(server):
     q = urllib.parse.urlencode({"text": "good morning", "text_language": "英文"})
     code, body, _c = _get(base + "/?" + q)
     assert code == 200 and body[:4] == b"RIFF"
+
+def test_set_refer_audio_endpoint(server, tmp_path):
+    """GET /set_refer_audio pre-sets the reference (api_v2.py:441-448)."""
+    base, ref, _ = server
+    code, body, _ = _get(base + "/set_refer_audio?" + urllib.parse.urlencode({"refer_audio_path": ref}))
+    assert code == 200 and json.loads(body)["message"] == "success"
+    # bad path -> 400 with Exception payload (api_v2 contract)
+    code, body, _ = _get(base + "/set_refer_audio?refer_audio_path=/nonexistent.wav")
+    assert code == 400 and b"Exception" in body
+
+
+def test_tts_with_aux_ref_audio_paths(server, tmp_path):
+    """aux_ref_audio_paths: multi-reference tone fusion through the API;
+    missing aux paths are skipped like the reference (TTS.py:1106)."""
+    rng = np.random.default_rng(5)
+    aux = tmp_path / "aux.wav"
+    save_wav(str(aux), (rng.standard_normal(6000) * 0.2).astype(np.float32), 8000)
+    base, ref, _ = server
+    req = urllib.request.Request(
+        base + "/tts",
+        data=json.dumps({
+            "text": "Aux fusion test", "text_lang": "en", "ref_audio_path": ref,
+            "aux_ref_audio_paths": [str(aux), "/missing/skipped.wav"], "seed": 2,
+        }).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req) as r:
+        assert r.status == 200
+        assert r.read()[:4] == b"RIFF"
+    # GET form: comma-separated list
+    q = urllib.parse.urlencode({
+        "text": "Aux fusion get", "text_lang": "en", "ref_audio_path": ref,
+        "aux_ref_audio_paths": str(aux), "seed": 2,
+    })
+    code, body, _ = _get(base + "/tts?" + q)
+    assert code == 200 and body[:4] == b"RIFF"
