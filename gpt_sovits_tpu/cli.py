@@ -82,6 +82,8 @@ def cmd_prepare(args):
     from gpt_sovits_tpu.utils.loaders import load_bert, load_hubert, load_s2, load_sv
 
     os.makedirs(args.exp_dir, exist_ok=True)
+    for problem in extract.check_details(list_file=args.list):  # my_utils.check_details
+        print(f"warning: {problem}", file=sys.stderr)
 
     bert_fn = None
     if args.bert:
@@ -151,6 +153,15 @@ def cmd_train_s1(args):
             ckpt_io.save_checkpoint(state, args.ckpt_dir, int(state.step))
             ckpt_io.export_weights(state.params["params"], os.path.join(args.ckpt_dir, f"s1-e{epoch + 1}.npz"),
                                    config={"model": "s1"}, info=f"{epoch + 1}epoch")
+            # reference-format .ckpt, loadable by the PyTorch project too
+            # (s1_train.py my_model_ckpt fp16 weights-only export)
+            from gpt_sovits_tpu.utils.checkpoint_compat import s1_params_to_torch, save_reference_pth
+
+            save_reference_pth(
+                s1_params_to_torch(state.params, cfg),
+                os.path.join(args.ckpt_dir, f"s1-e{epoch + 1}.ckpt"),
+                config={"model": {"t2s": "gpt_sovits_tpu"}}, info=f"{epoch + 1}epoch",
+            )
     print("train-s1 done")
 
 
@@ -181,7 +192,74 @@ def cmd_train_s2(args):
             ckpt_io.save_checkpoint(state, args.ckpt_dir, int(state.step))
             ckpt_io.export_weights(state.params_g["params"], os.path.join(args.ckpt_dir, f"s2G-e{epoch + 1}.npz"),
                                    config={"version": args.version}, info=f"{epoch + 1}epoch")
+            # reference-format .pth (process_ckpt.savee container, enc_q
+            # dropped) so fine-tunes trained here load in the reference too
+            from gpt_sovits_tpu.utils.checkpoint_compat import s2_params_to_torch, save_reference_pth
+
+            sd = s2_params_to_torch(state.params_g, s2)
+            save_reference_pth(
+                {k: v for k, v in sd.items() if not k.startswith("enc_q.")},
+                os.path.join(args.ckpt_dir, f"s2G-e{epoch + 1}.pth"),
+                model_version=args.version, config={"version": args.version}, info=f"{epoch + 1}epoch",
+            )
     print("train-s2 done")
+
+
+def cmd_train_v3(args):
+    import jax
+    import jax.numpy as jnp
+
+    from gpt_sovits_tpu.models.v3 import SynthesizerTrnV3
+    from gpt_sovits_tpu.train import ckpt as ckpt_io
+    from gpt_sovits_tpu.train.data import BucketSampler, V3Dataset, data_iterator
+    from gpt_sovits_tpu.train.s2_train_v3 import (
+        V3TrainState,
+        init_lora,
+        init_state,
+        make_lora_optimizer,
+        make_lora_train_step,
+        make_train_step,
+        merge_lora,
+    )
+    from gpt_sovits_tpu.utils.config import TrainConfig, s2_config_for_version
+
+    cfg = s2_config_for_version(args.version)
+    tc = TrainConfig(batch_size=args.batch_size, epochs=args.epochs)
+    ds = V3Dataset(args.exp_dir, version=args.version)
+    sampler = BucketSampler(ds.lengths(), tc.batch_size, seed=tc.seed)
+    batches = sampler.epoch_batches(0)
+    if not batches:
+        sys.exit("no training batches (dataset too small for batch size)")
+    sample = {k: jnp.asarray(v) for k, v in ds.collate(batches[0]).items()}
+    model = SynthesizerTrnV3(cfg)
+    state = init_state(jax.random.PRNGKey(tc.seed), model, tc, sample)
+    steps_per_epoch = max(len(batches), 1)
+    if args.lora_rank > 0:
+        lora = init_lora(state.params, args.lora_rank, jax.random.PRNGKey(tc.seed + 1))
+        state = V3TrainState(state.step, state.params, make_lora_optimizer(tc, steps_per_epoch).init(lora), lora)
+        step_fn = make_lora_train_step(model, tc, steps_per_epoch)
+    else:
+        step_fn = make_train_step(model, tc, steps_per_epoch)
+    for epoch in range(tc.epochs):
+        for batch in data_iterator(ds, sampler, epoch):
+            state, metrics = step_fn(state, {k: jnp.asarray(v) for k, v in batch.items()}, jax.random.PRNGKey(epoch))
+        print(f"epoch {epoch}: " + " ".join(f"{k}={float(v):.4f}" for k, v in metrics.items()))
+        if (epoch + 1) % args.save_every == 0:
+            params = merge_lora(state.params, state.lora) if state.lora is not None else state.params
+            extra = {"lora_rank": args.lora_rank} if args.lora_rank > 0 else {}
+            ckpt_io.export_weights(
+                params["params"], os.path.join(args.ckpt_dir, f"s2G-{args.version}-e{epoch + 1}.npz"),
+                config={"version": args.version, **extra}, info=f"{epoch + 1}epoch",
+            )
+            # reference-format v3/v4 .pth (merged weights, version-byte header)
+            from gpt_sovits_tpu.utils.checkpoint_compat import s2v3_params_to_torch, save_reference_pth
+
+            save_reference_pth(
+                s2v3_params_to_torch(params, cfg),
+                os.path.join(args.ckpt_dir, f"s2G-{args.version}-e{epoch + 1}.pth"),
+                model_version=args.version, config={"version": args.version, **extra}, info=f"{epoch + 1}epoch",
+            )
+    print("train-v3 done")
 
 
 def cmd_tts(args):
@@ -277,6 +355,16 @@ def main(argv=None):
     s.add_argument("--epochs", type=int, default=8)
     s.add_argument("--save-every", type=int, default=4)
     s.set_defaults(fn=cmd_train_s2)
+
+    s = sub.add_parser("train-v3", help="v3/v4 CFM fine-tune (s2_train_v3.py; --lora-rank for LoRA)")
+    s.add_argument("--exp-dir", required=True)
+    s.add_argument("--ckpt-dir", required=True)
+    s.add_argument("--version", default="v3", choices=["v3", "v4"])
+    s.add_argument("--batch-size", type=int, default=4)
+    s.add_argument("--epochs", type=int, default=4)
+    s.add_argument("--save-every", type=int, default=2)
+    s.add_argument("--lora-rank", type=int, default=0, help=">0: train LoRA deltas only (s2_train_v3_lora.py)")
+    s.set_defaults(fn=cmd_train_v3)
 
     s = sub.add_parser("tts")
     s.add_argument("--text", required=True)

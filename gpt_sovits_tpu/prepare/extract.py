@@ -194,3 +194,44 @@ def merge_semantic_shards(exp_dir: str, num_parts: int) -> str:
                 out.write(open(shard, encoding="utf-8").read())
                 os.remove(shard)
     return final
+
+
+def check_details(list_file: Optional[str] = None, audio_dir: Optional[str] = None, exp_dir: Optional[str] = None) -> list[str]:
+    """Dataset sanity checks (tools/my_utils.py check_details): returns a
+    list of human-readable problems (empty == ok).
+
+    * list_file/audio_dir: manifest format + first wav resolvable
+    * exp_dir: training artifacts present and non-empty
+    """
+    problems: list[str] = []
+    if list_file is not None:
+        if not list_file.endswith(".list"):
+            problems.append(f"{list_file}: expected a .list manifest")
+        elif not os.path.exists(list_file):
+            problems.append(f"{list_file}: not found")
+        else:
+            with open(list_file, encoding="utf-8") as f:
+                first = f.readline().strip("\n")
+            parts = first.split("|")
+            if len(parts) != 4:
+                problems.append(f"{list_file}: lines must be wav|speaker|lang|text, got {len(parts)} fields")
+            else:
+                wav_name = parts[0]
+                if audio_dir:
+                    if not os.path.isdir(audio_dir):
+                        problems.append(f"{audio_dir}: not a directory")
+                    wav_name = os.path.join(audio_dir, os.path.basename(wav_name))
+                if not os.path.exists(wav_name):
+                    problems.append(f"{wav_name}: audio path in manifest does not exist")
+    if exp_dir is not None:
+        phone_path = os.path.join(exp_dir, "2-name2text.txt")
+        if not (os.path.exists(phone_path) and open(phone_path, encoding="utf-8").read(1)):
+            problems.append("missing phoneme dataset (2-name2text.txt)")
+        for sub, label in (("4-cnhubert", "Hubert features"), ("5-wav32k", "normalized wavs")):
+            p = os.path.join(exp_dir, sub)
+            if not (os.path.isdir(p) and os.listdir(p)):
+                problems.append(f"missing {label} ({sub}/)")
+        sem = os.path.join(exp_dir, "6-name2semantic.tsv")
+        if not os.path.exists(sem) or sum(1 for _ in open(sem, encoding="utf-8")) < 1:
+            problems.append("missing semantic dataset (6-name2semantic.tsv)")
+    return problems

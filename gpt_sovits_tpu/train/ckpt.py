@@ -62,6 +62,7 @@ def load_checkpoint(path: str, target: Any) -> Any:
 def export_weights(params: Any, path: str, *, config: dict | None = None, info: str = "", drop: tuple = ("enc_q",)) -> str:
     """Flatten a param pytree to an .npz with fp16 arrays. `drop` removes
     training-only submodules (the reference drops enc_q, savee:47)."""
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     flat = {}
 
     def walk(node, prefix):

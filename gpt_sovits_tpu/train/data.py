@@ -284,6 +284,74 @@ class S2Dataset:
         return batch
 
 
+class V3Dataset(S2Dataset):
+    """CFM (v3/v4) training data (ref TextAudioSpeakerLoaderV3/V4,
+    data_utils.py:285/:523): 32 kHz spec for timbre + normalized target mel
+    computed from the resampled wav — 24 kHz/1024/256 (v3) or
+    32 kHz/1280/320 (v4) — plus ssl features and phoneme ids."""
+
+    def __init__(
+        self,
+        exp_dir: str,
+        *,
+        version: str = "v3",
+        mel_cfg: MelConfig = MelConfig(),
+        mel_cfg_v: Optional[MelConfig] = None,  # target-mel override (tests)
+        **kw,
+    ):
+        from gpt_sovits_tpu.utils.config import MEL_V3, MEL_V4
+
+        super().__init__(exp_dir, version=version, mel_cfg=mel_cfg, **kw)
+        self.mel_cfg_v = mel_cfg_v or (MEL_V4 if version == "v4" else MEL_V3)
+
+    def collate(self, idxs: Sequence[int], buckets=(128, 256, 512, 1024, 1600)) -> dict:
+        from gpt_sovits_tpu.dsp.audio_io import resample
+        from gpt_sovits_tpu.dsp.mel import mel_spectrogram, norm_spec
+
+        names = [self.names[i] for i in idxs]
+        wavs, ssls = self._load_batch_files(names)
+        hop = self.mel_cfg.hop_size
+        mcfg = self.mel_cfg_v
+        sr, sr_mel = self.mel_cfg.sampling_rate, mcfg.sampling_rate
+        t_spec = _next_bucket(max(len(w) // hop for w in wavs), buckets)
+        t_ssl = t_spec * 2
+        t_mel = _next_bucket(max((len(w) * sr_mel // sr) // mcfg.hop_size for w in wavs), buckets)
+        tx = max(len(self.phones[n]) for n in names)
+        b = len(names)
+        spec_arr = np.zeros((b, t_spec, self.mel_cfg.n_fft // 2 + 1), np.float32)
+        mel_arr = np.zeros((b, t_mel, mcfg.num_mels), np.float32)
+        ssl_arr = np.zeros((b, t_ssl, ssls[0].shape[-1]), np.float32)
+        text_arr = np.zeros((b, tx), np.int32)
+        spec_lens = np.zeros((b,), np.int32)
+        mel_lens = np.zeros((b,), np.int32)
+        text_lens = np.zeros((b,), np.int32)
+        for i, (name, wav, ssl) in enumerate(zip(names, wavs, ssls)):
+            n_frames = min(len(wav) // hop, t_spec)
+            wav = wav[: n_frames * hop]
+            spec = np.asarray(spectrogram(wav[None], self.mel_cfg))[0].T
+            spec_arr[i, : spec.shape[0]] = spec
+            wav_v = resample(np.asarray(wav, np.float32), sr, sr_mel)
+            mel = np.asarray(norm_spec(mel_spectrogram(wav_v[None], mcfg)))[0].T  # (Tm, 100)
+            m = min(mel.shape[0], t_mel)
+            mel_arr[i, :m] = mel[:m]
+            mel_lens[i] = m
+            k = min(len(ssl), t_ssl)
+            ssl_arr[i, :k] = ssl[:k]
+            ph = self.phones[name]
+            text_arr[i, : len(ph)] = ph
+            spec_lens[i] = n_frames
+            text_lens[i] = len(ph)
+        return {
+            "ssl": ssl_arr,
+            "spec": spec_arr,
+            "spec_lengths": spec_lens,
+            "mel": mel_arr,
+            "mel_lengths": mel_lens,
+            "text": text_arr,
+            "text_lengths": text_lens,
+        }
+
+
 def data_iterator(dataset, sampler: BucketSampler, epoch: int, *, prefetch: int = 2) -> Iterator[dict]:
     """Batches for one epoch, assembled `prefetch` ahead on a background
     thread so host IO overlaps device compute (the reference gets this from

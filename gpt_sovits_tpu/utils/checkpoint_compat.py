@@ -364,6 +364,35 @@ def s2v3_params_from_torch(state_dict: dict, cfg) -> dict:
     return {"params": params}
 
 
+def merge_lora_state_dict(lora_sd: dict, base_sd: dict) -> dict:
+    """Merge a reference v3/v4 LoRA distribution ckpt onto the pretrained
+    base state_dict -> plain SynthesizerTrnV3 state_dict.
+
+    Mirrors TTS.py:552-572: load base, wrap cfm with peft
+    (target to_q/to_k/to_v/to_out.0, lora_alpha == r so scale == 1), load
+    the LoRA ckpt non-strictly, merge_and_unload. peft key forms handled:
+    `cfm.base_model.model.<p>.base_layer.weight` (base weight override),
+    `<p>.lora_A[.default].weight` / `<p>.lora_B[.default].weight` (delta
+    W += B @ A)."""
+    out = dict(base_sd)
+    deltas: dict[str, dict] = {}
+    for k, v in lora_sd.items():
+        plain = k.replace("base_model.model.", "").replace(".base_layer.", ".")
+        if ".lora_A." in k or ".lora_B." in k:
+            which = "A" if ".lora_A." in k else "B"
+            tgt = plain.split(f".lora_{which}.")[0] + ".weight"
+            deltas.setdefault(tgt, {})[which] = _np(v)
+            continue
+        out[plain] = v  # non-frozen base params saved in the lora ckpt
+    for tgt, ab in deltas.items():
+        if "A" not in ab or "B" not in ab:
+            raise ValueError(f"incomplete LoRA pair for {tgt}")
+        if tgt not in out:
+            raise KeyError(f"LoRA target {tgt} missing from base state_dict")
+        out[tgt] = _np(out[tgt]) + ab["B"].astype(np.float32) @ ab["A"].astype(np.float32)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Inverse mapping: flax params -> reference torch state dict
 # ---------------------------------------------------------------------------
@@ -429,14 +458,7 @@ def _inv_wn(node, pre, n_layers, out):
         _inv_conv(node[f"res_skip_{i}"], f"{pre}.res_skip_layers.{i}", out, weight_norm=True)
 
 
-def s2_params_to_torch(params: dict, cfg) -> dict:
-    """Inverse of s2_params_from_torch: emit a reference-named state dict
-    (weight-norm pairs synthesized) that the PyTorch SynthesizerTrn loads
-    via load_state_dict to reproduce these weights exactly."""
-    p = params["params"]
-    out: dict[str, Any] = {}
-    n_layers = cfg.n_layers
-    enc_p = p["enc_p"]
+def _inv_enc_p(enc_p, n_layers, out):
     _inv_conv(enc_p["ssl_proj"], "enc_p.ssl_proj", out)
     _inv_relpos_encoder(enc_p["encoder_ssl"], "enc_p.encoder_ssl", n_layers // 2, out)
     out["enc_p.text_embedding.weight"] = _t(enc_p["text_embedding"]["embedding"])
@@ -449,6 +471,26 @@ def s2_params_to_torch(params: dict, cfg) -> dict:
     _inv_conv(m["c_post"], "enc_p.mrte.c_post", out)
     _inv_relpos_encoder(enc_p["encoder2"], "enc_p.encoder2", n_layers // 2, out)
     _inv_conv(enc_p["proj"], "enc_p.proj", out)
+
+
+def _inv_style_encoder(ref, out):
+    _inv_dense(ref["spectral1"], "ref_enc.spectral.0.fc", out)
+    _inv_dense(ref["spectral2"], "ref_enc.spectral.3.fc", out)
+    _inv_conv(ref["temporal1"]["conv1"], "ref_enc.temporal.0.conv1.conv", out)
+    _inv_conv(ref["temporal2"]["conv1"], "ref_enc.temporal.1.conv1.conv", out)
+    for nm in ("w_qs", "w_ks", "w_vs", "fc"):
+        _inv_dense(ref["slf_attn"][nm], f"ref_enc.slf_attn.{nm}", out)
+    _inv_dense(ref["fc"], "ref_enc.fc.fc", out)
+
+
+def s2_params_to_torch(params: dict, cfg) -> dict:
+    """Inverse of s2_params_from_torch: emit a reference-named state dict
+    (weight-norm pairs synthesized) that the PyTorch SynthesizerTrn loads
+    via load_state_dict to reproduce these weights exactly."""
+    p = params["params"]
+    out: dict[str, Any] = {}
+    n_layers = cfg.n_layers
+    _inv_enc_p(p["enc_p"], n_layers, out)
 
     dec = p["dec"]
     _inv_conv(dec["conv_pre"], "dec.conv_pre", out)
@@ -476,14 +518,7 @@ def s2_params_to_torch(params: dict, cfg) -> dict:
         _inv_wn(fl["enc"], f"flow.flows.{i * 2}.enc", 4, out)
         _inv_conv(fl["post"], f"flow.flows.{i * 2}.post", out)
 
-    ref = p["ref_enc"]
-    _inv_dense(ref["spectral1"], "ref_enc.spectral.0.fc", out)
-    _inv_dense(ref["spectral2"], "ref_enc.spectral.3.fc", out)
-    _inv_conv(ref["temporal1"]["conv1"], "ref_enc.temporal.0.conv1.conv", out)
-    _inv_conv(ref["temporal2"]["conv1"], "ref_enc.temporal.1.conv1.conv", out)
-    for nm in ("w_qs", "w_ks", "w_vs", "fc"):
-        _inv_dense(ref["slf_attn"][nm], f"ref_enc.slf_attn.{nm}", out)
-    _inv_dense(ref["fc"], "ref_enc.fc.fc", out)
+    _inv_style_encoder(p["ref_enc"], out)
 
     _inv_conv(p["ssl_proj"], "ssl_proj", out)
     out["quantizer.vq.layers.0._codebook.embed"] = _t(p["quantizer"]["embed"])
@@ -496,6 +531,53 @@ def s2_params_to_torch(params: dict, cfg) -> dict:
         _inv_dense(p["sv_emb"], "sv_emb", out)
         _inv_dense(p["ge_to512"], "ge_to512", out)
         out["prelu.weight"] = _t(p["prelu_alpha"])
+    return out
+
+
+def _inv_dit(node, pre, depth, out, conv_layers: int = 4):
+    """Inverse of _map_dit: models/dit.py params -> f5_tts DiT state dict."""
+    for which in ("time_embed", "d_embed"):
+        _inv_dense(node[which]["mlp1"], f"{pre}.{which}.time_mlp.0", out)
+        _inv_dense(node[which]["mlp2"], f"{pre}.{which}.time_mlp.2", out)
+    for i in range(conv_layers):
+        tb = node["text_embed"][f"block_{i}"]
+        tp = f"{pre}.text_embed.text_blocks.{i}"
+        _inv_conv(tb["dwconv"], f"{tp}.dwconv", out)
+        _inv_ln(tb["norm"], f"{tp}.norm", out, gamma="weight", beta="bias")
+        _inv_dense(tb["pwconv1"], f"{tp}.pwconv1", out)
+        _inv_dense(tb["pwconv2"], f"{tp}.pwconv2", out)
+        out[f"{tp}.grn.gamma"] = _t(tb["grn"]["gamma"])
+        out[f"{tp}.grn.beta"] = _t(tb["grn"]["beta"])
+    _inv_dense(node["input_embed"]["proj"], f"{pre}.input_embed.proj", out)
+    _inv_conv(node["input_embed"]["conv_pos_embed"]["conv1"], f"{pre}.input_embed.conv_pos_embed.conv1d.0", out)
+    _inv_conv(node["input_embed"]["conv_pos_embed"]["conv2"], f"{pre}.input_embed.conv_pos_embed.conv1d.2", out)
+    _inv_dense(node["norm_out_linear"], f"{pre}.norm_out.linear", out)
+    _inv_dense(node["proj_out"], f"{pre}.proj_out", out)
+    for i in range(depth):
+        b = node[f"block_{i}"]
+        bp = f"{pre}.transformer_blocks.{i}"
+        _inv_dense(b["ada_linear"], f"{bp}.attn_norm.linear", out)
+        for nm in ("to_q", "to_k", "to_v"):
+            _inv_dense(b[nm], f"{bp}.attn.{nm}", out)
+        _inv_dense(b["to_out"], f"{bp}.attn.to_out.0", out)
+        _inv_dense(b["ff1"], f"{bp}.ff.ff.0.0", out)
+        _inv_dense(b["ff2"], f"{bp}.ff.ff.2", out)
+
+
+def s2v3_params_to_torch(params: dict, cfg) -> dict:
+    """Inverse of s2v3_params_from_torch: reference SynthesizerTrnV3 state
+    dict — v3/v4 fine-tunes exported here load in the PyTorch project."""
+    p = params["params"]
+    out: dict[str, Any] = {}
+    _inv_enc_p(p["enc_p"], cfg.n_layers, out)
+    _inv_style_encoder(p["ref_enc"], out)
+    _inv_conv(p["ssl_proj"], "ssl_proj", out)
+    out["quantizer.vq.layers.0._codebook.embed"] = _t(p["quantizer"]["embed"])
+    _inv_conv(p["bridge"], "bridge.0", out)
+    _inv_conv(p["wns1"]["pre"], "wns1.pre", out)
+    _inv_wn(p["wns1"]["enc"], "wns1.enc", 8, out)
+    _inv_conv(p["wns1"]["proj"], "wns1.proj", out)
+    _inv_dit(p["cfm"]["estimator"], "cfm.estimator", cfg.cfm_dit_depth, out)
     return out
 
 

@@ -39,25 +39,45 @@ def load_s1(path: Optional[str] = None, cfg: S1Config = S1Config(), *, dtype=jnp
     return model, s1_params_from_torch(sd, cfg)
 
 
-def load_s2(path: Optional[str] = None, version: Optional[str] = None):
-    """S2 synthesizer (any version) from a reference SoVITS .pth or random."""
+def load_s2(path: Optional[str] = None, version: Optional[str] = None, *, lora_base_path: Optional[str] = None):
+    """S2 synthesizer (any version) from a reference SoVITS .pth or random.
+
+    LoRA distribution ckpts (v3/v4 fine-tunes) need `lora_base_path` — the
+    stock pretrained SoVITS file the LoRA was trained from; the deltas are
+    merged at load (TTS.py:552-572)."""
     from gpt_sovits_tpu.models.v3 import SynthesizerTrnV3
     from gpt_sovits_tpu.models.vits import SynthesizerTrn
 
-    if path is not None and version is None:
+    is_lora = False
+    if path is not None:
         from gpt_sovits_tpu.utils.checkpoint_compat import sniff_sovits_version
 
-        _, version, _ = sniff_sovits_version(path)
+        _, sniffed, is_lora = sniff_sovits_version(path)
+        version = version or sniffed
     version = version or "v2"
     cfg = s2_config_for_version(version)
     model = SynthesizerTrnV3(cfg) if cfg.is_cfm else SynthesizerTrn(cfg)
     if path is None:
         return model, None, version
-    from gpt_sovits_tpu.utils.checkpoint_compat import load_torch_checkpoint, s2_params_from_torch
+    from gpt_sovits_tpu.utils.checkpoint_compat import (
+        load_torch_checkpoint,
+        merge_lora_state_dict,
+        s2_params_from_torch,
+        s2v3_params_from_torch,
+    )
 
     ckpt = load_torch_checkpoint(path)
     sd = ckpt.get("weight", ckpt)
-    params = s2_params_from_torch(sd, cfg)
+    if is_lora:
+        if lora_base_path is None:
+            raise ValueError(
+                f"{path} is a LoRA fine-tune export; pass lora_base_path= the "
+                "pretrained SoVITS file it was trained from (the reference "
+                "merges onto pretrained_models/..., TTS.py:552-572)"
+            )
+        base = load_torch_checkpoint(lora_base_path)
+        sd = merge_lora_state_dict(sd, base.get("weight", base))
+    params = s2v3_params_from_torch(sd, cfg) if cfg.is_cfm else s2_params_from_torch(sd, cfg)
     return model, params, version
 
 

@@ -67,3 +67,68 @@ def test_reference_container_roundtrip(tmp_path):
         ckpt = load_torch_checkpoint(p)
         assert ckpt["info"] == "1epoch"
         np.testing.assert_array_equal(ckpt["weight"]["x.weight"].float().numpy(), np.ones((3, 2)))
+
+
+def test_merge_lora_state_dict():
+    """Reference v3/v4 LoRA export merged onto the pretrained base
+    (TTS.py:552-572 peft merge_and_unload equivalence)."""
+    import numpy as np
+
+    from gpt_sovits_tpu.utils.checkpoint_compat import merge_lora_state_dict
+
+    rng = np.random.default_rng(0)
+    W = rng.standard_normal((8, 8)).astype(np.float32)
+    O = rng.standard_normal((4,)).astype(np.float32)
+    A = rng.standard_normal((2, 8)).astype(np.float32)  # (r, in)
+    B = rng.standard_normal((8, 2)).astype(np.float32)  # (out, r)
+    W2 = rng.standard_normal((8, 8)).astype(np.float32)
+    O2 = rng.standard_normal((4,)).astype(np.float32)
+    base = {"cfm.estimator.blk.attn.to_q.weight": W, "other.weight": O}
+    lora = {
+        "cfm.base_model.model.estimator.blk.attn.to_q.base_layer.weight": W2,
+        "cfm.base_model.model.estimator.blk.attn.to_q.lora_A.default.weight": A,
+        "cfm.base_model.model.estimator.blk.attn.to_q.lora_B.default.weight": B,
+        "other.weight": O2,
+    }
+    out = merge_lora_state_dict(lora, base)
+    np.testing.assert_allclose(out["cfm.estimator.blk.attn.to_q.weight"], W2 + B @ A, rtol=1e-6)
+    np.testing.assert_array_equal(out["other.weight"], O2)
+    # old peft naming (no .default) also accepted
+    lora_old = {
+        "cfm.base_model.model.estimator.blk.attn.to_q.lora_A.weight": A,
+        "cfm.base_model.model.estimator.blk.attn.to_q.lora_B.weight": B,
+    }
+    out2 = merge_lora_state_dict(lora_old, base)
+    np.testing.assert_allclose(out2["cfm.estimator.blk.attn.to_q.weight"], W + B @ A, rtol=1e-6)
+    # incomplete pair -> error
+    try:
+        merge_lora_state_dict({"x.lora_A.weight": A}, {"x.weight": W})
+        raise AssertionError("expected ValueError")
+    except (ValueError, KeyError):
+        pass
+
+
+def test_s2v3_inverse_roundtrip():
+    """v3 CFM synthesizer: flax -> reference state dict -> flax is exact."""
+    from gpt_sovits_tpu.models.v3 import SynthesizerTrnV3
+    from gpt_sovits_tpu.utils.checkpoint_compat import s2v3_params_from_torch, s2v3_params_to_torch
+
+    import sys as _sys
+    _sys.path.insert(0, "tests")
+    from test_v3 import V3_TINY
+
+    model = SynthesizerTrnV3(V3_TINY)
+    import jax as _jax
+    import jax.numpy as _jnp
+
+    b, ts, tspec, tt, tmel = 1, 24, 24, 6, 45
+    params = model.init(
+        {"params": _jax.random.PRNGKey(0), "noise": _jax.random.PRNGKey(1)},
+        _jnp.zeros((b, ts, V3_TINY.ssl_dim)), _jnp.zeros((b, tspec, V3_TINY.spec_channels)),
+        _jnp.asarray([tspec]), _jnp.zeros((b, tmel, V3_TINY.cfm_mel_channels)), _jnp.asarray([tmel]),
+        _jnp.zeros((b, tt), _jnp.int32), _jnp.asarray([tt]),
+        method=SynthesizerTrnV3.init_all,
+    )
+    sd = s2v3_params_to_torch(params, V3_TINY)
+    back = s2v3_params_from_torch(sd, V3_TINY)
+    _trees_equal(back, params)

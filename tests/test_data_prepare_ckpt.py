@@ -125,3 +125,24 @@ def test_export_weights_roundtrip(tmp_path):
     assert meta["config"]["version"] == "v2"
     assert "enc_q" not in tree  # dropped like reference savee
     np.testing.assert_array_equal(np.asarray(tree["enc"]["w"]), np.ones((3, 2)))
+
+
+def test_check_details(corpus, tmp_path):
+    """Dataset sanity checks (tools/my_utils.py check_details equivalent)."""
+    from gpt_sovits_tpu.prepare.extract import check_details
+
+    manifest, exp_dir = corpus
+    assert check_details(list_file=manifest) == []
+    # artifacts were built by the earlier prepare test in this module
+    assert check_details(exp_dir=exp_dir) == []
+
+    bad = tmp_path / "bad.list"
+    bad.write_text("only|three|fields")
+    probs = check_details(list_file=str(bad))
+    assert any("wav|speaker|lang|text" in p for p in probs)
+    probs = check_details(list_file=str(tmp_path / "missing.list"))
+    assert probs
+    empty = tmp_path / "emptyexp"
+    empty.mkdir()
+    probs = check_details(exp_dir=str(empty))
+    assert len(probs) >= 3
