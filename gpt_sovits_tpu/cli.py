@@ -144,6 +144,13 @@ def cmd_train_s1(args):
     if latest:
         state = ckpt_io.load_checkpoint(latest, state)
         print("resumed from", latest)
+    elif getattr(args, "pretrained_s1", None):
+        from gpt_sovits_tpu.utils.checkpoint_compat import load_torch_checkpoint, s1_params_from_torch
+
+        ck = load_torch_checkpoint(args.pretrained_s1)
+        mapped = s1_params_from_torch(ck.get("weight", ck), cfg)
+        state = state.replace(params={"params": _overlay_params(state.params["params"], mapped["params"])})
+        print("loaded pretrained", args.pretrained_s1)
     step_fn = make_train_step(model, tc, use_dpo=args.dpo)
     for epoch in range(tc.epochs):
         for batch in data_iterator(ds, sampler, epoch):
@@ -183,6 +190,28 @@ def cmd_train_s2(args):
         sys.exit("no training batches (dataset too small for batch size)")
     sample = ds.collate(batches[0])
     state, gen, disc = init_state(jax.random.PRNGKey(tc.seed), s2, tc, {k: jax.numpy.asarray(v) for k, v in sample.items()})
+    latest = ckpt_io.latest_checkpoint(args.ckpt_dir)
+    if latest:  # auto-resume newest full ckpt (s2_train.py:206-231)
+        state = ckpt_io.load_checkpoint(latest, state)
+        print("resumed from", latest)
+    else:  # resume-else-pretrained (s2_train.py:232-275)
+        from gpt_sovits_tpu.utils.checkpoint_compat import (
+            d_params_from_torch,
+            load_torch_checkpoint,
+            s2_params_from_torch,
+        )
+
+        if getattr(args, "pretrained_s2g", None):
+            ck = load_torch_checkpoint(args.pretrained_s2g)
+            mapped = s2_params_from_torch(ck.get("weight", ck), s2)
+            state = state.replace(params_g={"params": _overlay_params(state.params_g["params"], mapped["params"])})
+            print("loaded pretrained", args.pretrained_s2g)
+        if getattr(args, "pretrained_s2d", None):
+            ck = load_torch_checkpoint(args.pretrained_s2d)
+            periods = (2, 3, 5, 7, 11, 17, 23) if s2.is_pro else (2, 3, 5, 7, 11)
+            mapped = d_params_from_torch(ck.get("weight", ck), periods)
+            state = state.replace(params_d={"params": _overlay_params(state.params_d["params"], mapped["params"])})
+            print("loaded pretrained", args.pretrained_s2d)
     step_fn = make_train_step(gen, disc, tc, mel, steps_per_epoch=max(len(batches), 1))
     for epoch in range(tc.epochs):
         for batch in data_iterator(ds, sampler, epoch):
@@ -203,6 +232,19 @@ def cmd_train_s2(args):
                 model_version=args.version, config={"version": args.version}, info=f"{epoch + 1}epoch",
             )
     print("train-s2 done")
+
+
+def _overlay_params(dst: dict, src: dict) -> dict:
+    """Recursively overlay mapped pretrained weights onto an initialized
+    param tree (keys absent from the ckpt — e.g. enc_q dropped by savee —
+    keep their fresh init, like the reference's strict=False load)."""
+    out = dict(dst)
+    for k, v in src.items():
+        if isinstance(v, dict) and isinstance(out.get(k), dict):
+            out[k] = _overlay_params(out[k], v)
+        else:
+            out[k] = v
+    return out
 
 
 def cmd_train_v3(args):
@@ -240,11 +282,23 @@ def cmd_train_v3(args):
         step_fn = make_lora_train_step(model, tc, steps_per_epoch)
     else:
         step_fn = make_train_step(model, tc, steps_per_epoch)
+    latest = ckpt_io.latest_checkpoint(args.ckpt_dir)
+    if latest:  # auto-resume (s2_train_v3.py resume-else-pretrained skeleton)
+        state = ckpt_io.load_checkpoint(latest, state)
+        print("resumed from", latest)
+    elif getattr(args, "pretrained", None):
+        from gpt_sovits_tpu.utils.checkpoint_compat import load_torch_checkpoint, s2v3_params_from_torch
+
+        ck = load_torch_checkpoint(args.pretrained)
+        mapped = s2v3_params_from_torch(ck.get("weight", ck), cfg)
+        state = state.replace(params={"params": _overlay_params(state.params["params"], mapped["params"])})
+        print("loaded pretrained", args.pretrained)
     for epoch in range(tc.epochs):
         for batch in data_iterator(ds, sampler, epoch):
             state, metrics = step_fn(state, {k: jnp.asarray(v) for k, v in batch.items()}, jax.random.PRNGKey(epoch))
         print(f"epoch {epoch}: " + " ".join(f"{k}={float(v):.4f}" for k, v in metrics.items()))
         if (epoch + 1) % args.save_every == 0:
+            ckpt_io.save_checkpoint(state, args.ckpt_dir, int(state.step))
             params = merge_lora(state.params, state.lora) if state.lora is not None else state.params
             extra = {"lora_rank": args.lora_rank} if args.lora_rank > 0 else {}
             ckpt_io.export_weights(
@@ -345,6 +399,7 @@ def main(argv=None):
     s.add_argument("--epochs", type=int, default=15)
     s.add_argument("--save-every", type=int, default=5)
     s.add_argument("--dpo", action="store_true")
+    s.add_argument("--pretrained-s1", help="reference s1*.ckpt to fine-tune from")
     s.set_defaults(fn=cmd_train_s1)
 
     s = sub.add_parser("train-s2")
@@ -354,6 +409,8 @@ def main(argv=None):
     s.add_argument("--batch-size", type=int, default=8)
     s.add_argument("--epochs", type=int, default=8)
     s.add_argument("--save-every", type=int, default=4)
+    s.add_argument("--pretrained-s2g", help="reference s2G*.pth to fine-tune from")
+    s.add_argument("--pretrained-s2d", help="reference s2D*.pth discriminator warm start")
     s.set_defaults(fn=cmd_train_s2)
 
     s = sub.add_parser("train-v3", help="v3/v4 CFM fine-tune (s2_train_v3.py; --lora-rank for LoRA)")
@@ -364,6 +421,7 @@ def main(argv=None):
     s.add_argument("--epochs", type=int, default=4)
     s.add_argument("--save-every", type=int, default=2)
     s.add_argument("--lora-rank", type=int, default=0, help=">0: train LoRA deltas only (s2_train_v3_lora.py)")
+    s.add_argument("--pretrained", help="reference v3/v4 SoVITS .pth to fine-tune from")
     s.set_defaults(fn=cmd_train_v3)
 
     s = sub.add_parser("tts")

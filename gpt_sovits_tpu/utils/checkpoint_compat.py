@@ -364,6 +364,30 @@ def s2v3_params_from_torch(state_dict: dict, cfg) -> dict:
     return {"params": params}
 
 
+def d_params_from_torch(state_dict: dict, periods=(2, 3, 5, 7, 11)) -> dict:
+    """Reference MultiPeriodDiscriminator state dict (pretrained s2D*.pth)
+    -> models/discriminators.py flax params. v2Pro passes periods + (17, 23)
+    (models.py:596-599)."""
+    sd = _SD({k.removeprefix("module."): v for k, v in state_dict.items()})
+
+    def conv2d(prefix):
+        w = sd.folded(prefix)  # torch Conv2d (out, in, kh, kw)
+        out = {"kernel": jnp.asarray(w.transpose(2, 3, 1, 0))}
+        if f"{prefix}.bias" in sd:
+            out["bias"] = jnp.asarray(sd.get(f"{prefix}.bias"))
+        return out
+
+    params: dict[str, Any] = {"disc_s": {}}
+    for i in range(6):
+        params["disc_s"][f"conv_{i}"] = sd.conv(f"discriminators.0.convs.{i}")
+    params["disc_s"]["conv_post"] = sd.conv("discriminators.0.conv_post")
+    for di, p in enumerate(periods, start=1):
+        node = {f"conv_{i}": conv2d(f"discriminators.{di}.convs.{i}") for i in range(5)}
+        node["conv_post"] = conv2d(f"discriminators.{di}.conv_post")
+        params[f"disc_p{p}"] = node
+    return {"params": params}
+
+
 def merge_lora_state_dict(lora_sd: dict, base_sd: dict) -> dict:
     """Merge a reference v3/v4 LoRA distribution ckpt onto the pretrained
     base state_dict -> plain SynthesizerTrnV3 state_dict.

@@ -231,3 +231,32 @@ def test_s1_training_logits_parity(ref_modules):
         jnp.asarray(bert.transpose(0, 2, 1)),
     )
     np.testing.assert_allclose(float(loss_ours), float(loss_ref), rtol=2e-4)
+
+
+def test_discriminator_weight_import_parity(ref_modules):
+    """d_params_from_torch: pretrained s2D state dict drives our
+    MultiPeriodDiscriminator to the same outputs as the reference's."""
+    import torch
+
+    from gpt_sovits_tpu.models.discriminators import MultiPeriodDiscriminator
+    from gpt_sovits_tpu.utils.checkpoint_compat import d_params_from_torch
+
+    ref_models, _ = ref_modules
+    torch.manual_seed(0)
+    ref_d = ref_models.MultiPeriodDiscriminator().eval()
+    sd = ref_d.state_dict()
+
+    params = d_params_from_torch(sd)
+    ours = MultiPeriodDiscriminator()
+
+    rng = np.random.default_rng(0)
+    y = rng.standard_normal((1, 4096, 1)).astype(np.float32) * 0.2
+    yh = rng.standard_normal((1, 4096, 1)).astype(np.float32) * 0.2
+    outs_r, outs_g, fr, fg = ours.apply(params, jnp.asarray(y), jnp.asarray(yh))
+    with torch.no_grad():
+        t_r, t_g, t_fr, t_fg = ref_d(torch.from_numpy(y.transpose(0, 2, 1)), torch.from_numpy(yh.transpose(0, 2, 1)))
+    assert len(outs_r) == len(t_r) == 6
+    for a, b in zip(outs_r, t_r):
+        np.testing.assert_allclose(np.asarray(a).ravel(), b.numpy().ravel(), rtol=2e-4, atol=2e-5)
+    for a, b in zip(outs_g, t_g):
+        np.testing.assert_allclose(np.asarray(a).ravel(), b.numpy().ravel(), rtol=2e-4, atol=2e-5)
