@@ -204,9 +204,9 @@ class TTSPipeline:
             dit_params = {"params": v3_bundle.params["params"]["cfm"]["estimator"]}
             steps = v3_bundle.sample_steps
 
-            @jax.jit
-            def _cfm(mu, x_lens, prompt, key):
-                return cfm_inference(dit, dit_params, mu, x_lens, prompt, key, n_steps=steps)
+            @functools.partial(jax.jit, static_argnames=("n_steps",))
+            def _cfm(mu, x_lens, prompt, key, n_steps=steps):
+                return cfm_inference(dit, dit_params, mu, x_lens, prompt, key, n_steps=n_steps)
 
             self._cfm_infer = _cfm
             self._fea_ref_cache = None
@@ -390,6 +390,11 @@ class TTSPipeline:
         speed: float = 1.0,
         fragment_interval: Optional[float] = None,
         max_sec: int = 30,
+        batch_size: Optional[int] = None,
+        split_bucket: bool = True,
+        parallel_infer: bool = True,
+        sample_steps: Optional[int] = None,  # v3/v4 CFM Euler steps
+        super_sampling: Optional[bool] = None,  # v3 AP-BWE 24k->48k
     ) -> tuple[int, np.ndarray]:
         """Synthesize. Returns (sample_rate, int16 waveform)."""
         assert self.ref is not None, "call set_ref_audio first"
@@ -405,15 +410,21 @@ class TTSPipeline:
         if not segments:
             raise ValueError("no synthesizable text")
 
-        # length-sorted bucketing (to_batch, TTS.py:842)
-        order = sorted(range(len(segments)), key=lambda i: len(segments[i]["phones"]))
+        # length-sorted bucketing (to_batch, TTS.py:842); split_bucket=False
+        # keeps reading order, parallel_infer=False decodes one at a time
+        order = (
+            sorted(range(len(segments)), key=lambda i: len(segments[i]["phones"]))
+            if split_bucket and parallel_infer
+            else list(range(len(segments)))
+        )
         key = jax.random.PRNGKey(seed)
         sr = self.mel_cfg.sampling_rate
         hop = self.mel_cfg.hop_size
         frame_rate = self.s1.cfg.semantic_frame_rate
         wavs: dict[int, np.ndarray] = {}
 
-        bs = cfg.batch_size
+        bs = (batch_size or cfg.batch_size) if parallel_infer else 1
+        v3_kw = {} if self.v3 is None else {"sample_steps": sample_steps, "super_sampling": super_sampling}
         for start in range(0, len(order), bs):
             idx = order[start : start + bs]
             batch = [segments[i] for i in idx]
@@ -423,13 +434,14 @@ class TTSPipeline:
                 batch, sub,
                 top_k=top_k, top_p=top_p, temperature=temperature,
                 repetition_penalty=repetition_penalty, speed=speed, max_sec=max_sec,
+                **v3_kw,
             )
             for i, w in zip(idx, wav_list):
                 wavs[i] = w
 
         if self.v3 is not None:
             sr = self.v3.out_sr
-            if self.v3.sr_model is not None and self.v3.sr_params is not None:
+            if self.v3.sr_model is not None and self.v3.sr_params is not None and super_sampling is not False:
                 sr = self.v3.sr_model.cfg.hr_sampling_rate
         silence = np.zeros(int(sr * fragment_interval), np.float32)
         pieces = []
@@ -461,17 +473,26 @@ class TTSPipeline:
             speed=kwargs.pop("speed", 1.0),
             max_sec=kwargs.pop("max_sec", 30),
         )
+        kwargs.pop("split_bucket", None)  # streaming always yields in reading order
+        bs = (kwargs.pop("batch_size", None) or cfg.batch_size) if kwargs.pop("parallel_infer", True) else 1
+        sample_steps = kwargs.pop("sample_steps", None)
+        super_sampling = kwargs.pop("super_sampling", None)
+        if self.v3 is not None:
+            synth_kw.update(sample_steps=sample_steps, super_sampling=super_sampling)
         segments = self.preprocess(text, language, cut_method)
         if not segments:
             return
         sr = self.v3.out_sr if self.v3 is not None else self.mel_cfg.sampling_rate
-        if self.v3 is not None and self.v3.sr_model is not None and self.v3.sr_params is not None:
+        if (
+            self.v3 is not None and self.v3.sr_model is not None
+            and self.v3.sr_params is not None and super_sampling is not False
+        ):
             sr = self.v3.sr_model.cfg.hr_sampling_rate
         key = jax.random.PRNGKey(seed)
         synth = self._synthesize_v3_batch if self.v3 is not None else self._synthesize_batch
         silence = np.zeros(int(sr * fragment_interval), np.float32)
-        for start in range(0, len(segments), cfg.batch_size):
-            batch = segments[start : start + cfg.batch_size]
+        for start in range(0, len(segments), bs):
+            batch = segments[start : start + bs]
             key, sub = jax.random.split(key)
             for wav in synth(batch, sub, **synth_kw):
                 frag = np.concatenate([np.clip(wav, -1.0, 1.0), silence])
@@ -603,7 +624,10 @@ class TTSPipeline:
         self._fea_ref_cache = (np.asarray(fea_ref), ge, np.asarray(mel2), t_min)
         return self._fea_ref_cache
 
-    def _synthesize_v3_batch(self, batch, key, *, top_k, top_p, temperature, repetition_penalty, speed, max_sec):
+    def _synthesize_v3_batch(
+        self, batch, key, *, top_k, top_p, temperature, repetition_penalty, speed, max_sec,
+        sample_steps=None, super_sampling=None,
+    ):
         v3 = self.v3
         tokens, lengths = self._s1_generate(
             batch, key, top_k=top_k, top_p=top_p, temperature=temperature,
@@ -639,7 +663,8 @@ class TTSPipeline:
                     fea = np.pad(fea, ((0, 0), (0, pad), (0, 0)))
                 key2, sub = jax.random.split(key2)
                 mel_out = self._cfm_infer(
-                    jnp.asarray(fea), jnp.asarray([t_min + ln]), jnp.asarray(mel2), sub
+                    jnp.asarray(fea), jnp.asarray([t_min + ln]), jnp.asarray(mel2), sub,
+                    n_steps=int(sample_steps or v3.sample_steps),
                 )
                 mel_out = np.asarray(mel_out)[:, t_min : t_min + ln]
                 mel_chunks.append(mel_out)
@@ -649,7 +674,7 @@ class TTSPipeline:
             mel_full = denorm_spec(jnp.asarray(np.concatenate(mel_chunks, axis=1)))
             wav = np.asarray(self._vocoder_fwd(v3.vocoder_params, mel_full))[0, :, 0]
             wav = wav[: total * upsample]
-            if v3.sr_model is not None and v3.sr_params is not None:
+            if v3.sr_model is not None and v3.sr_params is not None and super_sampling is not False:
                 from gpt_sovits_tpu.models.apbwe import super_resolve
 
                 up, _ = super_resolve(v3.sr_model, v3.sr_params, jnp.asarray(wav[None]), v3.out_sr)

@@ -32,6 +32,7 @@ import numpy as np
 from gpt_sovits_tpu.text.segmentation import get_method
 
 _BOOL = ("1", "true", "True", "yes")
+_TRUE = (True, 1, "1", "true", "True", "yes")  # JSON bools or query strings
 
 
 def wav_bytes(audio_int16: np.ndarray, sr: int) -> bytes:
@@ -198,6 +199,11 @@ class TTSService:
                     repetition_penalty=float(req["repetition_penalty"]) if "repetition_penalty" in req else None,
                     speed=float(req.get("speed_factor", 1.0)),
                     fragment_interval=float(req["fragment_interval"]) if "fragment_interval" in req else None,
+                    batch_size=int(req["batch_size"]) if "batch_size" in req else None,
+                    split_bucket=req.get("split_bucket", True) in _TRUE,
+                    parallel_infer=req.get("parallel_infer", True) in _TRUE,
+                    sample_steps=int(req["sample_steps"]) if "sample_steps" in req else None,
+                    super_sampling=(req.get("super_sampling") in _TRUE) if "super_sampling" in req else None,
                 )
             except (ValueError, FileNotFoundError, NotImplementedError) as e:
                 return 400, json.dumps({"message": str(e)}).encode(), "application/json"

@@ -224,3 +224,18 @@ def test_multi_reference_ge_is_mean_of_per_ref_ge(pipeline):
     # single ref -> no precomputed ge (in-graph path unchanged)
     ref1 = pipeline.set_ref_audio(wav, sr=8000)
     assert ref1.ge is None
+
+
+def test_run_parallel_infer_off_and_batch_size(pipeline):
+    """parallel_infer=False (one-by-one decode) and per-request batch_size
+    give the same audio content ordering as the batched default."""
+    rng = np.random.default_rng(9)
+    wav = (rng.standard_normal(8000) * 0.1).astype(np.float32)
+    pipeline.set_ref_audio(wav, sr=8000)
+    text = "First sentence here. Second one follows! Third closes it?"
+    sr, batched = pipeline.run(text, "en", seed=11, max_sec=1)
+    sr, serial = pipeline.run(text, "en", seed=11, max_sec=1, parallel_infer=False)
+    sr, bs1 = pipeline.run(text, "en", seed=11, max_sec=1, batch_size=1, split_bucket=False)
+    assert len(serial) > 0 and len(bs1) > 0
+    # one-at-a-time == batch_size 1 without bucketing (identical work order)
+    np.testing.assert_array_equal(serial, bs1)

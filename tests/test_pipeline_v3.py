@@ -128,3 +128,17 @@ def test_v3_with_super_resolution(v3_pipeline):
     finally:
         v3_pipeline.v3.sr_model = None
         v3_pipeline.v3.sr_params = None
+
+
+def test_v3_sample_steps_override(v3_pipeline):
+    """per-request sample_steps (api_v2 TTS_Request.sample_steps) changes the
+    Euler integration; deterministic per (seed, steps)."""
+    rng = np.random.default_rng(4)
+    wav = (rng.standard_normal(8000) * 0.1).astype(np.float32)
+    v3_pipeline.set_ref_audio(wav, sr=8000, ref_text="hello world")
+    v3_pipeline._fea_ref_cache = None
+    sr, a8 = v3_pipeline.run("Step override test.", "en", seed=2, max_sec=1, sample_steps=8)
+    sr, a8b = v3_pipeline.run("Step override test.", "en", seed=2, max_sec=1, sample_steps=8)
+    sr, a4 = v3_pipeline.run("Step override test.", "en", seed=2, max_sec=1, sample_steps=4)
+    np.testing.assert_array_equal(a8, a8b)
+    assert len(a4) == len(a8) and not np.array_equal(a4, a8)
