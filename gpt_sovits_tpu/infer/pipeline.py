@@ -105,7 +105,7 @@ class TTSPipeline:
         infer_cfg: InferenceConfig = InferenceConfig(),
         v3_bundle: Optional[V3Bundle] = None,
         use_fused_s1: Optional[bool] = None,  # default: True on TPU
-        s1_weight_quant: str = "bf16",  # "int8": weight-only quantized decode (~1.35x S1)
+        s1_weight_quant: str = "bf16",  # "int8": weight-only quantized decode (halves weight HBM traffic; pays off for batched serving)
         half: Optional[bool] = None,  # bf16 vocoder (reference is_half default); None: True on TPU
         mesh=None,  # jax.sharding.Mesh: dp-shard synthesis batches over 'data'
     ):

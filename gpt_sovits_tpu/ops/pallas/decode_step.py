@@ -90,8 +90,13 @@ def _make_kernel(num_layers: int, b: int, d: int, h: int, t_pad: int, chunk: int
             x_scr[:] = x_ref[:]
 
         x = x_scr[:]  # (B, D) f32
-        wqkv = wqkv_ref[0].astype(jnp.float32)
-        qkv = descale(jnp.dot(x, wqkv, preferred_element_type=jnp.float32), wqkv_s_ref) + bqkv_ref[0, 0][None, :]
+        # All GEMVs run with bf16 operands + f32 accumulation: f32 MXU
+        # matmuls cost several bf16 passes and made the kernel compute-bound
+        # (the flax reference computes in bf16 anyway, so this matches it).
+        wqkv = wqkv_ref[0].astype(jnp.bfloat16)
+        qkv = descale(
+            jnp.dot(x.astype(jnp.bfloat16), wqkv, preferred_element_type=jnp.float32), wqkv_s_ref
+        ) + bqkv_ref[0, 0][None, :]
         q, k_new, v_new = qkv[:, :d], qkv[:, d : 2 * d], qkv[:, 2 * d :]
         kvnew_ref[0] = qkv[:, d:].astype(kvnew_ref.dtype)
 
@@ -121,17 +126,21 @@ def _make_kernel(num_layers: int, b: int, d: int, h: int, t_pad: int, chunk: int
 
             _dma(ci, slot).wait()
             m_out, s_out, c_out = [], [], []
+            q_bdh = q_bd.astype(jnp.bfloat16)
+            hmj_h = hmj.astype(jnp.bfloat16)
             for bi in range(b):
-                kc = kvbuf[slot, bi, :, :d].astype(jnp.float32)  # (C, D)
+                kc = kvbuf[slot, bi, :, :d]  # (C, D) bf16, matmul native
                 vc = kvbuf[slot, bi, :, d:].astype(jnp.float32)
-                sc = jnp.dot(kc, q_bd[bi], preferred_element_type=jnp.float32)  # (C, H)
+                sc = jnp.dot(kc, q_bdh[bi], preferred_element_type=jnp.float32)  # (C, H)
                 msk = mask_ref[bi, pl.ds(ci * chunk, chunk)]  # (C,)
                 sc = jnp.where(msk[:, None] > 0, sc, NEG)
                 m_new = jnp.maximum(m_run[bi], jnp.max(sc, axis=0))  # (H,)
                 alpha = jnp.exp(m_run[bi] - m_new)
                 p = jnp.exp(sc - m_new[None, :])  # (C, H)
                 s_out.append(s_run[bi] * alpha + jnp.sum(p, axis=0))
-                p_full = jnp.dot(p, hmj.T, preferred_element_type=jnp.float32)  # (C, D)
+                # probs in bf16 for the PV path — same as the flax step's
+                # probs.astype(x.dtype) before the value einsum
+                p_full = jnp.dot(p.astype(jnp.bfloat16), hmj_h.T, preferred_element_type=jnp.float32)  # (C, D)
                 c_out.append(ctx[bi] * jnp.dot(alpha[None, :], hmj.T)[0] + jnp.sum(p_full * vc, axis=0))
                 m_out.append(m_new)
             return jnp.stack(m_out), jnp.stack(s_out), jnp.stack(c_out)
@@ -156,7 +165,8 @@ def _make_kernel(num_layers: int, b: int, d: int, h: int, t_pad: int, chunk: int
         ctx = (ctx0 * alpha_d + p_self_d * v_new) / jnp.dot(s_fin, hmj.T)
 
         attn_out = descale(
-            jnp.dot(ctx, wo_ref[0].astype(jnp.float32), preferred_element_type=jnp.float32), wo_s_ref
+            jnp.dot(ctx.astype(jnp.bfloat16), wo_ref[0].astype(jnp.bfloat16), preferred_element_type=jnp.float32),
+            wo_s_ref,
         ) + bo_ref[0, 0][None, :]
         xa = x + attn_out
         mu = jnp.mean(xa, axis=-1, keepdims=True)
@@ -164,12 +174,16 @@ def _make_kernel(num_layers: int, b: int, d: int, h: int, t_pad: int, chunk: int
         xn = (xa - mu) * jax.lax.rsqrt(var + 1e-5) * n1s_ref[0, 0][None, :] + n1b_ref[0, 0][None, :]
 
         hdn = jnp.maximum(
-            descale(jnp.dot(xn, fc1_ref[0].astype(jnp.float32), preferred_element_type=jnp.float32), fc1_s_ref)
+            descale(
+                jnp.dot(xn.astype(jnp.bfloat16), fc1_ref[0].astype(jnp.bfloat16), preferred_element_type=jnp.float32),
+                fc1_s_ref,
+            )
             + b1_ref[0, 0][None, :],
             0.0,
         )
         x2 = descale(
-            jnp.dot(hdn, fc2_ref[0].astype(jnp.float32), preferred_element_type=jnp.float32), fc2_s_ref
+            jnp.dot(hdn.astype(jnp.bfloat16), fc2_ref[0].astype(jnp.bfloat16), preferred_element_type=jnp.float32),
+            fc2_s_ref,
         ) + b2_ref[0, 0][None, :]
         xb = xn + x2
         mu2 = jnp.mean(xb, axis=-1, keepdims=True)
