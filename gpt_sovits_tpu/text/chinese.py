@@ -149,7 +149,7 @@ def normalize(text: str) -> str:
 
 
 def clean_text_zh(text: str) -> tuple[list[str], list[int], str]:
-    from gpt_sovits_tpu.text.zh_norm import apply_tone_sandhi
+    from gpt_sovits_tpu.text.tone_sandhi import apply_tone_sandhi
 
     norm = normalize(text)
     sylls = _han_to_pinyin(norm)

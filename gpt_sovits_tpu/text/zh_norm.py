@@ -74,12 +74,38 @@ def normalize_zh(text: str) -> str:
         return f"{digits_to_hanzi(y)}年{num_to_hanzi(mo)}月{num_to_hanzi(d)}日"
 
     text = re.sub(r"(\d{4})[年\-/](\d{1,2})[月\-/](\d{1,2})日?", _date, text)
-    # time: 3:30 -> 三点三十分
+    # mobile/phone numbers with separators: 138-1234-5678 -> digit reading
+    text = re.sub(
+        r"\d{3,4}([\- ])\d{3,4}\1?\d{3,4}",
+        lambda m: digits_to_hanzi(re.sub(r"\D", "", m.group(0))),
+        text,
+    )
+    # time: 3:30:15 -> 三点三十分十五秒; 3:30 -> 三点三十分
+    text = re.sub(
+        r"(\d{1,2}):(\d{2}):(\d{2})",
+        lambda m: num_to_hanzi(int(m.group(1))) + "点" + num_to_hanzi(int(m.group(2))) + "分"
+        + num_to_hanzi(int(m.group(3))) + "秒",
+        text,
+    )
     text = re.sub(
         r"(\d{1,2}):(\d{2})",
         lambda m: num_to_hanzi(int(m.group(1))) + "点" + (num_to_hanzi(int(m.group(2))) + "分" if m.group(2) != "00" else ""),
         text,
     )
+    # temperature: 25°C / 25℃ -> 二十五摄氏度; -3℃ -> 零下三摄氏度
+    text = re.sub(
+        r"(-?)(\d+(?:\.\d+)?)\s*(?:°C|℃)",
+        lambda m: ("零下" if m.group(1) else "") + decimal_to_hanzi(m.group(2)) + "摄氏度",
+        text,
+    )
+    # ranges: 3~5 / 3-5 -> 三到五 (after dates/phones so hyphens there win)
+    text = re.sub(
+        r"(\d+(?:\.\d+)?)\s*[~～\-]\s*(\d+(?:\.\d+)?)",
+        lambda m: decimal_to_hanzi(m.group(1)) + "到" + decimal_to_hanzi(m.group(2)),
+        text,
+    )
+    # negative numbers: -3 -> 负三
+    text = re.sub(r"(?<![\w])-(\d+(?:\.\d+)?)", lambda m: "负" + decimal_to_hanzi(m.group(1)), text)
     # percent: 25% -> 百分之二十五
     text = re.sub(r"(\d+(?:\.\d+)?)%", lambda m: "百分之" + decimal_to_hanzi(m.group(1)), text)
     # fraction: 3/4 -> 四分之三
@@ -95,38 +121,6 @@ def normalize_zh(text: str) -> str:
     return text
 
 
-# ---------------------------------------------------------------------------
-# tone sandhi (core rules of text/tone_sandhi.py)
-# ---------------------------------------------------------------------------
-
-
-def apply_tone_sandhi(chars: str, sylls: list[str]) -> list[str]:
-    """Apply 不/一 sandhi and third-tone sandhi to toned pinyin.
-
-    chars: the hanzi string aligned 1:1 with sylls (non-hanzi entries allowed
-    as placeholders)."""
-
-    def tone(s):
-        return int(s[-1]) if s and s[-1].isdigit() else 0
-
-    def set_tone(s, t):
-        return s[:-1] + str(t) if s and s[-1].isdigit() else s
-
-    out = list(sylls)
-    n = len(out)
-    for i, ch in enumerate(chars[:n]):
-        nxt = tone(out[i + 1]) if i + 1 < n else 0
-        if ch == "不" and nxt == 4:
-            out[i] = set_tone(out[i], 2)  # 不 + tone4 -> bu2
-        elif ch == "一" and i + 1 < n:
-            if nxt == 4:
-                out[i] = set_tone(out[i], 2)  # 一 + tone4 -> yi2
-            elif nxt in (1, 2, 3):
-                out[i] = set_tone(out[i], 4)  # 一 + tone1/2/3 -> yi4
-    # third-tone sandhi: 3 3 -> 2 3; compare against ORIGINAL tones so a
-    # chain like 3-3-3 becomes 2-2-3 (展览馆 zhan2 lan2 guan3)
-    orig = [tone(s) for s in out]
-    for i in range(n - 1):
-        if orig[i] == 3 and orig[i + 1] == 3:
-            out[i] = set_tone(out[i], 2)
-    return out
+# tone sandhi moved to text/tone_sandhi.py (word-level rule set); this
+# re-export keeps older imports working
+from gpt_sovits_tpu.text.tone_sandhi import apply_tone_sandhi  # noqa: E402,F401

@@ -225,3 +225,47 @@ def test_yue_clean_text_with_stub_lexicon(tmp_path, monkeypatch):
     assert phones == ["Yk", "Yeoi5", "Yg", "Yo3", "."]
     assert word2ph == [2, 2, 1]
     yue._LEXICON = None
+
+
+def test_tone_sandhi_word_level():
+    """Word-level Mandarin sandhi (ref text/tone_sandhi.py rule families)."""
+    from gpt_sovits_tpu.text.tone_sandhi import apply_tone_sandhi
+
+    cases = [
+        # third tone: pairwise, 2+1 vs 1+2 split, cross-word chain
+        ("你好", ["ni3", "hao3"], ["ni2", "hao3"]),
+        ("展览馆", ["zhan3", "lan3", "guan3"], ["zhan2", "lan2", "guan3"]),
+        ("纸老虎", ["zhi3", "lao3", "hu3"], ["zhi3", "lao2", "hu3"]),
+        # 不 sandhi
+        ("不是", ["bu4", "shi4"], ["bu2", "shi4"]),
+        ("不好", ["bu4", "hao3"], ["bu4", "hao3"]),
+        # neutral 不 blocks the 3-3 chain
+        ("好不好", ["hao3", "bu4", "hao3"], ["hao3", "bu5", "hao3"]),
+        # 一 sandhi
+        ("一定", ["yi1", "ding4"], ["yi2", "ding4"]),
+        ("一天", ["yi1", "tian1"], ["yi4", "tian1"]),
+        ("看一看", ["kan4", "yi1", "kan4"], ["kan4", "yi5", "kan4"]),
+        ("第一", ["di4", "yi1"], ["di4", "yi1"]),
+        ("一二三", ["yi1", "er4", "san1"], ["yi1", "er4", "san1"]),
+        # neutral tone
+        ("桌子", ["zhuo1", "zi3"], ["zhuo1", "zi5"]),
+        ("我们", ["wo3", "men2"], ["wo3", "men5"]),
+        ("石头", ["shi2", "tou2"], ["shi2", "tou5"]),
+        ("喜欢", ["xi3", "huan1"], ["xi3", "huan5"]),
+        ("妈妈", ["ma1", "ma1"], ["ma1", "ma5"]),
+        ("原子", ["yuan2", "zi3"], ["yuan2", "zi3"]),  # must-NOT neutral
+        ("三个", ["san1", "ge4"], ["san1", "ge5"]),
+    ]
+    for chars, sylls, want in cases:
+        got = apply_tone_sandhi(chars, sylls)
+        assert got == want, (chars, got, want)
+
+
+def test_zh_norm_extended():
+    from gpt_sovits_tpu.text.zh_norm import normalize_zh
+
+    assert normalize_zh("现在是3:30:15") == "现在是三点三十分十五秒"
+    assert normalize_zh("气温-3℃到25°C") == "气温零下三摄氏度到二十五摄氏度"
+    assert normalize_zh("大概3~5天") == "大概三到五天"
+    assert normalize_zh("电话138-1234-5678") == "电话一三八一二三四五六七八"
+    assert normalize_zh("-42分") == "负四十二分"
