@@ -258,11 +258,14 @@ def sample_token(
             jnp.arange(logits.shape[0])[:, None], sorted_idx
         ].set(remove_sorted)
         logits = jnp.where(remove, -jnp.inf, logits)
-    logits = logits / max(temperature, 1e-5)
     if top_k > 0:
-        kth = jax.lax.top_k(logits, top_k)[0][:, -1:]
-        logits = jnp.where(logits < kth, -jnp.inf, logits)
-    return jax.random.categorical(key, logits, axis=-1)
+        # categorical restricted to the top-k support: distribution-identical
+        # to masking the full vocab to -inf, but the gumbel/argmax runs on
+        # (B, k) instead of (B, V) — measurably cheaper inside the decode loop
+        vals, idxs = jax.lax.top_k(logits, top_k)
+        choice = jax.random.categorical(key, vals / max(temperature, 1e-5), axis=-1)
+        return jnp.take_along_axis(idxs, choice[:, None], axis=1)[:, 0]
+    return jax.random.categorical(key, logits / max(temperature, 1e-5), axis=-1)
 
 
 # ---------------------------------------------------------------------------

@@ -45,6 +45,7 @@ class TrainingSteps:
     train_s2: Callable[[str, str], None]  # (exp_dir, ckpt_dir)
     train_s1: Callable[[str, str], None]
     synthesize: Optional[Callable[..., tuple[int, np.ndarray]]] = None  # (ckpt_dir, text, lang, ref)
+    asr: Optional[Callable[[str], tuple[str, str]]] = None  # wav path -> (lang, text)
 
 
 class CharacterStore:
@@ -163,6 +164,111 @@ class TrainingService:
         self.steps = steps
         self._jobs: dict[str, threading.Thread] = {}
         self._lock = threading.Lock()
+        self._inference_jobs: dict[str, dict] = {}  # id -> {status, sr, audio, error}
+
+    # -- default character (ref /set_default, /default_character) ----------
+
+    def set_default(self, name: str) -> None:
+        if not self.store.exists(name):
+            raise FileNotFoundError(name)
+        with open(os.path.join(self.store.root, "default_character.json"), "w") as f:
+            json.dump({"name": name}, f)
+
+    def get_default(self) -> str | None:
+        p = os.path.join(self.store.root, "default_character.json")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f).get("name")
+
+    # -- audio processing (ref /audio/process: convert->slice[->denoise->asr])
+
+    def process_audio(self, name: str, *, denoise: bool = False) -> dict:
+        """(Re)slice every uploaded raw file into dataset/; optional spectral
+        denoise; when an asr_fn step is configured, transcribe slices into
+        the manifest (the reference chains slice -> denoise -> ASR)."""
+        from gpt_sovits_tpu.dsp.audio_io import load_wav, save_wav
+        from gpt_sovits_tpu.dsp.slicer import Slicer
+
+        p = self.store.path(name)
+        raw_dir, ds = os.path.join(p, "raw"), os.path.join(p, "dataset")
+        self.store.set_status(name, audio_state="processing")
+        n_slices = 0
+        try:
+            for fn in sorted(os.listdir(raw_dir)):
+                wav, sr = load_wav(os.path.join(raw_dir, fn))
+                if denoise:
+                    from gpt_sovits_tpu.corpus.denoise import spectral_gate
+
+                    wav = spectral_gate(wav, sr)
+                chunks = Slicer(sr, threshold=-34.0, min_length=4000, min_interval=300, hop_size=10, max_sil_kept=500).slice(wav)
+                base = os.path.splitext(fn)[0]
+                for i, c in enumerate(chunks):
+                    save_wav(os.path.join(ds, f"{base}_{i:04d}.wav"), c, sr)
+                n_slices += len(chunks)
+            if self.steps.asr is not None:
+                entries = []
+                for fn in sorted(f for f in os.listdir(ds) if f.endswith(".wav")):
+                    lang, text = self.steps.asr(os.path.join(ds, fn))
+                    entries.append((fn, lang, text))
+                self.store.write_manifest(name, entries)
+            self.store.set_status(name, audio_state="processed", slices=n_slices)
+        except Exception as e:
+            self.store.set_status(name, audio_state="failed", error=str(e))
+            raise
+        return {"slices": n_slices}
+
+    # -- artifact validation / cleanup (ref check_training_status_from_files,
+    #    /training/clean) ----------------------------------------------------
+
+    def check_training_status(self, name: str) -> dict:
+        """Validate on-disk artifacts and reconcile status.json, like the
+        reference's filesystem-based check (training_service.py:754)."""
+        from gpt_sovits_tpu.prepare.extract import check_details
+
+        p = self.store.path(name)
+        problems = check_details(exp_dir=os.path.join(p, "exp"))
+        ckpt_dir = os.path.join(p, "ckpt")
+        has_ckpt = os.path.isdir(ckpt_dir) and any(os.scandir(ckpt_dir))
+        ok = not problems and has_ckpt
+        st = self.store.status(name)
+        if ok and st.get("state") != "trained":
+            self.store.set_status(name, state="trained")
+        elif not ok and st.get("state") == "trained":
+            self.store.set_status(name, state="invalid", problems=problems + ([] if has_ckpt else ["no checkpoints"]))
+        return {"valid": ok, "problems": problems + ([] if has_ckpt else ["no checkpoints"]), "status": self.store.status(name)}
+
+    def clean_training(self, name: str) -> None:
+        import shutil
+
+        p = self.store.path(name)
+        for sub in ("exp", "ckpt"):
+            d = os.path.join(p, sub)
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+            os.makedirs(d, exist_ok=True)
+        self.store.set_status(name, state="created", step=None, progress=0.0, error=None)
+
+    # -- async inference jobs (ref POST /inference -> id; GET /{id}) --------
+
+    def start_inference(self, name: str, text: str, lang: str = "auto") -> str:
+        import uuid
+
+        job_id = uuid.uuid4().hex[:12]
+        self._inference_jobs[job_id] = {"status": "running", "character": name}
+
+        def run():
+            try:
+                sr, audio = self.infer(name, text, lang)
+                self._inference_jobs[job_id].update(status="completed", sr=sr, audio=audio)
+            except Exception as e:
+                self._inference_jobs[job_id].update(status="failed", error=str(e))
+
+        threading.Thread(target=run, daemon=True).start()
+        return job_id
+
+    def inference_job(self, job_id: str) -> dict | None:
+        return self._inference_jobs.get(job_id)
 
     # -- training orchestration (ref training_steps.StepProcessor) ---------
 
@@ -253,6 +359,42 @@ def make_handler(svc: TrainingService):
                 if not svc.store.exists(name):
                     return self._send(404, {"message": "not found"})
                 return self._send(200, {"labels": svc.store.read_labels(name)})
+            m = re.fullmatch(r"/api/v1/characters/([\w\-]+)/audio/(?:files|status|check_status)", path)
+            if m:
+                name = m.group(1)
+                if not svc.store.exists(name):
+                    return self._send(404, {"message": "not found"})
+                if path.endswith("/files"):
+                    p = svc.store.path(name)
+                    return self._send(200, {
+                        "raw": sorted(os.listdir(os.path.join(p, "raw"))),
+                        "dataset": sorted(os.listdir(os.path.join(p, "dataset"))),
+                    })
+                st = svc.store.status(name)
+                return self._send(200, {"audio_state": st.get("audio_state", "unknown"), "slices": st.get("slices")})
+            m = re.fullmatch(r"/api/v1/characters/([\w\-]+)/download/([\w.\-]+)", path)
+            if m:
+                name, fname = m.group(1), m.group(2)
+                for sub in ("ckpt", "dataset", "raw"):
+                    fp = os.path.join(svc.store.path(name), sub, fname)
+                    if os.path.exists(fp):
+                        with open(fp, "rb") as f:
+                            return self._send(200, f.read(), "application/octet-stream")
+                return self._send(404, {"message": "not found"})
+            if path == "/api/v1/default_character":
+                return self._send(200, {"name": svc.get_default()})
+            m = re.fullmatch(r"/api/v1/inference/([0-9a-f]+)(/download)?", path)
+            if m:
+                job = svc.inference_job(m.group(1))
+                if job is None:
+                    return self._send(404, {"message": "not found"})
+                if m.group(2):  # /download
+                    if job.get("status") != "completed":
+                        return self._send(409, {"message": f"job is {job.get('status')}"})
+                    from gpt_sovits_tpu.serve.api import wav_bytes
+
+                    return self._send(200, wav_bytes(job["audio"], job["sr"]), "audio/wav")
+                return self._send(200, {"status": job["status"], "error": job.get("error")})
             return self._send(404, {"message": "not found"})
 
         def do_POST(self):
@@ -301,10 +443,44 @@ def make_handler(svc: TrainingService):
                     return self._send(404, {"message": "not found"})
                 except RuntimeError as e:
                     return self._send(409, {"message": str(e)})
+            m = re.fullmatch(r"/api/v1/characters/([\w\-]+)/training/(check_status|clean)", path)
+            if m:
+                name = m.group(1)
+                if not svc.store.exists(name):
+                    return self._send(404, {"message": "not found"})
+                if m.group(2) == "clean":
+                    svc.clean_training(name)
+                    return self._send(200, {"message": "cleaned"})
+                return self._send(200, svc.check_training_status(name))
+            m = re.fullmatch(r"/api/v1/characters/([\w\-]+)/audio/process", path)
+            if m:
+                name = m.group(1)
+                if not svc.store.exists(name):
+                    return self._send(404, {"message": "not found"})
+                try:
+                    req = json.loads(self._body() or b"{}")
+                    return self._send(200, svc.process_audio(name, denoise=bool(req.get("denoise"))))
+                except Exception as e:
+                    return self._send(500, {"message": str(e)})
+            m = re.fullmatch(r"/api/v1/characters/([\w\-]+)/set_default", path)
+            if m:
+                try:
+                    svc.set_default(m.group(1))
+                    return self._send(200, {"message": "ok"})
+                except FileNotFoundError:
+                    return self._send(404, {"message": "not found"})
             if path == "/api/v1/inference":
                 try:
                     req = json.loads(self._body())
-                    sr, audio = svc.infer(req["character"], req["text"], req.get("lang", "auto"))
+                    name = req.get("character") or svc.get_default()
+                    if not name:
+                        return self._send(400, {"message": "no character given and no default set"})
+                    if req.get("async"):
+                        # reference contract: job id now, poll + download later
+                        if svc.store.status(name).get("state") != "trained":
+                            return self._send(400, {"message": f"character {name} is not trained"})
+                        return self._send(202, {"inference_id": svc.start_inference(name, req["text"], req.get("lang", "auto"))})
+                    sr, audio = svc.infer(name, req["text"], req.get("lang", "auto"))
                     from gpt_sovits_tpu.serve.api import wav_bytes
 
                     return self._send(200, wav_bytes(audio, sr), "audio/wav")
@@ -313,13 +489,24 @@ def make_handler(svc: TrainingService):
             return self._send(404, {"message": "not found"})
 
         def do_DELETE(self):
-            m = re.fullmatch(r"/api/v1/characters/([\w\-]+)", urllib.parse.urlparse(self.path).path)
+            path = urllib.parse.urlparse(self.path).path
+            m = re.fullmatch(r"/api/v1/characters/([\w\-]+)", path)
             if m:
                 try:
                     svc.store.delete(m.group(1))
                     return self._send(200, {"message": "deleted"})
                 except FileNotFoundError:
                     return self._send(404, {"message": "not found"})
+            m = re.fullmatch(r"/api/v1/characters/([\w\-]+)/audio/files/([\w.\-]+)", path)
+            if m:
+                name, fname = m.group(1), m.group(2)
+                deleted = False
+                for sub in ("raw", "dataset"):
+                    fp = os.path.join(svc.store.path(name), sub, fname)
+                    if os.path.exists(fp):
+                        os.remove(fp)
+                        deleted = True
+                return self._send(200 if deleted else 404, {"message": "deleted" if deleted else "not found"})
             return self._send(404, {"message": "not found"})
 
     return Handler

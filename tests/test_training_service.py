@@ -139,3 +139,72 @@ def test_label_editing(service):
     # out of range
     code, _, _ = _req(base + "/api/v1/characters/carol/labels/9", "POST", b"{}")
     assert code == 404
+
+
+def test_audio_files_process_default_and_jobs(service):
+    """New endpoint groups (ref training_service.py): audio files/process/
+    status, default character, training check_status/clean, async inference."""
+    base, svc, calls, tmp = service
+    _req(base + "/api/v1/characters", "POST", json.dumps({"name": "carol"}).encode())
+
+    # upload raw (without implicit manifest), then /audio/process re-slices
+    rng = np.random.default_rng(1)
+    seg = (rng.standard_normal(16000 * 3) * 0.3).astype(np.float32)
+    seg[16000:20000] = 0.0  # a silence so the slicer has a cut point
+    import io
+
+    from gpt_sovits_tpu.dsp.audio_io import save_wav as _sw
+
+    p = tmp / "raw.wav"
+    _sw(str(p), seg, 16000)
+    code, body, _ = _req(base + "/api/v1/characters/carol/audio", "POST", p.read_bytes(), query="?filename=raw.wav")
+    assert code == 200
+    code, body, _ = _req(base + "/api/v1/characters/carol/audio/process", "POST", b"{}")
+    assert code == 200 and json.loads(body)["slices"] >= 1
+    code, body, _ = _req(base + "/api/v1/characters/carol/audio/status")
+    assert json.loads(body)["audio_state"] == "processed"
+    code, body, _ = _req(base + "/api/v1/characters/carol/audio/files")
+    files = json.loads(body)
+    assert "raw.wav" in files["raw"] and files["dataset"]
+
+    # delete the raw upload (dataset slices stay for inference's auto-ref)
+    code, _, _ = _req(base + "/api/v1/characters/carol/audio/files/raw.wav", "DELETE")
+    assert code == 200
+    code, _, _ = _req(base + "/api/v1/characters/carol/audio/files/raw.wav", "DELETE")
+    assert code == 404
+
+    # default character
+    code, _, _ = _req(base + "/api/v1/characters/carol/set_default", "POST", b"")
+    assert code == 200
+    code, body, _ = _req(base + "/api/v1/default_character")
+    assert json.loads(body)["name"] == "carol"
+
+    # check_status: no artifacts yet -> invalid
+    code, body, _ = _req(base + "/api/v1/characters/carol/training/check_status", "POST", b"")
+    assert code == 200 and json.loads(body)["valid"] is False
+
+    # fake-train then async inference job
+    svc.store.set_status("carol", state="trained")
+    code, body, _ = _req(
+        base + "/api/v1/inference", "POST",
+        json.dumps({"character": "carol", "text": "hello", "async": True}).encode(),
+    )
+    assert code == 202
+    job_id = json.loads(body)["inference_id"]
+    for _ in range(50):
+        code, body, _ = _req(base + f"/api/v1/inference/{job_id}")
+        if json.loads(body)["status"] == "completed":
+            break
+        time.sleep(0.1)
+    assert json.loads(body)["status"] == "completed"
+    code, wav, ctype = _req(base + f"/api/v1/inference/{job_id}/download")
+    assert code == 200 and ctype == "audio/wav" and wav[:4] == b"RIFF"
+
+    # default-character inference (no "character" field)
+    code, wav, _ = _req(base + "/api/v1/inference", "POST", json.dumps({"text": "hi"}).encode())
+    assert code == 200 and wav[:4] == b"RIFF"
+
+    # clean resets
+    code, _, _ = _req(base + "/api/v1/characters/carol/training/clean", "POST", b"")
+    assert code == 200
+    assert svc.store.status("carol")["state"] == "created"
