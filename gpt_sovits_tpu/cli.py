@@ -5,6 +5,9 @@ Single-controller replacement for the reference's webui orchestration
 SURVEY.md §1 L6). Subcommands mirror the reference workflow:
 
   slice       cut long recordings at silences        (tools/slicer2.py)
+  separate    UVR5 vocal separation                  (tools/uvr5/)
+  denoise     spectral-gate denoiser                 (tools/cmd-denoise.py)
+  asr         transcribe slices -> .list manifest    (tools/asr/)
   prepare     feature extraction stages 1a/1b/1c     (prepare_datasets/)
   train-s1    AR text->semantic training             (s1_train.py)
   train-s2    SoVITS GAN training                    (s2_train.py)
@@ -12,6 +15,7 @@ SURVEY.md §1 L6). Subcommands mirror the reference workflow:
   tts         synthesize from the command line       (inference_cli.py)
   serve       HTTP API                               (api_v2.py)
   export      StableHLO deployment artifacts         (onnx_export.py)
+  list-models newest trained weights per version     (get_trained_models.py)
 """
 
 from __future__ import annotations
@@ -347,6 +351,54 @@ def cmd_serve(args):
         pass
 
 
+def cmd_asr(args):
+    """Transcribe a directory of slices into the training `.list` manifest
+    (tools/asr/ equivalent; external ASR backends are optional deps)."""
+    from gpt_sovits_tpu.corpus.asr import transcribe_dir
+
+    out = transcribe_dir(args.in_dir, args.output, language=args.language, speaker=args.speaker)
+    print(f"wrote manifest: {out}")
+
+
+def _latest_step_model(directory: str, ext: str) -> str:
+    """Newest-step weight file in a directory (get_trained_models.py:23
+    `get_final_step_model` — same filename conventions: `-e15`, `_e48_s336`,
+    `step_1000`, `_1000.`)."""
+    import re
+
+    if not os.path.isdir(directory):
+        return ""
+    best, best_step = "", -1
+    for f in sorted(os.listdir(directory)):
+        if not f.endswith(ext):
+            continue
+        step = -1
+        m = re.search(r"_e(\d+)_s(\d+)", f)
+        if m:
+            step = int(m.group(2))
+        else:
+            m = re.search(r"-e(\d+)", f) or re.search(r"step_(\d+)", f) or re.search(r"_(\d+)\.", f)
+            if m:
+                step = int(m.group(1))
+        if step > best_step:
+            best, best_step = os.path.join(directory, f), step
+    return best
+
+
+def cmd_list_models(args):
+    """List trained weights per version dir as JSON (get_trained_models.py)."""
+    import json
+
+    out = {}
+    for version in ("v1", "v2", "v2Pro", "v2ProPlus", "v3", "v4"):
+        suffix = "" if version == "v1" else f"_{version}"
+        gpt = _latest_step_model(os.path.join(args.root, f"GPT_weights{suffix}"), ".ckpt")
+        sovits = _latest_step_model(os.path.join(args.root, f"SoVITS_weights{suffix}"), ".pth")
+        if gpt or sovits:
+            out[version] = {"gpt": gpt, "sovits": sovits}
+    print(json.dumps(out, indent=2))
+
+
 def cmd_export(args):
     from gpt_sovits_tpu.utils.export import export_s1_step, export_s2_decode
     from gpt_sovits_tpu.utils.loaders import load_s1, load_s2
@@ -457,6 +509,17 @@ def main(argv=None):
     s.add_argument("--s2")
     s.add_argument("--version")
     s.set_defaults(fn=cmd_export)
+
+    s = sub.add_parser("asr", help="transcribe slices into the training .list manifest (tools/asr)")
+    s.add_argument("--in-dir", required=True)
+    s.add_argument("--output", required=True, help="path of the .list manifest to write")
+    s.add_argument("--language", default="zh")
+    s.add_argument("--speaker", default="speaker")
+    s.set_defaults(fn=cmd_asr)
+
+    s = sub.add_parser("list-models", help="newest trained GPT/SoVITS weights per version (get_trained_models.py)")
+    s.add_argument("--root", default=".", help="directory holding GPT_weights*/SoVITS_weights* dirs")
+    s.set_defaults(fn=cmd_list_models)
 
     s = sub.add_parser("separate", help="UVR5 vocal separation (roformer/vr/mdx/hpss)")
     g = s.add_mutually_exclusive_group(required=True)

@@ -30,3 +30,40 @@ def test_cli_help_all_subcommands():
         with pytest.raises(SystemExit) as e:
             main([sub, "--help"])
         assert e.value.code == 0
+
+
+def test_cli_list_models(tmp_path, capsys):
+    import json
+
+    d = tmp_path / "GPT_weights_v2"
+    d.mkdir()
+    (d / "spk-e10.ckpt").write_bytes(b"x")
+    (d / "spk-e15.ckpt").write_bytes(b"x")
+    d2 = tmp_path / "SoVITS_weights_v2"
+    d2.mkdir()
+    (d2 / "spk_e8_s96.pth").write_bytes(b"x")
+    (d2 / "spk_e4_s48.pth").write_bytes(b"x")
+    main(["list-models", "--root", str(tmp_path)])
+    out = json.loads(capsys.readouterr().out)
+    assert out["v2"]["gpt"].endswith("spk-e15.ckpt")
+    assert out["v2"]["sovits"].endswith("spk_e8_s96.pth")
+
+
+def test_cli_asr_writes_manifest(tmp_path, monkeypatch):
+    """asr subcommand with an injected backend (external ASR deps are
+    optional); validates the .list format plumbing."""
+    from gpt_sovits_tpu.corpus import asr as asr_mod
+
+    wav_dir = tmp_path / "wavs"
+    wav_dir.mkdir()
+    for n in ("a.wav", "b.wav"):
+        save_wav(str(wav_dir / n), np.zeros(1600, np.float32), 16000)
+    monkeypatch.setattr(
+        asr_mod, "transcribe_funasr", lambda paths, language: [(p, f"text {os.path.basename(p)}") for p in paths]
+    )
+    out = tmp_path / "exp.list"
+    main(["asr", "--in-dir", str(wav_dir), "--output", str(out), "--language", "zh", "--speaker", "spk"])
+    lines = out.read_text().strip().splitlines()
+    assert len(lines) == 2
+    path, speaker, lang, text = lines[0].split("|")
+    assert speaker == "spk" and lang == "ZH" and text == "text a.wav"
