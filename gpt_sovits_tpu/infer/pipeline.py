@@ -195,18 +195,43 @@ class TTSPipeline:
                     lambda _params, mel: generator_apply(_folded_voc, mel.astype(_voc_dtype)).astype(jnp.float32)
                 )
             else:
-                self._vocoder_fwd = jax.jit(v3_bundle.vocoder.apply)
+                from gpt_sovits_tpu.models.bigvgan import BigVGAN as _BigVGAN
+
+                if isinstance(v3_bundle.vocoder, _BigVGAN) and v3_bundle.vocoder_params is not None:
+                    # v3 BigVGAN: lane-folded fast path (ops/folded_bigvgan.py,
+                    # exact), bf16 when half; output back in f32
+                    from gpt_sovits_tpu.ops.folded_bigvgan import bigvgan_apply, fold_bigvgan_params
+
+                    _folded_bv = fold_bigvgan_params(
+                        v3_bundle.vocoder_params["params"], v3_bundle.vocoder.cfg, dtype=_voc_dtype
+                    )
+                    self._vocoder_fwd = jax.jit(
+                        lambda _params, mel: bigvgan_apply(_folded_bv, mel.astype(_voc_dtype)).astype(jnp.float32)
+                    )
+                else:
+                    self._vocoder_fwd = jax.jit(v3_bundle.vocoder.apply)
 
             from gpt_sovits_tpu.models.dit import DiT
             from gpt_sovits_tpu.models.v3 import cfm_inference
 
             dit = DiT(v3_bundle.model.dit_config)
             dit_params = {"params": v3_bundle.params["params"]["cfm"]["estimator"]}
+            # bf16 CFM sampling when half (the reference's is_half runs the
+            # DiT in fp16 — TTS.py init, inference_webui); DiT matmuls hit
+            # the MXU at the bf16 rate, timestep embeddings stay f32 inside
+            # the model, and the sampled mel returns in f32
+            _cfm_dtype = jnp.bfloat16 if half else jnp.float32
+            if half:
+                dit_params = jax.tree.map(lambda p: p.astype(_cfm_dtype), dit_params)
             steps = v3_bundle.sample_steps
 
             @functools.partial(jax.jit, static_argnames=("n_steps",))
             def _cfm(mu, x_lens, prompt, key, n_steps=steps):
-                return cfm_inference(dit, dit_params, mu, x_lens, prompt, key, n_steps=n_steps)
+                mel = cfm_inference(
+                    dit, dit_params, mu.astype(_cfm_dtype), x_lens,
+                    prompt.astype(_cfm_dtype), key, n_steps=n_steps,
+                )
+                return mel.astype(jnp.float32)
 
             self._cfm_infer = _cfm
             self._fea_ref_cache = None

@@ -223,9 +223,12 @@ class DiT(nn.Module):
         text_embed_cache: Optional[jnp.ndarray] = None,
     ):
         c = self.cfg
-        t_emb = TimestepEmbedding(c.dim, c.freq_embed_dim, name="time_embed")(t)
-        dt_emb = TimestepEmbedding(c.dim, c.freq_embed_dim, name="d_embed")(dt_base)
-        t_emb = t_emb + dt_emb
+        # timestep embeddings always evaluate from f32 t: the log-spaced
+        # sinusoid (scale 1000) loses all high-frequency phase accuracy in
+        # bf16/fp16; the (B, dim) result is then cast to the compute dtype
+        t_emb = TimestepEmbedding(c.dim, c.freq_embed_dim, name="time_embed")(t.astype(jnp.float32))
+        dt_emb = TimestepEmbedding(c.dim, c.freq_embed_dim, name="d_embed")(dt_base.astype(jnp.float32))
+        t_emb = (t_emb + dt_emb).astype(x.dtype)
 
         if text_embed_cache is not None:
             text_embed = text_embed_cache

@@ -387,7 +387,10 @@ def cfm_inference(
     b, t = mu.shape[0], mu.shape[1]
     mel_dim = dit.cfg.mel_dim
     prompt_len = prompt.shape[1]
-    x = jax.random.normal(rng, (b, t, mel_dim), mu.dtype) * temperature
+    # noise always drawn in f32 then cast: the bit-stream-to-normal mapping
+    # is dtype-dependent in jax, and the serving dtype (bf16 when half)
+    # must not change the sampled trajectory, only its rounding
+    x = (jax.random.normal(rng, (b, t, mel_dim)) * temperature).astype(mu.dtype)
     prompt_x = jnp.zeros((b, t, mel_dim), mu.dtype).at[:, :prompt_len].set(prompt)
     region = jnp.arange(t)[None, :, None] < prompt_len
     x = jnp.where(region, 0.0, x)

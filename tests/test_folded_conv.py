@@ -152,3 +152,30 @@ def test_folded_v4_vocoder_matches_standard():
     got = np.asarray(generator_apply(folded, mel))
     assert got.shape == want.shape == (1, 25 * 480, 1)
     np.testing.assert_allclose(got, want, atol=3e-4)
+
+
+def test_folded_bigvgan_matches_standard():
+    """bigvgan_apply == BigVGAN.__call__ (float reassociation only) on a
+    shrunken config that still exercises r=1 and r>1 stages + the
+    anti-aliased snake in folded layout."""
+    from gpt_sovits_tpu.models.bigvgan import BigVGAN, BigVGANConfig
+    from gpt_sovits_tpu.ops.folded_bigvgan import bigvgan_apply, fold_bigvgan_params
+
+    cfg = BigVGANConfig(
+        num_mels=16,
+        upsample_rates=(4, 2, 2),
+        upsample_kernel_sizes=(8, 4, 4),
+        upsample_initial_channel=256,  # stages: 128 (r=1), 64, 32 (folded)
+        resblock_kernel_sizes=(3, 7),
+        resblock_dilation_sizes=((1, 3), (1, 3)),
+    )
+    model = BigVGAN(cfg)
+    key = jax.random.PRNGKey(0)
+    mel = jax.random.normal(key, (2, 24, cfg.num_mels))
+    params = model.init(jax.random.PRNGKey(1), mel)
+    ref = np.asarray(model.apply(params, mel))
+
+    folded = fold_bigvgan_params(params["params"], cfg)
+    got = np.asarray(bigvgan_apply(folded, mel))
+    assert got.shape == ref.shape == (2, 24 * 4 * 2 * 2, 1)
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-5)

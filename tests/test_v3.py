@@ -162,3 +162,33 @@ def test_v3b_forward_and_decode():
     assert fea.shape[0] == B and fea.shape[2] == 512
     assert int(mel_len[0]) == int(codes.shape[1] * 2.5 * 1.5)
     assert ge.shape[-1] == cfg.gin_channels
+
+
+def test_cfm_inference_bf16_close_to_f32():
+    """bf16 CFM sampling (the serving half path) tracks the f32 sampler.
+
+    Timestep embeddings are forced f32 inside the DiT (dit.py), so the
+    only drift is bf16 matmul rounding; on a tiny model with unit-scale
+    activations the end-to-end mel should stay close."""
+    dit = DiT(DIT_TINY)
+    b, t, tp = 1, 24, 8
+    key = jax.random.PRNGKey(0)
+    mu = jax.random.normal(key, (b, t, 32))
+    prompt = jax.random.normal(jax.random.PRNGKey(1), (b, tp, 20)) * 0.1
+    x = jnp.zeros((b, t, 20))
+    params = dit.init(
+        jax.random.PRNGKey(2), x, x, jnp.zeros((b,)), jnp.zeros((b,)), mu, jnp.ones((b, t), bool)
+    )
+    x_lens = jnp.asarray([t])
+    out32 = cfm_inference(dit, params, mu, x_lens, prompt, jax.random.PRNGKey(3), n_steps=4)
+    params_bf = jax.tree.map(lambda p: p.astype(jnp.bfloat16), params)
+    out16 = cfm_inference(
+        dit, params_bf, mu.astype(jnp.bfloat16), x_lens, prompt.astype(jnp.bfloat16),
+        jax.random.PRNGKey(3), n_steps=4,
+    ).astype(jnp.float32)
+    a, bb = np.asarray(out32), np.asarray(out16)
+    assert np.all(np.isfinite(bb))
+    # same noise draw (PRNG is dtype-dependent only in rounding), so the
+    # two trajectories start together; require high agreement
+    denom = np.abs(a).mean() + 1e-6
+    assert np.abs(a - bb).mean() / denom < 0.1
