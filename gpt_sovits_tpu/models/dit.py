@@ -100,6 +100,29 @@ class GRN(nn.Module):
         return gamma * (x * nx) + beta + x
 
 
+class DepthwiseConv1d(nn.Module):
+    """Depthwise 1D conv as k shifted multiply-adds (pure VPU work; XLA's
+    depthwise-conv lowering is slow on TPU). Param tree matches
+    nn.Conv(feature_group_count=dim): kernel (k, 1, dim), bias (dim,)."""
+
+    dim: int
+    kernel_size: int
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size
+        b, t, d = x.shape
+        kernel = self.param("kernel", nn.initializers.lecun_normal(), (k, 1, d))
+        bias = self.param("bias", nn.initializers.zeros, (d,))
+        xp = jnp.pad(x, ((0, 0), (k // 2, k - 1 - k // 2), (0, 0)))
+        w = kernel[:, 0].astype(x.dtype)  # (k, d)
+        y = None
+        for m in range(k):
+            ym = jax.lax.dynamic_slice_in_dim(xp, m, t, axis=1) * w[m]
+            y = ym if y is None else y + ym
+        return y + bias.astype(x.dtype)
+
+
 class ConvNeXtV2Block(nn.Module):
     dim: int
     intermediate_dim: int
@@ -107,7 +130,7 @@ class ConvNeXtV2Block(nn.Module):
     @nn.compact
     def __call__(self, x):
         residual = x
-        x = nn.Conv(self.dim, (7,), padding=[(3, 3)], feature_group_count=self.dim, name="dwconv")(x)
+        x = DepthwiseConv1d(self.dim, 7, name="dwconv")(x)
         x = nn.LayerNorm(epsilon=1e-6, name="norm")(x)
         x = nn.Dense(self.intermediate_dim, name="pwconv1")(x)
         x = nn.gelu(x, approximate=False)
@@ -140,6 +163,39 @@ def _mish(x):
     return x * jnp.tanh(jax.nn.softplus(x))
 
 
+class GroupedConv1d(nn.Module):
+    """Grouped 1D conv lowered as a per-tap batched matmul.
+
+    XLA's grouped-conv lowering is pathologically slow on TPU (measured
+    ~3 ms for k=31/g=16/d=1024/T=934 vs ~0.1 ms for this formulation —
+    it dominated the whole DiT step). Groups ride a dot_general batch dim:
+    y[b,g,t,co] = sum_m sum_ci w[m,ci,g,co] x[b,g,t+m-pad,ci]. Param tree
+    (kernel (k, cin/g, cout), bias) is identical to nn.Conv's, so torch
+    import and existing checkpoints are unaffected."""
+
+    features: int
+    kernel_size: int
+    groups: int
+
+    @nn.compact
+    def __call__(self, x):
+        k, g = self.kernel_size, self.groups
+        b, t, d = x.shape
+        cg, co_g = d // g, self.features // g
+        kernel = self.param("kernel", nn.initializers.lecun_normal(), (k, cg, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        xg = x.reshape(b, t, g, cg).transpose(0, 2, 1, 3)  # (B, G, T, cg)
+        xp = jnp.pad(xg, ((0, 0), (0, 0), (k // 2, k - 1 - k // 2), (0, 0)))
+        wg = kernel.reshape(k, cg, g, co_g).astype(x.dtype)
+        y = None
+        for m in range(k):
+            seg = jax.lax.dynamic_slice_in_dim(xp, m, t, axis=2)
+            ym = jnp.einsum("bgtc,cgd->bgtd", seg, wg[m])
+            y = ym if y is None else y + ym
+        y = y.transpose(0, 2, 1, 3).reshape(b, t, self.features)
+        return y + bias.astype(x.dtype)
+
+
 class ConvPositionEmbedding(nn.Module):
     dim: int
     kernel_size: int = 31
@@ -148,9 +204,9 @@ class ConvPositionEmbedding(nn.Module):
     @nn.compact
     def __call__(self, x):
         k = self.kernel_size
-        x = nn.Conv(self.dim, (k,), padding=[(k // 2, k // 2)], feature_group_count=self.groups, name="conv1")(x)
+        x = GroupedConv1d(self.dim, k, self.groups, name="conv1")(x)
         x = _mish(x)
-        x = nn.Conv(self.dim, (k,), padding=[(k // 2, k // 2)], feature_group_count=self.groups, name="conv2")(x)
+        x = GroupedConv1d(self.dim, k, self.groups, name="conv2")(x)
         return _mish(x)
 
 

@@ -1,0 +1,157 @@
+"""v3 zero-shot RTF on one TPU chip (production sizes, random weights).
+
+Mirrors the serving pipeline's v3 path end-to-end for a 20 s utterance:
+S1 AR decode (500 tokens, fused kernel) -> decode_encp -> chunked CFM
+(t_chunk 934, rolling t_ref 468 reference window, 32 Euler steps, bf16)
+-> lane-folded BigVGAN (bf16). Prints one JSON line like bench.py.
+"""
+
+import functools
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+BASELINE_RTF = 0.028  # reference's published v2ProPlus number (no v3 number exists)
+
+N_NEW_TOKENS = 500  # 20 s @ 25 Hz
+PROMPT_TOKENS = 125
+TEXT_LEN = 120
+AUDIO_SECONDS = N_NEW_TOKENS / 25.0
+T_REF, T_CHUNK = 468, 934
+SAMPLE_STEPS = 32
+
+
+def main():
+    from gpt_sovits_tpu.models.bigvgan import BigVGAN, BigVGANConfig
+    from gpt_sovits_tpu.models.dit import DiT
+    from gpt_sovits_tpu.models.t2s import T2SDecoder, generate
+    from gpt_sovits_tpu.models.v3 import SynthesizerTrnV3, cfm_inference
+    from gpt_sovits_tpu.ops.folded_bigvgan import bigvgan_apply, fold_bigvgan_params
+    from gpt_sovits_tpu.utils.config import S1Config, s2_config_for_version
+
+    dtype = jnp.bfloat16
+    key = jax.random.PRNGKey(0)
+    b = 1
+
+    s1_cfg = S1Config()
+    s1 = T2SDecoder(s1_cfg, dtype=dtype)
+    s1_params = jax.jit(functools.partial(s1.init, method=T2SDecoder.init_all))(key)
+    phones = jnp.zeros((b, TEXT_LEN), jnp.int32)
+    text_lengths = jnp.full((b,), TEXT_LEN, jnp.int32)
+    bert = jnp.zeros((b, TEXT_LEN, s1_cfg.bert_dim), dtype)
+    prompt_sem = jnp.zeros((b, PROMPT_TOKENS), jnp.int32)
+
+    def s1_step(k):
+        return generate(
+            s1, s1_params, phones, text_lengths, bert, prompt_sem,
+            jnp.full((b,), PROMPT_TOKENS, jnp.int32), k,
+            max_new_tokens=N_NEW_TOKENS, top_k=15, top_p=1.0, temperature=1.0,
+            repetition_penalty=1.35, early_stop_num=N_NEW_TOKENS, use_fused_kernel=True,
+        )
+
+    v3_cfg = s2_config_for_version("v3")
+    v3 = SynthesizerTrnV3(v3_cfg)
+    spec_t = 250
+    refer_spec = jax.random.normal(key, (b, spec_t, v3_cfg.spec_channels)) * 0.3 + 1.0
+    v3_params = jax.jit(functools.partial(v3.init, method=SynthesizerTrnV3.init_all))(
+        {"params": key, "noise": key},
+        jnp.zeros((b, 100, v3_cfg.ssl_dim)), refer_spec, jnp.asarray([spec_t]),
+        jnp.zeros((b, 30, v3_cfg.cfm_mel_channels)), jnp.asarray([30]),
+        jnp.zeros((b, TEXT_LEN), jnp.int32), text_lengths,
+    )
+    decode_encp = jax.jit(functools.partial(v3.apply, method=SynthesizerTrnV3.decode_encp))
+
+    dit = DiT(v3.dit_config)
+    dit_params = jax.tree.map(
+        lambda p: p.astype(dtype), {"params": v3_params["params"]["cfm"]["estimator"]}
+    )
+
+    @functools.partial(jax.jit, static_argnames=("n_steps",))
+    def cfm(mu, x_lens, prompt, k, n_steps=SAMPLE_STEPS):
+        mel = cfm_inference(
+            dit, dit_params, mu.astype(dtype), x_lens, prompt.astype(dtype), k, n_steps=n_steps
+        )
+        return mel.astype(jnp.float32)
+
+    bv_cfg = BigVGANConfig()
+    bv = BigVGAN(bv_cfg)
+    bv_params = jax.jit(bv.init)(key, jnp.zeros((b, 64, 100)))
+    folded = fold_bigvgan_params(bv_params["params"], bv_cfg, dtype=dtype)
+    voc = jax.jit(lambda mel: bigvgan_apply(folded, mel.astype(dtype)).astype(jnp.float32))
+
+    # one utterance, mirroring pipeline._synthesize_v3_batch: the S1 codes
+    # feed decode_encp; fea chunks pad to T_CHUNK; mel chunks concatenate
+    # into ONE vocoder call; everything stays on device between stages
+    chunk_len = T_CHUNK - T_REF
+    fea_dim = 512
+
+    def synth(k):
+        out = s1_step(k)
+        codes = out.tokens[:, :N_NEW_TOKENS]
+        fea_todo, ge, mel_len = decode_encp(
+            v3_params, codes, jnp.asarray([N_NEW_TOKENS]),
+            phones, text_lengths, refer_spec, jnp.asarray([spec_t]),
+        )
+        # clamp to whole chunks (the 11-frame tail would just add one more
+        # degenerate compile; the pipeline handles real tails)
+        total = (fea_todo.shape[1] // chunk_len) * chunk_len
+        fea_ref = jnp.zeros((b, T_REF, fea_dim), fea_todo.dtype)
+        mel2 = jnp.zeros((b, T_REF, v3_cfg.cfm_mel_channels))
+        mel_chunks = []
+        idx = 0
+        k2 = k
+        while idx < total:
+            ln = min(chunk_len, total - idx)
+            chunk = jax.lax.dynamic_slice_in_dim(fea_todo, idx, ln, axis=1)
+            fea = jnp.concatenate([fea_ref, chunk], axis=1)
+            pad = T_CHUNK - fea.shape[1]
+            if pad > 0:
+                fea = jnp.pad(fea, ((0, 0), (0, pad), (0, 0)))
+            k2, sub = jax.random.split(k2)
+            mel_out = cfm(fea, jnp.asarray([T_REF + ln]), mel2, sub)
+            mel_out = mel_out[:, T_REF : T_REF + ln]
+            mel_chunks.append(mel_out)
+            mel2 = mel_out[:, -T_REF:]
+            fea_ref = chunk[:, -T_REF:]
+            idx += ln
+        mel_full = jnp.concatenate(mel_chunks, axis=1)
+        return voc(mel_full)
+
+    wav = synth(jax.random.PRNGKey(1))
+    jax.block_until_ready(wav)
+
+    n_iter = 6
+    t0 = time.perf_counter()
+    wavs = [synth(jax.random.PRNGKey(2 + i)) for i in range(n_iter)]
+    jax.block_until_ready(wavs)
+    dt = (time.perf_counter() - t0) / n_iter
+
+    audio_s = wav.shape[1] / 24000.0
+    rtf = dt / audio_s
+    print(
+        json.dumps(
+            {
+                "metric": "zero_shot_rtf_v3_1chip",
+                "value": round(rtf, 5),
+                "unit": "s_compute_per_s_audio",
+                "vs_baseline": round(BASELINE_RTF / rtf, 3),
+                "audio_s": round(audio_s, 2),
+                "sample_steps": SAMPLE_STEPS,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
