@@ -80,244 +80,43 @@ def cmd_separate(args):
 
 
 def cmd_prepare(args):
-    import jax
+    from gpt_sovits_tpu.run import run_prepare
 
-    from gpt_sovits_tpu.prepare import extract
-    from gpt_sovits_tpu.utils.loaders import load_bert, load_hubert, load_s2, load_sv
-
-    os.makedirs(args.exp_dir, exist_ok=True)
-    for problem in extract.check_details(list_file=args.list):  # my_utils.check_details
-        print(f"warning: {problem}", file=sys.stderr)
-
-    bert_fn = None
-    if args.bert:
-        import jax.numpy as jnp
-
-        bert, bert_params, tok = load_bert(args.bert)
-
-        def bert_fn(norm_text, word2ph):
-            ids = tok(norm_text, return_tensors="np")["input_ids"]
-            hidden = np.asarray(bert.apply(bert_params, jnp.asarray(ids))[-3])[0, 1:-1]
-            return np.repeat(hidden, word2ph, axis=0)
-
-    extract.prepare_text(args.list, args.exp_dir, version=args.version, bert_fn=bert_fn)
-    extract.merge_text_shards(args.exp_dir, 1)
-
-    hubert, hubert_params = load_hubert(args.hubert)
-    if hubert_params is not None:
-        import jax.numpy as jnp
-
-        hub_fwd = jax.jit(hubert.apply)
-        extract.prepare_audio(args.list, args.exp_dir, hubert_fn=lambda w: np.asarray(hub_fwd(hubert_params, jnp.asarray(w[None])))[0])
-
-    if args.s2:
-        import jax.numpy as jnp
-
-        model, params, _ = load_s2(args.s2, args.version if args.version in ("v1", "v2") else None)
-        ext = jax.jit(lambda s: model.apply(params, s, method=type(model).extract_latent))
-        extract.prepare_semantic(args.list, args.exp_dir, extract_latent_fn=lambda ssl: np.asarray(ext(jnp.asarray(ssl[None])))[0])
-        extract.merge_semantic_shards(args.exp_dir, 1)
-
-    if args.sv:
-        import jax.numpy as jnp
-
-        from gpt_sovits_tpu.models.eres2net import kaldi_fbank
-
-        sv_model, sv_params = load_sv(args.sv)
-        fwd = jax.jit(lambda w: sv_model.apply(sv_params, kaldi_fbank(w)))
-        extract.prepare_sv(args.list, args.exp_dir, sv_fn=lambda w: np.asarray(fwd(jnp.asarray(w[None])))[0])
-    print("prepare done:", args.exp_dir)
+    run_prepare(args.list, args.exp_dir, version=args.version,
+                bert=args.bert, hubert=args.hubert, s2=args.s2, sv=args.sv)
 
 
 def cmd_train_s1(args):
-    import jax
+    from gpt_sovits_tpu.run import run_train_s1
 
-    from gpt_sovits_tpu.models.t2s import T2SDecoder
-    from gpt_sovits_tpu.train import ckpt as ckpt_io
-    from gpt_sovits_tpu.train.data import BucketSampler, S1Dataset, data_iterator
-    from gpt_sovits_tpu.train.s1_train import init_state, make_train_step
-    from gpt_sovits_tpu.utils.config import S1Config, TrainConfig
-
-    cfg = S1Config()
-    tc = TrainConfig(batch_size=args.batch_size, epochs=args.epochs, grad_accum=4)
-    model = T2SDecoder(cfg)
-    ds = S1Dataset(args.exp_dir)
-    sampler = BucketSampler(ds.lengths(), tc.batch_size, seed=tc.seed)
-    state = init_state(jax.random.PRNGKey(tc.seed), model, tc)
-    latest = ckpt_io.latest_checkpoint(args.ckpt_dir)
-    if latest:
-        state = ckpt_io.load_checkpoint(latest, state)
-        print("resumed from", latest)
-    elif getattr(args, "pretrained_s1", None):
-        from gpt_sovits_tpu.utils.checkpoint_compat import load_torch_checkpoint, s1_params_from_torch
-
-        ck = load_torch_checkpoint(args.pretrained_s1)
-        mapped = s1_params_from_torch(ck.get("weight", ck), cfg)
-        state = state.replace(params={"params": _overlay_params(state.params["params"], mapped["params"])})
-        print("loaded pretrained", args.pretrained_s1)
-    step_fn = make_train_step(model, tc, use_dpo=args.dpo)
-    for epoch in range(tc.epochs):
-        for batch in data_iterator(ds, sampler, epoch):
-            state, metrics = step_fn(state, {k: jax.numpy.asarray(v) for k, v in batch.items()}, jax.random.PRNGKey(epoch))
-        print(f"epoch {epoch}: loss={float(metrics['loss']):.3f} acc={float(metrics['acc']):.3f}")
-        if (epoch + 1) % args.save_every == 0:
-            ckpt_io.save_checkpoint(state, args.ckpt_dir, int(state.step))
-            ckpt_io.export_weights(state.params["params"], os.path.join(args.ckpt_dir, f"s1-e{epoch + 1}.npz"),
-                                   config={"model": "s1"}, info=f"{epoch + 1}epoch")
-            # reference-format .ckpt, loadable by the PyTorch project too
-            # (s1_train.py my_model_ckpt fp16 weights-only export)
-            from gpt_sovits_tpu.utils.checkpoint_compat import s1_params_to_torch, save_reference_pth
-
-            save_reference_pth(
-                s1_params_to_torch(state.params, cfg),
-                os.path.join(args.ckpt_dir, f"s1-e{epoch + 1}.ckpt"),
-                config={"model": {"t2s": "gpt_sovits_tpu"}}, info=f"{epoch + 1}epoch",
-            )
-    print("train-s1 done")
+    run_train_s1(args.exp_dir, args.ckpt_dir, batch_size=args.batch_size,
+                 epochs=args.epochs, save_every=args.save_every, dpo=args.dpo,
+                 pretrained_s1=getattr(args, "pretrained_s1", None))
 
 
 def cmd_train_s2(args):
-    import jax
+    from gpt_sovits_tpu.run import run_train_s2
 
-    from gpt_sovits_tpu.train import ckpt as ckpt_io
-    from gpt_sovits_tpu.train.data import BucketSampler, S2Dataset, data_iterator
-    from gpt_sovits_tpu.train.s2_train import init_state, make_train_step
-    from gpt_sovits_tpu.utils.config import MelConfig, TrainConfig, s2_config_for_version
-
-    s2 = s2_config_for_version(args.version)
-    tc = TrainConfig(batch_size=args.batch_size, epochs=args.epochs)
-    mel = MelConfig()
-    ds = S2Dataset(args.exp_dir, version=args.version, mel_cfg=mel)
-    sampler = BucketSampler(ds.lengths(), tc.batch_size, seed=tc.seed)
-    batches = sampler.epoch_batches(0)
-    if not batches:
-        sys.exit("no training batches (dataset too small for batch size)")
-    sample = ds.collate(batches[0])
-    state, gen, disc = init_state(jax.random.PRNGKey(tc.seed), s2, tc, {k: jax.numpy.asarray(v) for k, v in sample.items()})
-    latest = ckpt_io.latest_checkpoint(args.ckpt_dir)
-    if latest:  # auto-resume newest full ckpt (s2_train.py:206-231)
-        state = ckpt_io.load_checkpoint(latest, state)
-        print("resumed from", latest)
-    else:  # resume-else-pretrained (s2_train.py:232-275)
-        from gpt_sovits_tpu.utils.checkpoint_compat import (
-            d_params_from_torch,
-            load_torch_checkpoint,
-            s2_params_from_torch,
-        )
-
-        if getattr(args, "pretrained_s2g", None):
-            ck = load_torch_checkpoint(args.pretrained_s2g)
-            mapped = s2_params_from_torch(ck.get("weight", ck), s2)
-            state = state.replace(params_g={"params": _overlay_params(state.params_g["params"], mapped["params"])})
-            print("loaded pretrained", args.pretrained_s2g)
-        if getattr(args, "pretrained_s2d", None):
-            ck = load_torch_checkpoint(args.pretrained_s2d)
-            periods = (2, 3, 5, 7, 11, 17, 23) if s2.is_pro else (2, 3, 5, 7, 11)
-            mapped = d_params_from_torch(ck.get("weight", ck), periods)
-            state = state.replace(params_d={"params": _overlay_params(state.params_d["params"], mapped["params"])})
-            print("loaded pretrained", args.pretrained_s2d)
-    step_fn = make_train_step(gen, disc, tc, mel, steps_per_epoch=max(len(batches), 1))
-    for epoch in range(tc.epochs):
-        for batch in data_iterator(ds, sampler, epoch):
-            state, metrics = step_fn(state, {k: jax.numpy.asarray(v) for k, v in batch.items()}, jax.random.PRNGKey(epoch))
-        print(f"epoch {epoch}: " + " ".join(f"{k}={float(v):.3f}" for k, v in metrics.items()))
-        if (epoch + 1) % args.save_every == 0:
-            ckpt_io.save_checkpoint(state, args.ckpt_dir, int(state.step))
-            ckpt_io.export_weights(state.params_g["params"], os.path.join(args.ckpt_dir, f"s2G-e{epoch + 1}.npz"),
-                                   config={"version": args.version}, info=f"{epoch + 1}epoch")
-            # reference-format .pth (process_ckpt.savee container, enc_q
-            # dropped) so fine-tunes trained here load in the reference too
-            from gpt_sovits_tpu.utils.checkpoint_compat import s2_params_to_torch, save_reference_pth
-
-            sd = s2_params_to_torch(state.params_g, s2)
-            save_reference_pth(
-                {k: v for k, v in sd.items() if not k.startswith("enc_q.")},
-                os.path.join(args.ckpt_dir, f"s2G-e{epoch + 1}.pth"),
-                model_version=args.version, config={"version": args.version}, info=f"{epoch + 1}epoch",
-            )
-    print("train-s2 done")
-
-
-def _overlay_params(dst: dict, src: dict) -> dict:
-    """Recursively overlay mapped pretrained weights onto an initialized
-    param tree (keys absent from the ckpt — e.g. enc_q dropped by savee —
-    keep their fresh init, like the reference's strict=False load)."""
-    out = dict(dst)
-    for k, v in src.items():
-        if isinstance(v, dict) and isinstance(out.get(k), dict):
-            out[k] = _overlay_params(out[k], v)
-        else:
-            out[k] = v
-    return out
+    try:
+        run_train_s2(args.exp_dir, args.ckpt_dir, version=args.version,
+                     batch_size=args.batch_size, epochs=args.epochs,
+                     save_every=args.save_every,
+                     pretrained_s2g=getattr(args, "pretrained_s2g", None),
+                     pretrained_s2d=getattr(args, "pretrained_s2d", None))
+    except RuntimeError as e:
+        sys.exit(str(e))
 
 
 def cmd_train_v3(args):
-    import jax
-    import jax.numpy as jnp
+    from gpt_sovits_tpu.run import run_train_v3
 
-    from gpt_sovits_tpu.models.v3 import SynthesizerTrnV3
-    from gpt_sovits_tpu.train import ckpt as ckpt_io
-    from gpt_sovits_tpu.train.data import BucketSampler, V3Dataset, data_iterator
-    from gpt_sovits_tpu.train.s2_train_v3 import (
-        V3TrainState,
-        init_lora,
-        init_state,
-        make_lora_optimizer,
-        make_lora_train_step,
-        make_train_step,
-        merge_lora,
-    )
-    from gpt_sovits_tpu.utils.config import TrainConfig, s2_config_for_version
-
-    cfg = s2_config_for_version(args.version)
-    tc = TrainConfig(batch_size=args.batch_size, epochs=args.epochs)
-    ds = V3Dataset(args.exp_dir, version=args.version)
-    sampler = BucketSampler(ds.lengths(), tc.batch_size, seed=tc.seed)
-    batches = sampler.epoch_batches(0)
-    if not batches:
-        sys.exit("no training batches (dataset too small for batch size)")
-    sample = {k: jnp.asarray(v) for k, v in ds.collate(batches[0]).items()}
-    model = SynthesizerTrnV3(cfg)
-    state = init_state(jax.random.PRNGKey(tc.seed), model, tc, sample)
-    steps_per_epoch = max(len(batches), 1)
-    if args.lora_rank > 0:
-        lora = init_lora(state.params, args.lora_rank, jax.random.PRNGKey(tc.seed + 1))
-        state = V3TrainState(state.step, state.params, make_lora_optimizer(tc, steps_per_epoch).init(lora), lora)
-        step_fn = make_lora_train_step(model, tc, steps_per_epoch)
-    else:
-        step_fn = make_train_step(model, tc, steps_per_epoch)
-    latest = ckpt_io.latest_checkpoint(args.ckpt_dir)
-    if latest:  # auto-resume (s2_train_v3.py resume-else-pretrained skeleton)
-        state = ckpt_io.load_checkpoint(latest, state)
-        print("resumed from", latest)
-    elif getattr(args, "pretrained", None):
-        from gpt_sovits_tpu.utils.checkpoint_compat import load_torch_checkpoint, s2v3_params_from_torch
-
-        ck = load_torch_checkpoint(args.pretrained)
-        mapped = s2v3_params_from_torch(ck.get("weight", ck), cfg)
-        state = state.replace(params={"params": _overlay_params(state.params["params"], mapped["params"])})
-        print("loaded pretrained", args.pretrained)
-    for epoch in range(tc.epochs):
-        for batch in data_iterator(ds, sampler, epoch):
-            state, metrics = step_fn(state, {k: jnp.asarray(v) for k, v in batch.items()}, jax.random.PRNGKey(epoch))
-        print(f"epoch {epoch}: " + " ".join(f"{k}={float(v):.4f}" for k, v in metrics.items()))
-        if (epoch + 1) % args.save_every == 0:
-            ckpt_io.save_checkpoint(state, args.ckpt_dir, int(state.step))
-            params = merge_lora(state.params, state.lora) if state.lora is not None else state.params
-            extra = {"lora_rank": args.lora_rank} if args.lora_rank > 0 else {}
-            ckpt_io.export_weights(
-                params["params"], os.path.join(args.ckpt_dir, f"s2G-{args.version}-e{epoch + 1}.npz"),
-                config={"version": args.version, **extra}, info=f"{epoch + 1}epoch",
-            )
-            # reference-format v3/v4 .pth (merged weights, version-byte header)
-            from gpt_sovits_tpu.utils.checkpoint_compat import s2v3_params_to_torch, save_reference_pth
-
-            save_reference_pth(
-                s2v3_params_to_torch(params, cfg),
-                os.path.join(args.ckpt_dir, f"s2G-{args.version}-e{epoch + 1}.pth"),
-                model_version=args.version, config={"version": args.version, **extra}, info=f"{epoch + 1}epoch",
-            )
-    print("train-v3 done")
+    try:
+        run_train_v3(args.exp_dir, args.ckpt_dir, version=args.version,
+                     batch_size=args.batch_size, epochs=args.epochs,
+                     save_every=args.save_every, lora_rank=args.lora_rank,
+                     pretrained=getattr(args, "pretrained", None))
+    except RuntimeError as e:
+        sys.exit(str(e))
 
 
 def cmd_tts(args):
@@ -351,6 +150,20 @@ def cmd_serve(args):
         pass
 
 
+def cmd_serve_training(args):
+    """Launch the character-based training REST service with production step
+    wiring (reference server/start_service.sh)."""
+    from gpt_sovits_tpu.serve.training_steps import ServiceConfig, main as run_service
+
+    cfg = ServiceConfig()
+    for name in ("root", "host", "port", "version", "bert_path", "hubert_path",
+                 "sv_path", "pretrained_s2g", "pretrained_s2d", "pretrained_s1"):
+        v = getattr(args, name, None)
+        if v is not None:
+            setattr(cfg, name, v)
+    run_service(cfg)
+
+
 def cmd_asr(args):
     """Transcribe a directory of slices into the training `.list` manifest
     (tools/asr/ equivalent; external ASR backends are optional deps)."""
@@ -360,34 +173,11 @@ def cmd_asr(args):
     print(f"wrote manifest: {out}")
 
 
-def _latest_step_model(directory: str, ext: str) -> str:
-    """Newest-step weight file in a directory (get_trained_models.py:23
-    `get_final_step_model` — same filename conventions: `-e15`, `_e48_s336`,
-    `step_1000`, `_1000.`)."""
-    import re
-
-    if not os.path.isdir(directory):
-        return ""
-    best, best_step = "", -1
-    for f in sorted(os.listdir(directory)):
-        if not f.endswith(ext):
-            continue
-        step = -1
-        m = re.search(r"_e(\d+)_s(\d+)", f)
-        if m:
-            step = int(m.group(2))
-        else:
-            m = re.search(r"-e(\d+)", f) or re.search(r"step_(\d+)", f) or re.search(r"_(\d+)\.", f)
-            if m:
-                step = int(m.group(1))
-        if step > best_step:
-            best, best_step = os.path.join(directory, f), step
-    return best
-
-
 def cmd_list_models(args):
     """List trained weights per version dir as JSON (get_trained_models.py)."""
     import json
+
+    from gpt_sovits_tpu.run import latest_step_model as _latest_step_model
 
     out = {}
     for version in ("v1", "v2", "v2Pro", "v2ProPlus", "v3", "v4"):
@@ -509,6 +299,19 @@ def main(argv=None):
     s.add_argument("--s2")
     s.add_argument("--version")
     s.set_defaults(fn=cmd_export)
+
+    s = sub.add_parser("serve-training", help="character-based training REST service (server/)")
+    s.add_argument("--root", help="character data root (default: GSVT_SERVICE_ROOT or ./characters)")
+    s.add_argument("--host")
+    s.add_argument("--port", type=int)
+    s.add_argument("--version")
+    s.add_argument("--bert-path")
+    s.add_argument("--hubert-path")
+    s.add_argument("--sv-path")
+    s.add_argument("--pretrained-s2g")
+    s.add_argument("--pretrained-s2d")
+    s.add_argument("--pretrained-s1")
+    s.set_defaults(fn=cmd_serve_training)
 
     s = sub.add_parser("asr", help="transcribe slices into the training .list manifest (tools/asr)")
     s.add_argument("--in-dir", required=True)

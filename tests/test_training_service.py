@@ -208,3 +208,65 @@ def test_audio_files_process_default_and_jobs(service):
     code, _, _ = _req(base + "/api/v1/characters/carol/training/clean", "POST", b"")
     assert code == 200
     assert svc.store.status("carol")["state"] == "created"
+
+
+# ---------------------------------------------------------------------------
+# Production step wiring (serve/training_steps.py — reference
+# server/training_steps.py + service_config.py)
+# ---------------------------------------------------------------------------
+
+
+def test_service_config_env_overrides(monkeypatch):
+    from gpt_sovits_tpu.serve.training_steps import ServiceConfig
+
+    monkeypatch.setenv("GSVT_SERVICE_ROOT", "/tmp/chars")
+    monkeypatch.setenv("GSVT_S2_EPOCHS", "3")
+    monkeypatch.setenv("GSVT_VERSION", "v3")
+    monkeypatch.setenv("GSVT_ASR", "false")
+    cfg = ServiceConfig()
+    assert cfg.root == "/tmp/chars" and cfg.s2_epochs == 3
+    assert cfg.is_cfm and not cfg.is_pro
+    assert cfg.asr_enabled is False
+
+
+def test_manifest_text_lookup(tmp_path):
+    from gpt_sovits_tpu.serve.training_steps import _manifest_text_for
+
+    ds = tmp_path / "dataset"
+    ds.mkdir()
+    (ds / "files.list").write_text(f"{ds}/a_0000.wav|spk|ZH|你好世界\n{ds}/b_0001.wav|spk|EN|hello\n", encoding="utf-8")
+    assert _manifest_text_for(str(ds / "b_0001.wav")) == "hello"
+    assert _manifest_text_for(str(ds / "missing.wav")) is None
+
+
+def test_step_wiring_routes_by_version(monkeypatch, tmp_path):
+    """build_training_steps plumbs config into run_* (v2 -> GAN trainer,
+    v3 -> CFM trainer) without touching real models."""
+    from gpt_sovits_tpu import run as run_mod
+    from gpt_sovits_tpu.serve.training_steps import ServiceConfig, build_training_steps
+
+    calls = []
+    monkeypatch.setattr(run_mod, "run_prepare", lambda m, e, **kw: calls.append(("prepare", kw["version"])))
+    monkeypatch.setattr(run_mod, "run_train_s2", lambda e, c, **kw: calls.append(("s2", kw["version"], kw["pretrained_s2g"])))
+    monkeypatch.setattr(run_mod, "run_train_v3", lambda e, c, **kw: calls.append(("v3", kw["version"], kw["lora_rank"])))
+    monkeypatch.setattr(run_mod, "run_train_s1", lambda e, c, **kw: calls.append(("s1", kw["epochs"])))
+
+    cfg = ServiceConfig(version="v2", pretrained_s2g="g.pth", s1_epochs=2, asr_enabled=False)
+    steps = build_training_steps(cfg)
+    steps.prepare("m.list", str(tmp_path))
+    steps.train_s2(str(tmp_path), str(tmp_path))
+    steps.train_s1(str(tmp_path), str(tmp_path))
+    assert calls == [("prepare", "v2"), ("s2", "v2", "g.pth"), ("s1", 2)]
+
+    calls.clear()
+    steps = build_training_steps(ServiceConfig(version="v3", lora_rank=8, asr_enabled=False))
+    steps.train_s2(str(tmp_path), str(tmp_path))
+    assert calls == [("v3", "v3", 8)]
+
+
+def test_synthesize_requires_trained_weights(tmp_path):
+    from gpt_sovits_tpu.serve.training_steps import ServiceConfig, build_training_steps
+
+    steps = build_training_steps(ServiceConfig(asr_enabled=False))
+    with pytest.raises(RuntimeError, match="no trained weights"):
+        steps.synthesize(str(tmp_path), "hi", "en", str(tmp_path / "ref.wav"))
