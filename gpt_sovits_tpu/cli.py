@@ -150,6 +150,22 @@ def cmd_serve(args):
         pass
 
 
+def cmd_webui(args):
+    """Master control panel (reference webui.py, port 9874): data tools,
+    dataset prep, training, label proofreading — as logged background jobs."""
+    import time
+
+    from gpt_sovits_tpu.serve.webui import serve_webui
+
+    serve_webui(host=args.host, port=args.port)
+    print(f"webui on http://{args.host}:{args.port}")
+    try:
+        while True:
+            time.sleep(3600)
+    except KeyboardInterrupt:
+        pass
+
+
 def cmd_serve_training(args):
     """Launch the character-based training REST service with production step
     wiring (reference server/start_service.sh)."""
@@ -299,6 +315,11 @@ def main(argv=None):
     s.add_argument("--s2")
     s.add_argument("--version")
     s.set_defaults(fn=cmd_export)
+
+    s = sub.add_parser("webui", help="master control panel (webui.py equivalent)")
+    s.add_argument("--host", default="127.0.0.1")
+    s.add_argument("--port", type=int, default=9874)
+    s.set_defaults(fn=cmd_webui)
 
     s = sub.add_parser("serve-training", help="character-based training REST service (server/)")
     s.add_argument("--root", help="character data root (default: GSVT_SERVICE_ROOT or ./characters)")
