@@ -91,7 +91,8 @@ def cmd_train_s1(args):
 
     run_train_s1(args.exp_dir, args.ckpt_dir, batch_size=args.batch_size,
                  epochs=args.epochs, save_every=args.save_every, dpo=args.dpo,
-                 pretrained_s1=getattr(args, "pretrained_s1", None))
+                 pretrained_s1=getattr(args, "pretrained_s1", None),
+                 data_parallel=args.dp)
 
 
 def cmd_train_s2(args):
@@ -102,7 +103,8 @@ def cmd_train_s2(args):
                      batch_size=args.batch_size, epochs=args.epochs,
                      save_every=args.save_every,
                      pretrained_s2g=getattr(args, "pretrained_s2g", None),
-                     pretrained_s2d=getattr(args, "pretrained_s2d", None))
+                     pretrained_s2d=getattr(args, "pretrained_s2d", None),
+                     data_parallel=args.dp)
     except RuntimeError as e:
         sys.exit(str(e))
 
@@ -114,7 +116,8 @@ def cmd_train_v3(args):
         run_train_v3(args.exp_dir, args.ckpt_dir, version=args.version,
                      batch_size=args.batch_size, epochs=args.epochs,
                      save_every=args.save_every, lora_rank=args.lora_rank,
-                     pretrained=getattr(args, "pretrained", None))
+                     pretrained=getattr(args, "pretrained", None),
+                     data_parallel=args.dp)
     except RuntimeError as e:
         sys.exit(str(e))
 
@@ -258,6 +261,7 @@ def main(argv=None):
     s.add_argument("--save-every", type=int, default=5)
     s.add_argument("--dpo", action="store_true")
     s.add_argument("--pretrained-s1", help="reference s1*.ckpt to fine-tune from")
+    s.add_argument("--dp", action="store_true", help="data-parallel over all local devices (mesh DP, replaces DDP)")
     s.set_defaults(fn=cmd_train_s1)
 
     s = sub.add_parser("train-s2")
@@ -269,6 +273,7 @@ def main(argv=None):
     s.add_argument("--save-every", type=int, default=4)
     s.add_argument("--pretrained-s2g", help="reference s2G*.pth to fine-tune from")
     s.add_argument("--pretrained-s2d", help="reference s2D*.pth discriminator warm start")
+    s.add_argument("--dp", action="store_true", help="data-parallel over all local devices (mesh DP, replaces DDP)")
     s.set_defaults(fn=cmd_train_s2)
 
     s = sub.add_parser("train-v3", help="v3/v4 CFM fine-tune (s2_train_v3.py; --lora-rank for LoRA)")
@@ -280,6 +285,7 @@ def main(argv=None):
     s.add_argument("--save-every", type=int, default=2)
     s.add_argument("--lora-rank", type=int, default=0, help=">0: train LoRA deltas only (s2_train_v3_lora.py)")
     s.add_argument("--pretrained", help="reference v3/v4 SoVITS .pth to fine-tune from")
+    s.add_argument("--dp", action="store_true", help="data-parallel over all local devices (mesh DP, replaces DDP)")
     s.set_defaults(fn=cmd_train_v3)
 
     s = sub.add_parser("tts")

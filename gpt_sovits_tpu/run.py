@@ -30,6 +30,36 @@ def _overlay_params(dst: dict, src: dict) -> dict:
     return out
 
 
+def _dp_mesh(data_parallel: bool, batch_size: int):
+    """(data,)-mesh over all local devices for DP training (replaces the
+    reference's mp.spawn + DDP NCCL allreduce, s2_train.py:58-85: params
+    replicated, batch sharded over `data`, gradient mean via compiler psum)."""
+    if not data_parallel:
+        return None
+    import jax
+
+    from gpt_sovits_tpu.parallel.mesh import make_mesh
+
+    n = len(jax.devices())
+    if n <= 1:
+        return None
+    if batch_size % n:
+        raise ValueError(f"batch_size {batch_size} not divisible by {n} devices")
+    return make_mesh(n, 1)
+
+
+def _dp_place(mesh, state, batch_fn):
+    """Replicate state over the mesh; return a per-batch sharding fn."""
+    if mesh is None:
+        return state, batch_fn
+    import jax
+
+    from gpt_sovits_tpu.parallel.mesh import replicated, shard_batch
+
+    state = jax.device_put(state, replicated(mesh))
+    return state, lambda b: shard_batch(batch_fn(b), mesh)
+
+
 def run_prepare(
     list_file: str,
     exp_dir: str,
@@ -101,6 +131,8 @@ def run_train_s1(
     save_every: int = 5,
     dpo: bool = False,
     pretrained_s1: Optional[str] = None,
+    model_cfg=None,
+    data_parallel: bool = False,
     log: Callable[..., None] = print,
 ) -> None:
     """S1 AR text->semantic training (reference s1_train.py)."""
@@ -112,8 +144,11 @@ def run_train_s1(
     from gpt_sovits_tpu.train.s1_train import init_state, make_train_step
     from gpt_sovits_tpu.utils.config import S1Config, TrainConfig
 
-    cfg = S1Config()
+    from gpt_sovits_tpu.utils.metrics import MetricsLogger
+
+    cfg = model_cfg or S1Config()
     tc = TrainConfig(batch_size=batch_size, epochs=epochs, grad_accum=4)
+    mesh = _dp_mesh(data_parallel, batch_size)
     model = T2SDecoder(cfg)
     ds = S1Dataset(exp_dir)
     sampler = BucketSampler(ds.lengths(), tc.batch_size, seed=tc.seed)
@@ -130,10 +165,13 @@ def run_train_s1(
         state = state.replace(params={"params": _overlay_params(state.params["params"], mapped["params"])})
         log("loaded pretrained", pretrained_s1)
     step_fn = make_train_step(model, tc, use_dpo=dpo)
+    state, place = _dp_place(mesh, state, lambda b: {k: jax.numpy.asarray(v) for k, v in b.items()})
+    mlog = MetricsLogger(os.path.join(ckpt_dir, "logs"), echo=False)
     for epoch in range(tc.epochs):
         for batch in data_iterator(ds, sampler, epoch):
-            state, metrics = step_fn(state, {k: jax.numpy.asarray(v) for k, v in batch.items()}, jax.random.PRNGKey(epoch))
+            state, metrics = step_fn(state, place(batch), jax.random.PRNGKey(epoch))
         log(f"epoch {epoch}: loss={float(metrics['loss']):.3f} acc={float(metrics['acc']):.3f}")
+        mlog.log(int(state.step), **{k: float(v) for k, v in metrics.items()})
         if (epoch + 1) % save_every == 0:
             ckpt_io.save_checkpoint(state, ckpt_dir, int(state.step))
             ckpt_io.export_weights(state.params["params"], os.path.join(ckpt_dir, f"s1-e{epoch + 1}.npz"),
@@ -147,6 +185,7 @@ def run_train_s1(
                 os.path.join(ckpt_dir, f"s1-e{epoch + 1}.ckpt"),
                 config={"model": {"t2s": "gpt_sovits_tpu"}}, info=f"{epoch + 1}epoch",
             )
+    mlog.close()
     log("train-s1 done")
 
 
@@ -160,6 +199,8 @@ def run_train_s2(
     save_every: int = 4,
     pretrained_s2g: Optional[str] = None,
     pretrained_s2d: Optional[str] = None,
+    model_cfg=None,
+    data_parallel: bool = False,
     log: Callable[..., None] = print,
 ) -> None:
     """S2 SoVITS GAN training (reference s2_train.py)."""
@@ -170,9 +211,12 @@ def run_train_s2(
     from gpt_sovits_tpu.train.s2_train import init_state, make_train_step
     from gpt_sovits_tpu.utils.config import MelConfig, TrainConfig, s2_config_for_version
 
-    s2 = s2_config_for_version(version)
+    from gpt_sovits_tpu.utils.metrics import MetricsLogger
+
+    s2 = model_cfg or s2_config_for_version(version)
     tc = TrainConfig(batch_size=batch_size, epochs=epochs)
     mel = MelConfig()
+    mesh = _dp_mesh(data_parallel, batch_size)
     ds = S2Dataset(exp_dir, version=version, mel_cfg=mel)
     sampler = BucketSampler(ds.lengths(), tc.batch_size, seed=tc.seed)
     batches = sampler.epoch_batches(0)
@@ -203,10 +247,13 @@ def run_train_s2(
             state = state.replace(params_d={"params": _overlay_params(state.params_d["params"], mapped["params"])})
             log("loaded pretrained", pretrained_s2d)
     step_fn = make_train_step(gen, disc, tc, mel, steps_per_epoch=max(len(batches), 1))
+    state, place = _dp_place(mesh, state, lambda b: {k: jax.numpy.asarray(v) for k, v in b.items()})
+    mlog = MetricsLogger(os.path.join(ckpt_dir, "logs"), echo=False)
     for epoch in range(tc.epochs):
         for batch in data_iterator(ds, sampler, epoch):
-            state, metrics = step_fn(state, {k: jax.numpy.asarray(v) for k, v in batch.items()}, jax.random.PRNGKey(epoch))
+            state, metrics = step_fn(state, place(batch), jax.random.PRNGKey(epoch))
         log(f"epoch {epoch}: " + " ".join(f"{k}={float(v):.3f}" for k, v in metrics.items()))
+        mlog.log(int(state.step), **{k: float(v) for k, v in metrics.items()})
         if (epoch + 1) % save_every == 0:
             ckpt_io.save_checkpoint(state, ckpt_dir, int(state.step))
             ckpt_io.export_weights(state.params_g["params"], os.path.join(ckpt_dir, f"s2G-e{epoch + 1}.npz"),
@@ -221,6 +268,7 @@ def run_train_s2(
                 os.path.join(ckpt_dir, f"s2G-e{epoch + 1}.pth"),
                 model_version=version, config={"version": version}, info=f"{epoch + 1}epoch",
             )
+    mlog.close()
     log("train-s2 done")
 
 
@@ -234,6 +282,8 @@ def run_train_v3(
     save_every: int = 2,
     lora_rank: int = 0,
     pretrained: Optional[str] = None,
+    model_cfg=None,
+    data_parallel: bool = False,
     log: Callable[..., None] = print,
 ) -> None:
     """v3/v4 CFM fine-tune (reference s2_train_v3.py; lora_rank>0 for the
@@ -255,8 +305,11 @@ def run_train_v3(
     )
     from gpt_sovits_tpu.utils.config import TrainConfig, s2_config_for_version
 
-    cfg = s2_config_for_version(version)
+    from gpt_sovits_tpu.utils.metrics import MetricsLogger
+
+    cfg = model_cfg or s2_config_for_version(version)
     tc = TrainConfig(batch_size=batch_size, epochs=epochs)
+    mesh = _dp_mesh(data_parallel, batch_size)
     ds = V3Dataset(exp_dir, version=version)
     sampler = BucketSampler(ds.lengths(), tc.batch_size, seed=tc.seed)
     batches = sampler.epoch_batches(0)
@@ -283,10 +336,13 @@ def run_train_v3(
         mapped = s2v3_params_from_torch(ck.get("weight", ck), cfg)
         state = state.replace(params={"params": _overlay_params(state.params["params"], mapped["params"])})
         log("loaded pretrained", pretrained)
+    state, place = _dp_place(mesh, state, lambda b: {k: jnp.asarray(v) for k, v in b.items()})
+    mlog = MetricsLogger(os.path.join(ckpt_dir, "logs"), echo=False)
     for epoch in range(tc.epochs):
         for batch in data_iterator(ds, sampler, epoch):
-            state, metrics = step_fn(state, {k: jnp.asarray(v) for k, v in batch.items()}, jax.random.PRNGKey(epoch))
+            state, metrics = step_fn(state, place(batch), jax.random.PRNGKey(epoch))
         log(f"epoch {epoch}: " + " ".join(f"{k}={float(v):.4f}" for k, v in metrics.items()))
+        mlog.log(int(state.step), **{k: float(v) for k, v in metrics.items()})
         if (epoch + 1) % save_every == 0:
             ckpt_io.save_checkpoint(state, ckpt_dir, int(state.step))
             params = merge_lora(state.params, state.lora) if state.lora is not None else state.params
@@ -303,6 +359,7 @@ def run_train_v3(
                 os.path.join(ckpt_dir, f"s2G-{version}-e{epoch + 1}.pth"),
                 model_version=version, config={"version": version, **extra}, info=f"{epoch + 1}epoch",
             )
+    mlog.close()
     log("train-v3 done")
 
 
