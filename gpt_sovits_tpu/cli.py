@@ -209,8 +209,8 @@ def cmd_list_models(args):
 
 
 def cmd_export(args):
-    from gpt_sovits_tpu.utils.export import export_s1_step, export_s2_decode
-    from gpt_sovits_tpu.utils.loaders import load_s1, load_s2
+    from gpt_sovits_tpu.utils.export import export_cfm, export_s1_step, export_s2_decode, export_v3_decode, export_vocoder
+    from gpt_sovits_tpu.utils.loaders import load_s1, load_s2, load_vocoder
 
     os.makedirs(args.out_dir, exist_ok=True)
     if args.s1:
@@ -219,8 +219,18 @@ def cmd_export(args):
         open(os.path.join(args.out_dir, "s1_step.stablehlo"), "wb").write(blob)
     if args.s2:
         model, params, version = load_s2(args.s2, args.version)
-        blob = export_s2_decode(model, params)
-        open(os.path.join(args.out_dir, f"s2_decode_{version}.stablehlo"), "wb").write(blob)
+        if version in ("v3", "v4"):  # export_torch_script_v3v4 equivalent
+            blob = export_v3_decode(model, params)
+            open(os.path.join(args.out_dir, f"s2_encp_{version}.stablehlo"), "wb").write(blob)
+            blob = export_cfm(model, params, n_steps=args.sample_steps)
+            open(os.path.join(args.out_dir, f"cfm_{version}.stablehlo"), "wb").write(blob)
+        else:
+            blob = export_s2_decode(model, params)
+            open(os.path.join(args.out_dir, f"s2_decode_{version}.stablehlo"), "wb").write(blob)
+    if getattr(args, "vocoder", None):
+        model, params = load_vocoder(args.vocoder, args.version or "v3")
+        blob = export_vocoder(model, params)
+        open(os.path.join(args.out_dir, "vocoder.stablehlo"), "wb").write(blob)
     print("export done:", args.out_dir)
 
 
@@ -320,6 +330,8 @@ def main(argv=None):
     s.add_argument("--s1")
     s.add_argument("--s2")
     s.add_argument("--version")
+    s.add_argument("--vocoder", help="v3 BigVGAN / v4 generator checkpoint to export")
+    s.add_argument("--sample-steps", type=int, default=8, help="Euler steps baked into the exported CFM module")
     s.set_defaults(fn=cmd_export)
 
     s = sub.add_parser("webui", help="master control panel (webui.py equivalent)")

@@ -85,3 +85,51 @@ def export_vocoder(model, params, *, b=1, t=512) -> bytes:
     mel_dim = getattr(model.cfg, "num_mels", None) or model.cfg.cfm_mel_channels
     args = (jnp.zeros((b, t, mel_dim), jnp.float32),)
     return export_fn(lambda mel: model.apply(params, mel), args)
+
+
+def export_v3_decode(model, params, *, b=1, tc=256, tt=128, tr=256) -> bytes:
+    """SynthesizerTrnV3.decode_encp at fixed bucket shapes (the v3/v4
+    front half exported by the reference's export_torch_script_v3v4.py:
+    codes + reference -> DiT conditioning fea, ge, mel_len)."""
+    from gpt_sovits_tpu.models.v3 import SynthesizerTrnV3
+
+    cfg = model.cfg
+
+    def fn(codes, codes_lengths, text, text_lengths, refer_spec, refer_lengths):
+        return model.apply(
+            params, codes, codes_lengths, text, text_lengths, refer_spec, refer_lengths,
+            method=SynthesizerTrnV3.decode_encp,
+        )
+
+    args = (
+        jnp.zeros((b, tc), jnp.int32),
+        jnp.zeros((b,), jnp.int32),
+        jnp.zeros((b, tt), jnp.int32),
+        jnp.zeros((b,), jnp.int32),
+        jnp.zeros((b, tr, cfg.spec_channels), jnp.float32),
+        jnp.zeros((b,), jnp.int32),
+    )
+    return export_fn(fn, args)
+
+
+def export_cfm(model, params, *, b=1, t=512, tp=128, n_steps=8) -> bytes:
+    """The whole CFM Euler sampling loop (n_steps DiT forwards under one
+    lax.scan) as a single module: (fea, x_lens, prompt_mel, seed) -> mel."""
+    from gpt_sovits_tpu.models.dit import DiT
+    from gpt_sovits_tpu.models.v3 import cfm_inference
+
+    dit = DiT(model.dit_config)
+    dit_params = {"params": params["params"]["cfm"]["estimator"]}
+    mel_dim = dit.cfg.mel_dim
+
+    def fn(mu, x_lens, prompt, seed):
+        return cfm_inference(dit, dit_params, mu, x_lens, prompt,
+                             jax.random.PRNGKey(seed), n_steps=n_steps)
+
+    args = (
+        jnp.zeros((b, t, dit.cfg.text_dim), jnp.float32),  # decode_encp fea width
+        jnp.zeros((b,), jnp.int32),
+        jnp.zeros((b, tp, mel_dim), jnp.float32),
+        jnp.asarray(0, jnp.uint32),
+    )
+    return export_fn(fn, args)

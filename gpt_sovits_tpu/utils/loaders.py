@@ -140,13 +140,10 @@ def load_sv(path: Optional[str] = None):
     return model, params_from_torch(sd, cfg)
 
 
-def build_v3_bundle(s2_path: str, vocoder_path: Optional[str], version: str = "v3", *, sample_steps: int = 32):
-    """Assemble the v3/v4 serving bundle: CFM synthesizer + vocoder
-    (reference TTS.init_vocoder constants, TTS.py:601-660)."""
-    from gpt_sovits_tpu.infer.pipeline import V3Bundle
-    from gpt_sovits_tpu.utils.config import MEL_V3, MEL_V4
-
-    model, params, version = load_s2(s2_path, version)
+def load_vocoder(vocoder_path: Optional[str], version: str = "v3"):
+    """v3/v4 vocoder model (+params when a checkpoint is given): BigVGAN for
+    v3, the x480 48 kHz Generator for v4 (reference TTS.init_vocoder
+    constants, TTS.py:601-660)."""
     if version == "v3":
         from gpt_sovits_tpu.models.bigvgan import BigVGAN, BigVGANConfig, params_from_torch as bigvgan_from_torch
 
@@ -158,11 +155,8 @@ def build_v3_bundle(s2_path: str, vocoder_path: Optional[str], version: str = "v
             sd = torch.load(vocoder_path, map_location="cpu", weights_only=False)
             sd = sd.get("generator", sd)
             voc_params = bigvgan_from_torch(sd)
-        return V3Bundle(
-            model=model, params=params, vocoder=voc, vocoder_params=voc_params,
-            mel_cfg=MEL_V3, t_ref=468, t_chunk=934, out_sr=24000, sample_steps=sample_steps,
-        )
-    # v4: ×480 HiFiGAN generator to 48 kHz (TTS.py:631-655)
+        return voc, voc_params
+    # v4: x480 HiFiGAN generator to 48 kHz (TTS.py:631-655)
     from gpt_sovits_tpu.models.vits import Generator
     from gpt_sovits_tpu.utils.config import replace as cfg_replace, s2_config_for_version
 
@@ -176,7 +170,6 @@ def build_v3_bundle(s2_path: str, vocoder_path: Optional[str], version: str = "v
     if vocoder_path:
         import torch
 
-        from gpt_sovits_tpu.utils.checkpoint_compat import s2_params_from_torch  # noqa: F401
         from gpt_sovits_tpu.utils.checkpoint_compat import _SD
 
         sd = _SD(torch.load(vocoder_path, map_location="cpu", weights_only=False))
@@ -191,46 +184,23 @@ def build_v3_bundle(s2_path: str, vocoder_path: Optional[str], version: str = "v
                     rb[f"c2_{di}"] = {"Conv_0": sd.conv(f"resblocks.{i * n_k + j}.convs2.{di}")}
                 p[f"resblock_{i}_{j}"] = rb
         voc_params = {"params": p}
+    return voc, voc_params
+
+
+def build_v3_bundle(s2_path: str, vocoder_path: Optional[str], version: str = "v3", *, sample_steps: int = 32):
+    """Assemble the v3/v4 serving bundle: CFM synthesizer + vocoder
+    (reference TTS.init_vocoder constants, TTS.py:601-660)."""
+    from gpt_sovits_tpu.infer.pipeline import V3Bundle
+    from gpt_sovits_tpu.utils.config import MEL_V3, MEL_V4
+
+    model, params, version = load_s2(s2_path, version)
+    voc, voc_params = load_vocoder(vocoder_path, version)
+    if version == "v3":
+        return V3Bundle(
+            model=model, params=params, vocoder=voc, vocoder_params=voc_params,
+            mel_cfg=MEL_V3, t_ref=468, t_chunk=934, out_sr=24000, sample_steps=sample_steps,
+        )
     return V3Bundle(
         model=model, params=params, vocoder=voc, vocoder_params=voc_params,
         mel_cfg=MEL_V4, t_ref=500, t_chunk=1000, out_sr=48000, sample_steps=sample_steps,
-    )
-
-
-def build_pipeline(
-    *,
-    s1_path: Optional[str] = None,
-    s2_path: Optional[str] = None,
-    version: Optional[str] = None,
-    hubert_path: Optional[str] = None,
-    bert_path: Optional[str] = None,
-    sv_path: Optional[str] = None,
-    infer_cfg=None,
-):
-    """Assemble a TTSPipeline from checkpoint paths (reference formats)."""
-    from gpt_sovits_tpu.infer.pipeline import TTSPipeline, V3Bundle
-    from gpt_sovits_tpu.utils.config import MEL_V3, MEL_V4, InferenceConfig, MelConfig
-
-    s1_model, s1_params = load_s1(s1_path)
-    s2_model, s2_params, version = load_s2(s2_path, version)
-    hubert, hubert_params = load_hubert(hubert_path)
-    bert, bert_params, tokenizer = load_bert(bert_path)
-    sv_model = sv_params = None
-    if version in ("v2Pro", "v2ProPlus"):
-        sv_model, sv_params = load_sv(sv_path)
-
-    v3_bundle = None
-    if version in ("v3", "v4"):
-        raise NotImplementedError(
-            "v3/v4 serving via build_pipeline needs the vocoder checkpoint; "
-            "use build_v3_bundle(...) and pass v3_bundle to TTSPipeline"
-        )
-    return TTSPipeline(
-        s1_model=s1_model, s1_params=s1_params,
-        s2_model=s2_model, s2_params=s2_params,
-        hubert_model=hubert, hubert_params=hubert_params,
-        bert_model=bert, bert_params=bert_params, bert_tokenizer=tokenizer,
-        sv_model=sv_model, sv_params=sv_params,
-        mel_cfg=MelConfig(), infer_cfg=infer_cfg or InferenceConfig(version=version),
-        v3_bundle=v3_bundle,
     )

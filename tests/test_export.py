@@ -61,3 +61,50 @@ def test_export_s1_step():
     )
     assert out[0].shape == (1, S1_TINY.vocab_size)
     assert np.all(np.isfinite(np.asarray(out[0])))
+
+
+def test_export_v3_decode_and_cfm():
+    from gpt_sovits_tpu.models.v3 import SynthesizerTrnV3, cfm_inference
+    from gpt_sovits_tpu.models.dit import DiT
+    from gpt_sovits_tpu.utils.export import export_cfm, export_v3_decode
+
+    from test_v3 import B, TMEL, TSPEC, TS, TT, V3_TINY
+
+    model = SynthesizerTrnV3(V3_TINY)
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 4)
+    ssl = jax.random.normal(ks[0], (B, TS, V3_TINY.ssl_dim))
+    spec = jax.random.normal(ks[1], (B, TSPEC, V3_TINY.spec_channels)) * 0.3
+    mel = jax.random.normal(ks[2], (B, TMEL, model.dit_config.mel_dim)) * 0.3
+    text = jax.random.randint(ks[3], (B, TT), 0, 100)
+    params = model.init(
+        {"params": key, "noise": jax.random.PRNGKey(1)},
+        ssl, spec, jnp.asarray([TSPEC, TSPEC - 4]), mel, jnp.asarray([TMEL, TMEL - 6]),
+        text, jnp.asarray([TT, TT - 2]),
+        method=SynthesizerTrnV3.init_all,
+    )
+
+    # decode_encp module: equal to the direct call
+    tc, tt, tr = 12, TT, TSPEC
+    blob = export_v3_decode(model, params, b=1, tc=tc, tt=tt, tr=tr)
+    restored = load_exported(blob)
+    codes = jnp.ones((1, tc), jnp.int32)
+    args = (codes, jnp.asarray([tc]), jnp.ones((1, tt), jnp.int32), jnp.asarray([tt]),
+            jnp.ones((1, tr, V3_TINY.spec_channels)), jnp.asarray([tr]))
+    fea, ge, mel_len = restored(*args)
+    fea_d, ge_d, mel_len_d = model.apply(params, *args, method=SynthesizerTrnV3.decode_encp)
+    np.testing.assert_allclose(np.asarray(fea), np.asarray(fea_d), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(mel_len), np.asarray(mel_len_d))
+
+    # CFM Euler loop module: equal trajectory for equal seed
+    t, tp, steps = 48, 16, 2
+    blob = export_cfm(model, params, b=1, t=t, tp=tp, n_steps=steps)
+    restored = load_exported(blob)
+    mu = jax.random.normal(ks[0], (1, t, model.dit_config.text_dim)) * 0.1
+    x_lens = jnp.asarray([t])
+    prompt = jax.random.normal(ks[1], (1, tp, model.dit_config.mel_dim)) * 0.1
+    out = restored(mu, x_lens, prompt, jnp.asarray(7, jnp.uint32))
+    dit = DiT(model.dit_config)
+    dit_params = {"params": params["params"]["cfm"]["estimator"]}
+    direct = cfm_inference(dit, dit_params, mu, x_lens, prompt, jax.random.PRNGKey(jnp.uint32(7)), n_steps=steps)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(direct), atol=1e-5)
