@@ -204,3 +204,42 @@ def build_v3_bundle(s2_path: str, vocoder_path: Optional[str], version: str = "v
         model=model, params=params, vocoder=voc, vocoder_params=voc_params,
         mel_cfg=MEL_V4, t_ref=500, t_chunk=1000, out_sr=48000, sample_steps=sample_steps,
     )
+
+
+def build_pipeline(
+    *,
+    s1_path: Optional[str] = None,
+    s2_path: Optional[str] = None,
+    version: Optional[str] = None,
+    hubert_path: Optional[str] = None,
+    bert_path: Optional[str] = None,
+    sv_path: Optional[str] = None,
+    infer_cfg=None,
+):
+    """Assemble a TTSPipeline from checkpoint paths (reference formats)."""
+    from gpt_sovits_tpu.infer.pipeline import TTSPipeline, V3Bundle
+    from gpt_sovits_tpu.utils.config import MEL_V3, MEL_V4, InferenceConfig, MelConfig
+
+    s1_model, s1_params = load_s1(s1_path)
+    s2_model, s2_params, version = load_s2(s2_path, version)
+    hubert, hubert_params = load_hubert(hubert_path)
+    bert, bert_params, tokenizer = load_bert(bert_path)
+    sv_model = sv_params = None
+    if version in ("v2Pro", "v2ProPlus"):
+        sv_model, sv_params = load_sv(sv_path)
+
+    v3_bundle = None
+    if version in ("v3", "v4"):
+        raise NotImplementedError(
+            "v3/v4 serving via build_pipeline needs the vocoder checkpoint; "
+            "use build_v3_bundle(...) and pass v3_bundle to TTSPipeline"
+        )
+    return TTSPipeline(
+        s1_model=s1_model, s1_params=s1_params,
+        s2_model=s2_model, s2_params=s2_params,
+        hubert_model=hubert, hubert_params=hubert_params,
+        bert_model=bert, bert_params=bert_params, bert_tokenizer=tokenizer,
+        sv_model=sv_model, sv_params=sv_params,
+        mel_cfg=MelConfig(), infer_cfg=infer_cfg or InferenceConfig(version=version),
+        v3_bundle=v3_bundle,
+    )
