@@ -40,6 +40,26 @@ from gpt_sovits_tpu.text.segmentation import get_method, split_big_text
 from gpt_sovits_tpu.utils.config import InferenceConfig, MelConfig
 
 
+def _split_batches(sorted_lens: list, batch_size: int, threshold: float) -> list[list[int]]:
+    """Greedy batch splitting over length-sorted items (to_batch,
+    TTS.py:858-879): a candidate batch is shrunk from the tail until its
+    median/mean length ratio reaches `threshold`, bounding padding waste.
+    Returns groups of positions into the sorted order."""
+    groups: list[list[int]] = []
+    pos, n = 0, len(sorted_lens)
+    while pos < n:
+        pos_end = min(pos + batch_size, n)
+        while pos < pos_end:
+            lens = sorted_lens[pos:pos_end]
+            score = lens[(pos_end - pos) // 2] / (sum(lens) / len(lens) + 1e-8)
+            if score >= threshold or pos_end - pos == 1:
+                groups.append(list(range(pos, pos_end)))
+                pos = pos_end
+                break
+            pos_end -= 1
+    return groups
+
+
 def _next_bucket(n: int, buckets=(32, 64, 128, 256, 512)) -> int:
     for b in buckets:
         if n <= b:
@@ -416,6 +436,7 @@ class TTSPipeline:
         fragment_interval: Optional[float] = None,
         max_sec: int = 30,
         batch_size: Optional[int] = None,
+        batch_threshold: float = 0.75,
         split_bucket: bool = True,
         parallel_infer: bool = True,
         sample_steps: Optional[int] = None,  # v3/v4 CFM Euler steps
@@ -450,8 +471,12 @@ class TTSPipeline:
 
         bs = (batch_size or cfg.batch_size) if parallel_infer else 1
         v3_kw = {} if self.v3 is None else {"sample_steps": sample_steps, "super_sampling": super_sampling}
-        for start in range(0, len(order), bs):
-            idx = order[start : start + bs]
+        if split_bucket and parallel_infer:
+            groups = _split_batches([len(segments[i]["phones"]) for i in order], bs, batch_threshold)
+        else:
+            groups = [list(range(s, min(s + bs, len(order)))) for s in range(0, len(order), bs)]
+        for group in groups:
+            idx = [order[g] for g in group]
             batch = [segments[i] for i in idx]
             key, sub = jax.random.split(key)
             synth = self._synthesize_v3_batch if self.v3 is not None else self._synthesize_batch

@@ -200,6 +200,7 @@ class TTSService:
                     speed=float(req.get("speed_factor", 1.0)),
                     fragment_interval=float(req["fragment_interval"]) if "fragment_interval" in req else None,
                     batch_size=int(req["batch_size"]) if "batch_size" in req else None,
+                    batch_threshold=float(req.get("batch_threshold", 0.75)),
                     split_bucket=req.get("split_bucket", True) in _TRUE,
                     parallel_infer=req.get("parallel_infer", True) in _TRUE,
                     sample_steps=int(req["sample_steps"]) if "sample_steps" in req else None,

@@ -239,3 +239,39 @@ def test_run_parallel_infer_off_and_batch_size(pipeline):
     assert len(serial) > 0 and len(bs1) > 0
     # one-at-a-time == batch_size 1 without bucketing (identical work order)
     np.testing.assert_array_equal(serial, bs1)
+
+
+def test_split_batches_matches_reference_algorithm():
+    """_split_batches reproduces to_batch's greedy threshold splitting
+    (TTS.py:858-879) on random length sets."""
+    import numpy as np
+
+    from gpt_sovits_tpu.infer.pipeline import _split_batches
+
+    def ref_split(lens, batch_size, threshold):
+        idx_len = sorted(enumerate(lens), key=lambda x: x[1])
+        arr = np.array([[i, l] for i, l in idx_len], dtype=np.int64)
+        out, pos = [], 0
+        while pos < arr.shape[0]:
+            pos_end = min(pos + batch_size, arr.shape[0])
+            while pos < pos_end:
+                batch = arr[pos:pos_end, 1].astype(np.float32)
+                score = batch[(pos_end - pos) // 2] / (batch.mean() + 1e-8)
+                if (score >= threshold) or (pos_end - pos == 1):
+                    out.append(arr[pos:pos_end, 0].tolist())
+                    pos = pos_end
+                    break
+                pos_end -= 1
+        return out
+
+    rng = np.random.default_rng(0)
+    for trial in range(100):
+        n = int(rng.integers(1, 25))
+        lens = rng.integers(1, 200, size=n).tolist()
+        bs = int(rng.integers(1, 9))
+        th = float(rng.uniform(0.3, 1.0))
+        order = sorted(range(n), key=lambda i: lens[i])
+        ours = [[order[g] for g in grp] for grp in _split_batches([lens[i] for i in order], bs, th)]
+        theirs = ref_split(lens, bs, th)
+        assert [sorted(lens[i] for i in a) for a in ours] == [sorted(lens[i] for i in b) for b in theirs]
+        assert sorted(i for g in ours for i in g) == list(range(n))
