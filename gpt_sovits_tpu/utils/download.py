@@ -16,7 +16,14 @@ HF_BASE = "https://huggingface.co/lj1995/GPT-SoVITS/resolve/main"
 
 PRETRAINED = {
     "s1": "s1v3.ckpt",
+    "s1_v1": "s1bert25hz-2kh-longer-epoch=68e-step=50232.ckpt",
+    "s1_v2": "gsv-v2final-pretrained/s1bert25hz-5kh-longer-epoch=12-step=369668.ckpt",
+    "s2g_v1": "s2G488k.pth",
+    "s2d_v1": "s2D488k.pth",
     "s2g_v2": "gsv-v2final-pretrained/s2G2333k.pth",
+    "s2d_v2": "gsv-v2final-pretrained/s2D2333k.pth",
+    "s2d_v2pro": "v2Pro/s2Dv2Pro.pth",
+    "s2d_v2proplus": "v2Pro/s2Dv2ProPlus.pth",
     "s2g_v2pro": "v2Pro/s2Gv2Pro.pth",
     "s2g_v2proplus": "v2Pro/s2Gv2ProPlus.pth",
     "s2g_v3": "s2Gv3.pth",
@@ -26,6 +33,7 @@ PRETRAINED = {
     "hubert_config": "chinese-hubert-base/config.json",
     "bert": "chinese-roberta-wwm-ext-large/pytorch_model.bin",
     "bert_config": "chinese-roberta-wwm-ext-large/config.json",
+    "bert_tokenizer": "chinese-roberta-wwm-ext-large/tokenizer.json",
     "sv": "sv/pretrained_eres2netv2w24s4ep4.ckpt",
 }
 
