@@ -154,6 +154,10 @@ class TTSPipeline:
         self.use_fused_s1 = use_fused_s1
         self.s1_weight_quant = s1_weight_quant
         self.mesh = mesh
+        from gpt_sovits_tpu.utils.metrics import ThroughputMeter
+
+        self.meter = ThroughputMeter()  # cumulative serving counters
+        self.last_timing: dict = {}
         # S2 decode runs as decode_latent (flax) + the lane-folded generator
         # (ops/folded_conv.py) — exact same waveform, ~1.8x faster vocoder.
         # (v3/v4 pipelines pass s2_params=None; the CFM path replaces S2.)
@@ -452,7 +456,13 @@ class TTSPipeline:
         fragment_interval = cfg.fragment_interval if fragment_interval is None else fragment_interval
         cut_method = cut_method or cfg.text_split_method
 
-        segments = self.preprocess(text, language, cut_method)
+        # per-request phase breakdown + throughput counters (the reference's
+        # hand-rolled t0..t5 line, TTS.py:1317-1338)
+        from gpt_sovits_tpu.utils.metrics import PhaseTimer
+
+        timer = PhaseTimer()
+        with timer.phase("preprocess"):
+            segments = self.preprocess(text, language, cut_method)
         if not segments:
             raise ValueError("no synthesizable text")
 
@@ -480,12 +490,13 @@ class TTSPipeline:
             batch = [segments[i] for i in idx]
             key, sub = jax.random.split(key)
             synth = self._synthesize_v3_batch if self.v3 is not None else self._synthesize_batch
-            wav_list = synth(
-                batch, sub,
-                top_k=top_k, top_p=top_p, temperature=temperature,
-                repetition_penalty=repetition_penalty, speed=speed, max_sec=max_sec,
-                **v3_kw,
-            )
+            with timer.phase("synthesize"):
+                wav_list = synth(
+                    batch, sub,
+                    top_k=top_k, top_p=top_p, temperature=temperature,
+                    repetition_penalty=repetition_penalty, speed=speed, max_sec=max_sec,
+                    **v3_kw,
+                )
             for i, w in zip(idx, wav_list):
                 wavs[i] = w
 
@@ -500,6 +511,10 @@ class TTSPipeline:
             pieces.append(silence)
         audio = np.concatenate(pieces[:-1]) if pieces else np.zeros(0, np.float32)
         audio = np.clip(audio, -1.0, 1.0)
+        self.meter.measure_done(len(audio) / sr, sum(timer.phases.values()))
+        self.last_timing = dict(timer.phases, rtf=self.meter.rtf)
+        if self.cfg.report_timing:
+            print(timer.report(), f"audio:{len(audio) / sr:.2f}s rtf:{self.meter.rtf:.4f}")
         return sr, (audio * 32767.0).astype(np.int16)
 
     def run_streaming(

@@ -217,9 +217,12 @@ def fused_decode_step(
     L, bsz, t_pad, d2 = kv_cache.shape
     d = d2 // 2
     h = num_heads
-    # keep the double-buffered (2, B, chunk, D) KV scratch within ~4 MB
-    if bsz > 2:
-        chunk = min(chunk, 256 if bsz <= 4 else 128)
+    # The pipelined weight blocks already hold ~12 MB of the 16 MB scoped
+    # VMEM (qkv/wo/fc1/fc2 double-buffered), so the double-buffered
+    # (2, B, chunk, 2D) KV scratch must stay within ~2 MB at any batch size.
+    kv_row_bytes = 2 * bsz * d2 * kv_cache.dtype.itemsize
+    budget_rows = max(64, (2 << 20) // kv_row_bytes)
+    chunk = min(chunk, 1 << (budget_rows.bit_length() - 1))  # pow2 divides t_pad
     assert t_pad % chunk == 0, (t_pad, chunk)
     f = weights["fc1"].shape[-1]
     quant = weights["wqkv"].dtype == jnp.int8

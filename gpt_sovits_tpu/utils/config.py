@@ -151,6 +151,7 @@ class MeshConfig:
 class InferenceConfig:
     """Serving knobs (reference: TTS_Config, TTS.py:217-409 and run() kwargs)."""
 
+    report_timing: bool = False  # print the per-request phase line (TTS.py:1317)
     version: str = "v2"
     top_k: int = 15
     top_p: float = 1.0

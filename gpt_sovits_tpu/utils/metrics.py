@@ -86,6 +86,11 @@ class ThroughputMeter:
         self.wall_seconds += time.perf_counter() - t0
         self.audio_seconds += audio_seconds
 
+    def measure_done(self, audio_seconds: float, wall_seconds: float) -> None:
+        """Record an already-timed request (phases measured elsewhere)."""
+        self.audio_seconds += audio_seconds
+        self.wall_seconds += wall_seconds
+
     @property
     def rtf(self) -> float:
         return self.wall_seconds / max(self.audio_seconds, 1e-9)
