@@ -188,6 +188,35 @@ def tool_train_v3(p: dict, log) -> None:
                  pretrained=p.get("pretrained"), log=log)
 
 
+_TTS_CACHE: dict = {}
+
+
+def tool_tts(p: dict, log) -> None:
+    """In-process synthesis (the reference webui launches inference_webui;
+    here it is a tab). The pipeline is cached by model paths; the output wav
+    lands at p['output'] and the job log carries the phase line."""
+    from gpt_sovits_tpu.dsp.audio_io import save_wav
+    from gpt_sovits_tpu.utils.loaders import build_pipeline
+
+    import numpy as np
+
+    key = (p.get("s1"), p.get("s2"), p.get("version"), p.get("hubert"), p.get("bert"), p.get("sv"))
+    pipe = _TTS_CACHE.get(key)
+    if pipe is None:
+        log("loading models...")
+        pipe = build_pipeline(s1_path=p.get("s1"), s2_path=p.get("s2"), version=p.get("version"),
+                              hubert_path=p.get("hubert"), bert_path=p.get("bert"), sv_path=p.get("sv"))
+        _TTS_CACHE.clear()
+        _TTS_CACHE[key] = pipe
+    pipe.set_ref_audio(p["ref_audio"], ref_text=p.get("ref_text"))
+    sr, audio = pipe.run(p["text"], p.get("lang", "auto"), seed=int(p.get("seed", 0)),
+                         cut_method=p.get("cut", "cut5"))
+    out = p.get("output") or os.path.join(os.path.dirname(p["ref_audio"]), "webui_tts.wav")
+    save_wav(out, audio.astype(np.float32) / 32768.0, sr)
+    log(f"wrote {out} ({len(audio) / sr:.2f}s @ {sr} Hz)")
+    log("AUDIO:" + out)  # the page turns this into an <audio> player
+
+
 def tool_one_click(p: dict, log) -> None:
     """slice -> (denoise) -> asr -> prepare, the reference's `open1abc`
     one-click pipeline (webui.py:1047) as one chained job."""
@@ -209,6 +238,7 @@ TOOLS: dict[str, Callable[[dict, Callable], None]] = {
     "slice": tool_slice, "denoise": tool_denoise, "asr": tool_asr,
     "separate": tool_separate, "prepare": tool_prepare, "train_s1": tool_train_s1,
     "train_s2": tool_train_s2, "train_v3": tool_train_v3, "one_click": tool_one_click,
+    "tts": tool_tts,
 }
 
 
@@ -282,6 +312,9 @@ const TABS = {
  "Dataset": [
   ["prepare", [["list",".list manifest"],["exp_dir","exp dir"],["version","v2"],["bert","bert path"],["hubert","hubert path"],["s2","pretrained s2G (for semantic)"],["sv","sv model (Pro)"]]],
   ["one_click", [["input","raw audio"],["work_dir","work dir"],["language","zh"],["bert","bert path"],["hubert","hubert path"],["s2","pretrained s2G"]]],
+ ],
+ "Inference": [
+  ["tts", [["text","text to synthesize"],["lang","auto"],["ref_audio","reference wav"],["ref_text","reference transcript"],["s1","GPT .ckpt"],["s2","SoVITS .pth"],["version",""],["hubert","hubert dir"],["bert","bert dir (zh)"],["output","out wav path"],["seed","0"]]],
  ],
  "Training": [
   ["train_s2", [["exp_dir","exp dir"],["ckpt_dir","ckpt dir"],["version","v2"],["batch_size","8"],["epochs","8"],["pretrained_s2g","s2G .pth"],["pretrained_s2d","s2D .pth"]]],
@@ -401,6 +434,13 @@ def make_handler(runner: JobRunner):
                     self._send(200, {"labels": read_labels(q["list"])})
                 except (KeyError, OSError) as e:
                     self._send(400, {"error": str(e)})
+            elif url.path == "/api/audio":
+                path = q.get("path", "")
+                if not (path.endswith(".wav") and os.path.exists(path)):
+                    self._send(404, {"error": "no such wav"})
+                    return
+                with open(path, "rb") as f:
+                    self._send(200, f.read(), "audio/wav")
             elif url.path == "/api/models":
                 from gpt_sovits_tpu.run import latest_step_model
 
