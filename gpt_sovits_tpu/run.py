@@ -49,15 +49,35 @@ def _dp_mesh(data_parallel: bool, batch_size: int):
 
 
 def _dp_place(mesh, state, batch_fn):
-    """Replicate state over the mesh; return a per-batch sharding fn."""
+    """Replicate state over the mesh; return a per-batch sharding fn.
+
+    Batches go through `global_batch_from_local`: single-host this shards
+    the local batch over the data axis; multi-host each process feeds its
+    own slice of the global batch (per-host input sharding over DCN,
+    replacing the reference's env-var i_part/all_parts ABI)."""
     if mesh is None:
         return state, batch_fn
     import jax
 
-    from gpt_sovits_tpu.parallel.mesh import replicated, shard_batch
+    from gpt_sovits_tpu.parallel.launch import global_batch_from_local
+    from gpt_sovits_tpu.parallel.mesh import replicated
 
     state = jax.device_put(state, replicated(mesh))
-    return state, lambda b: shard_batch(batch_fn(b), mesh)
+    return state, lambda b: global_batch_from_local(batch_fn(b), mesh)
+
+
+def _dp_sampler_args(mesh, batch_size: int) -> dict:
+    """Per-host sampler arguments for DP: each host draws disjoint batches
+    of batch_size/process_count items; _dp_place assembles the global
+    batch (DistributedBucketSampler num_replicas/rank equivalent)."""
+    import jax
+
+    if mesh is None or jax.process_count() == 1:
+        return {"batch_size": batch_size}
+    pc = jax.process_count()
+    if batch_size % pc:
+        raise ValueError(f"batch_size {batch_size} not divisible by {pc} hosts")
+    return {"batch_size": batch_size // pc, "num_shards": pc, "shard_id": jax.process_index()}
 
 
 def run_prepare(
@@ -151,7 +171,7 @@ def run_train_s1(
     mesh = _dp_mesh(data_parallel, batch_size)
     model = T2SDecoder(cfg)
     ds = S1Dataset(exp_dir)
-    sampler = BucketSampler(ds.lengths(), tc.batch_size, seed=tc.seed)
+    sampler = BucketSampler(ds.lengths(), seed=tc.seed, **_dp_sampler_args(mesh, tc.batch_size))
     state = init_state(jax.random.PRNGKey(tc.seed), model, tc)
     latest = ckpt_io.latest_checkpoint(ckpt_dir)
     if latest:
@@ -218,7 +238,7 @@ def run_train_s2(
     mel = MelConfig()
     mesh = _dp_mesh(data_parallel, batch_size)
     ds = S2Dataset(exp_dir, version=version, mel_cfg=mel)
-    sampler = BucketSampler(ds.lengths(), tc.batch_size, seed=tc.seed)
+    sampler = BucketSampler(ds.lengths(), seed=tc.seed, **_dp_sampler_args(mesh, tc.batch_size))
     batches = sampler.epoch_batches(0)
     if not batches:
         raise RuntimeError("no training batches (dataset too small for batch size)")
@@ -311,7 +331,7 @@ def run_train_v3(
     tc = TrainConfig(batch_size=batch_size, epochs=epochs)
     mesh = _dp_mesh(data_parallel, batch_size)
     ds = V3Dataset(exp_dir, version=version)
-    sampler = BucketSampler(ds.lengths(), tc.batch_size, seed=tc.seed)
+    sampler = BucketSampler(ds.lengths(), seed=tc.seed, **_dp_sampler_args(mesh, tc.batch_size))
     batches = sampler.epoch_batches(0)
     if not batches:
         raise RuntimeError("no training batches (dataset too small for batch size)")

@@ -92,7 +92,10 @@ class BucketSampler:
             for s in range(0, len(idxs) - self.batch_size + 1, self.batch_size):
                 batches.append(idxs[s : s + self.batch_size])
         rng.shuffle(batches)
-        return batches[self.shard_id :: self.num_shards]
+        # equal batch count per shard, or multi-host steps deadlock on the
+        # tail (the reference's DistributedBucketSampler pads instead)
+        n = len(batches) // self.num_shards * self.num_shards
+        return batches[:n][self.shard_id :: self.num_shards]
 
 
 @dataclass

@@ -64,3 +64,24 @@ def test_dp_mesh_requires_divisible_batch(s1_exp, tmp_path):
     with pytest.raises(ValueError, match="not divisible"):
         run_train_s1(s1_exp, str(tmp_path / "c2"), batch_size=3, epochs=1,
                      model_cfg=S1C, data_parallel=True, log=lambda *a, **k: None)
+
+
+def test_bucket_sampler_equal_shards():
+    """Multi-host DP: every shard sees the same number of batches (unequal
+    counts would deadlock collectives on the tail step)."""
+    from gpt_sovits_tpu.train.data import BucketSampler
+
+    rng = np.random.default_rng(0)
+    lengths = rng.integers(10, 500, size=41).tolist()
+    shards = [BucketSampler(lengths, 4, seed=7, num_shards=3, shard_id=s).epoch_batches(2) for s in range(3)]
+    assert len({len(s) for s in shards}) == 1
+    seen = [tuple(b.tolist()) for s in shards for b in s]
+    assert len(seen) == len(set(seen))  # disjoint
+
+
+def test_dp_sampler_args_single_host():
+    from gpt_sovits_tpu.run import _dp_mesh, _dp_sampler_args
+
+    mesh = _dp_mesh(True, 8)
+    args = _dp_sampler_args(mesh, 8)
+    assert args == {"batch_size": 8}  # process_count == 1: no host sharding
