@@ -213,6 +213,7 @@ def cmd_export(args):
     from gpt_sovits_tpu.utils.loaders import load_s1, load_s2, load_vocoder
 
     os.makedirs(args.out_dir, exist_ok=True)
+    version = args.version
     if args.s1:
         model, params = load_s1(args.s1)
         blob = export_s1_step(model, params)
@@ -228,7 +229,7 @@ def cmd_export(args):
             blob = export_s2_decode(model, params)
             open(os.path.join(args.out_dir, f"s2_decode_{version}.stablehlo"), "wb").write(blob)
     if getattr(args, "vocoder", None):
-        model, params = load_vocoder(args.vocoder, args.version or "v3")
+        model, params = load_vocoder(args.vocoder, version or "v3")
         blob = export_vocoder(model, params)
         open(os.path.join(args.out_dir, "vocoder.stablehlo"), "wb").write(blob)
     print("export done:", args.out_dir)

@@ -40,6 +40,30 @@ def transcribe_whisper(wav_paths: Iterable[str], *, language: Optional[str] = No
     return out
 
 
+def make_transcriber(language: str = "zh") -> Callable[[str], str]:
+    """Single-file transcriber with the heavy model constructed ONCE and
+    captured (transcribe_funasr/whisper rebuild it per call — fine for a
+    one-shot directory pass, ruinous per-slice)."""
+    if language in ("zh", "yue"):
+        try:
+            from funasr import AutoModel
+        except ImportError as e:
+            raise ImportError("funasr is not installed") from e
+        model = AutoModel(model="paraformer-zh", vad_model="fsmn-vad", punc_model="ct-punc")
+        return lambda path: model.generate(input=path)[0]["text"]
+    try:
+        from faster_whisper import WhisperModel
+    except ImportError as e:
+        raise ImportError("faster-whisper is not installed") from e
+    model = WhisperModel("large-v3")
+
+    def fn(path: str) -> str:
+        segments, _ = model.transcribe(path, language=language)
+        return "".join(s.text for s in segments)
+
+    return fn
+
+
 def write_manifest(
     entries: list[tuple[str, str]],  # (wav_path, text)
     out_path: str,

@@ -373,6 +373,12 @@ def generate(
     scratch_idx = tx + tp
 
     if use_fused_kernel:
+        from gpt_sovits_tpu.ops.pallas.decode_step import fused_decode_supported
+
+        # large batches exceed the kernel's VMEM scratch budget; the XLA
+        # step is KV-bound there anyway
+        use_fused_kernel = fused_decode_supported(b, cfg.hidden_dim)
+    if use_fused_kernel:
         from gpt_sovits_tpu.ops.pallas.decode_step import fused_decode_step, stack_weights_from_params
 
         fused_weights = stack_weights_from_params(params, cfg.num_layers, quant=weight_quant)

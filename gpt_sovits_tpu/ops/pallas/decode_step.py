@@ -199,6 +199,14 @@ def _make_kernel(num_layers: int, b: int, d: int, h: int, t_pad: int, chunk: int
     return kernel
 
 
+def fused_decode_supported(bsz: int, d_model: int, itemsize: int = 2) -> bool:
+    """True when the double-buffered KV scratch fits next to the pipelined
+    weight blocks (~12 MB of the 16 MB scoped VMEM) at the minimum 128-row
+    chunk. Beyond this (B>4 at D=512 bf16) the per-step cost is KV-stream
+    bound anyway, so callers fall back to the XLA decode step."""
+    return 2 * bsz * 2 * d_model * 128 * itemsize <= (2 << 20)
+
+
 @functools.partial(jax.jit, static_argnames=("chunk", "num_heads"))
 def fused_decode_step(
     x,  # (B, D) f32 — token embedding / hidden input
@@ -221,8 +229,13 @@ def fused_decode_step(
     # VMEM (qkv/wo/fc1/fc2 double-buffered), so the double-buffered
     # (2, B, chunk, 2D) KV scratch must stay within ~2 MB at any batch size.
     kv_row_bytes = 2 * bsz * d2 * kv_cache.dtype.itemsize
-    budget_rows = max(64, (2 << 20) // kv_row_bytes)
-    chunk = min(chunk, 1 << (budget_rows.bit_length() - 1))  # pow2 divides t_pad
+    budget_rows = (2 << 20) // kv_row_bytes
+    chunk = min(chunk, 1 << max(budget_rows.bit_length() - 1, 7))  # pow2 divides t_pad; >=128 (Mosaic lane tile)
+    if chunk * kv_row_bytes > (2 << 20):
+        raise ValueError(
+            f"fused decode KV scratch would exceed VMEM at batch {bsz} "
+            f"(use fused_decode_supported() and fall back to the flax step)"
+        )
     assert t_pad % chunk == 0, (t_pad, chunk)
     f = weights["fc1"].shape[-1]
     quant = weights["wqkv"].dtype == jnp.int8

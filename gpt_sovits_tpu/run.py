@@ -172,6 +172,8 @@ def run_train_s1(
     model = T2SDecoder(cfg)
     ds = S1Dataset(exp_dir)
     sampler = BucketSampler(ds.lengths(), seed=tc.seed, **_dp_sampler_args(mesh, tc.batch_size))
+    if not sampler.epoch_batches(0):
+        raise RuntimeError("no training batches (dataset too small for batch size)")
     state = init_state(jax.random.PRNGKey(tc.seed), model, tc)
     latest = ckpt_io.latest_checkpoint(ckpt_dir)
     if latest:

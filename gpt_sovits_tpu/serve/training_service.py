@@ -135,7 +135,7 @@ class CharacterStore:
         out = []
         with open(manifest, encoding="utf-8") as f:
             for line in f:
-                parts = line.rstrip("\n").split("|")
+                parts = line.rstrip("\n").split("|", 3)
                 if len(parts) == 4:
                     out.append({"path": parts[0], "speaker": parts[1], "lang": parts[2], "text": parts[3]})
         return out

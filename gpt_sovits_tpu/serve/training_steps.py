@@ -83,13 +83,12 @@ def _make_asr(cfg: ServiceConfig) -> Optional[Callable[[str], tuple[str, str]]]:
             import faster_whisper  # noqa: F401
     except ImportError:
         return None
-    from gpt_sovits_tpu.corpus import asr as asr_mod
+    from gpt_sovits_tpu.corpus.asr import make_transcriber
 
-    backend = asr_mod.transcribe_funasr if lang in ("zh", "yue") else asr_mod.transcribe_whisper
+    transcribe = make_transcriber(lang)  # model built once, reused per slice
 
     def fn(path: str) -> tuple[str, str]:
-        ((_, text),) = backend([path], language=lang)
-        return lang.upper(), text
+        return lang.upper(), transcribe(path)
 
     return fn
 
@@ -103,7 +102,7 @@ def _manifest_text_for(ref_wav: str) -> Optional[str]:
     base = os.path.basename(ref_wav)
     with open(manifest, encoding="utf-8") as f:
         for line in f:
-            parts = line.rstrip("\n").split("|")
+            parts = line.rstrip("\n").split("|", 3)
             if len(parts) == 4 and os.path.basename(parts[0]) == base:
                 return parts[3]
     return None
@@ -160,6 +159,8 @@ def build_training_steps(cfg: ServiceConfig) -> TrainingSteps:
         s2 = latest_step_model(ckpt_dir, ".pth")
         if not s1 or not s2:
             raise RuntimeError(f"no trained weights in {ckpt_dir}")
+        # the whole set_ref_audio+run pair under the lock: inference jobs run
+        # on their own threads, and the reference audio is pipeline state
         with _cache_lock:
             pipe = _cache.get((s1, s2))
             if pipe is None:
@@ -170,8 +171,8 @@ def build_training_steps(cfg: ServiceConfig) -> TrainingSteps:
                 )
                 _cache.clear()  # one live pipeline, like the reference
                 _cache[(s1, s2)] = pipe
-        pipe.set_ref_audio(ref_wav, ref_text=_manifest_text_for(ref_wav))
-        return pipe.run(text, lang)
+            pipe.set_ref_audio(ref_wav, ref_text=_manifest_text_for(ref_wav))
+            return pipe.run(text, lang)
 
     return TrainingSteps(
         prepare=prepare, train_s2=train_s2, train_s1=train_s1,

@@ -189,6 +189,7 @@ def tool_train_v3(p: dict, log) -> None:
 
 
 _TTS_CACHE: dict = {}
+_TTS_LOCK = threading.Lock()
 
 
 def tool_tts(p: dict, log) -> None:
@@ -201,16 +202,19 @@ def tool_tts(p: dict, log) -> None:
     import numpy as np
 
     key = (p.get("s1"), p.get("s2"), p.get("version"), p.get("hubert"), p.get("bert"), p.get("sv"))
-    pipe = _TTS_CACHE.get(key)
-    if pipe is None:
-        log("loading models...")
-        pipe = build_pipeline(s1_path=p.get("s1"), s2_path=p.get("s2"), version=p.get("version"),
-                              hubert_path=p.get("hubert"), bert_path=p.get("bert"), sv_path=p.get("sv"))
-        _TTS_CACHE.clear()
-        _TTS_CACHE[key] = pipe
-    pipe.set_ref_audio(p["ref_audio"], ref_text=p.get("ref_text"))
-    sr, audio = pipe.run(p["text"], p.get("lang", "auto"), seed=int(p.get("seed", 0)),
-                         cut_method=p.get("cut", "cut5"))
+    # one lock around set_ref_audio+run: jobs run on their own threads and
+    # the reference audio is pipeline state, not a run() argument
+    with _TTS_LOCK:
+        pipe = _TTS_CACHE.get(key)
+        if pipe is None:
+            log("loading models...")
+            pipe = build_pipeline(s1_path=p.get("s1"), s2_path=p.get("s2"), version=p.get("version"),
+                                  hubert_path=p.get("hubert"), bert_path=p.get("bert"), sv_path=p.get("sv"))
+            _TTS_CACHE.clear()
+            _TTS_CACHE[key] = pipe
+        pipe.set_ref_audio(p["ref_audio"], ref_text=p.get("ref_text"))
+        sr, audio = pipe.run(p["text"], p.get("lang", "auto"), seed=int(p.get("seed", 0)),
+                             cut_method=p.get("cut", "cut5"))
     out = p.get("output") or os.path.join(os.path.dirname(p["ref_audio"]), "webui_tts.wav")
     save_wav(out, audio.astype(np.float32) / 32768.0, sr)
     log(f"wrote {out} ({len(audio) / sr:.2f}s @ {sr} Hz)")
@@ -222,7 +226,7 @@ def tool_one_click(p: dict, log) -> None:
     one-click pipeline (webui.py:1047) as one chained job."""
     work = p["work_dir"]
     sliced = os.path.join(work, "sliced")
-    tool_slice({"input": p["input"], "out_dir": sliced, **p}, log)
+    tool_slice({**p, "input": p["input"], "out_dir": sliced}, log)
     src = sliced
     if p.get("denoise"):
         den = os.path.join(work, "denoised")
@@ -251,7 +255,7 @@ def read_labels(list_path: str) -> list[dict]:
     out = []
     with open(list_path, encoding="utf-8") as f:
         for line in f:
-            parts = line.rstrip("\n").split("|")
+            parts = line.rstrip("\n").split("|", 3)
             if len(parts) == 4:
                 out.append({"path": parts[0], "speaker": parts[1], "lang": parts[2], "text": parts[3]})
     return out
@@ -367,6 +371,12 @@ async function watch(id){
  while (watching === id) {
    const j = await (await fetch("/api/jobs/" + id)).json();
    log.textContent = `[${j.name}] ${j.state}` + (j.error ? " — " + j.error : "") + "\\n" + j.log.join("\\n");
+   const au = j.log.find(l => l.startsWith("AUDIO:"));
+   if (au && j.state === "done") {
+     let el = document.getElementById("player");
+     if (!el) { el = document.createElement("audio"); el.id = "player"; el.controls = true; log.parentNode.insertBefore(el, log); }
+     el.src = "/api/audio?path=" + encodeURIComponent(au.slice(6));
+   }
    refreshJobs();
    if (j.state !== "running") break;
    await new Promise(r => setTimeout(r, 1000));
@@ -488,6 +498,10 @@ def make_handler(runner: JobRunner):
 def serve_webui(host: str = "127.0.0.1", port: int = 9874) -> ThreadingHTTPServer:
     """Start the panel (reference webui port 9874). Returns the server;
     callers drive serve_forever()."""
+    if host not in ("127.0.0.1", "localhost", "::1"):
+        print(f"warning: webui on {host} is unauthenticated and can read/write "
+              "files and start jobs with the server's permissions — bind to "
+              "127.0.0.1 or front it with an authenticating proxy")
     runner = JobRunner()
     srv = ThreadingHTTPServer((host, port), make_handler(runner))
     threading.Thread(target=srv.serve_forever, daemon=True).start()
