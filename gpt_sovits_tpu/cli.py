@@ -212,26 +212,42 @@ def cmd_export(args):
     from gpt_sovits_tpu.utils.export import export_cfm, export_s1_step, export_s2_decode, export_v3_decode, export_vocoder
     from gpt_sovits_tpu.utils.loaders import load_s1, load_s2, load_vocoder
 
+    fmt = getattr(args, "format", "stablehlo")
+    if fmt == "onnx":
+        from gpt_sovits_tpu.utils import onnx_export as oe
+
     os.makedirs(args.out_dir, exist_ok=True)
     version = args.version
+
+    def write(name, blob):
+        path = os.path.join(args.out_dir, f"{name}.{fmt}")
+        open(path, "wb").write(blob)
+
     if args.s1:
-        model, params = load_s1(args.s1)
-        blob = export_s1_step(model, params)
-        open(os.path.join(args.out_dir, "s1_step.stablehlo"), "wb").write(blob)
+        if fmt == "onnx":
+            import jax.numpy as jnp
+
+            model, params = load_s1(args.s1, dtype=jnp.float32)  # ONNX artifact is f32
+            write("s1_prefill", oe.export_s1_prefill_onnx(model, params))
+            write("s1_step", oe.export_s1_step_onnx(model, params))
+        else:
+            model, params = load_s1(args.s1)
+            write("s1_step", export_s1_step(model, params))
     if args.s2:
         model, params, version = load_s2(args.s2, args.version)
         if version in ("v3", "v4"):  # export_torch_script_v3v4 equivalent
-            blob = export_v3_decode(model, params)
-            open(os.path.join(args.out_dir, f"s2_encp_{version}.stablehlo"), "wb").write(blob)
-            blob = export_cfm(model, params, n_steps=args.sample_steps)
-            open(os.path.join(args.out_dir, f"cfm_{version}.stablehlo"), "wb").write(blob)
+            if fmt == "onnx":
+                raise SystemExit("ONNX export covers v1/v2 graphs (like the reference's "
+                                 "onnx_export.py); use --format stablehlo for the v3/v4 CFM path")
+            write(f"s2_encp_{version}", export_v3_decode(model, params))
+            write(f"cfm_{version}", export_cfm(model, params, n_steps=args.sample_steps))
         else:
-            blob = export_s2_decode(model, params)
-            open(os.path.join(args.out_dir, f"s2_decode_{version}.stablehlo"), "wb").write(blob)
+            blob = (oe.export_s2_decode_onnx if fmt == "onnx" else export_s2_decode)(model, params)
+            write(f"s2_decode_{version}", blob)
     if getattr(args, "vocoder", None):
         model, params = load_vocoder(args.vocoder, version or "v3")
-        blob = export_vocoder(model, params)
-        open(os.path.join(args.out_dir, "vocoder.stablehlo"), "wb").write(blob)
+        blob = (oe.export_vocoder_onnx if fmt == "onnx" else export_vocoder)(model, params)
+        write("vocoder", blob)
     print("export done:", args.out_dir)
 
 
@@ -333,6 +349,8 @@ def main(argv=None):
     s.add_argument("--version")
     s.add_argument("--vocoder", help="v3 BigVGAN / v4 generator checkpoint to export")
     s.add_argument("--sample-steps", type=int, default=8, help="Euler steps baked into the exported CFM module")
+    s.add_argument("--format", choices=("stablehlo", "onnx"), default="stablehlo",
+                   help="stablehlo: PJRT-loadable module; onnx: standard .onnx graphs (v1/v2 + vocoder)")
     s.set_defaults(fn=cmd_export)
 
     s = sub.add_parser("webui", help="master control panel (webui.py equivalent)")

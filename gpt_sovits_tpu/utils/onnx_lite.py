@@ -578,7 +578,9 @@ class OnnxModel:
                 ax = int(ax) % x.ndim
                 dim = x.shape[ax]
                 s, e = int(np.clip(s + dim if s < 0 else s, 0, dim)), int(np.clip(e + dim if e < 0 else e, -1 if st < 0 else 0, dim))
-                sl[ax] = slice(s, e, int(st))
+                # a clipped end of -1 with a negative step means "through
+                # index 0 inclusive", which Python can only express as None
+                sl[ax] = slice(s, None if (st < 0 and e < 0) else e, int(st))
             return (x[tuple(sl)],)
 
         if op in ("Squeeze", "Unsqueeze"):
@@ -699,13 +701,35 @@ class OnnxModel:
             eq = eq.decode() if isinstance(eq, bytes) else eq
             return (jnp.einsum(eq, *[env[i] for i in n.inputs]),)
 
-        if op == "ArgMax":
+        if op in ("ArgMax", "ArgMin"):
             axis = int(a.get("axis", 0))
             keep = bool(a.get("keepdims", 1))
-            y = jnp.argmax(x, axis=axis)
+            y = (jnp.argmax if op == "ArgMax" else jnp.argmin)(x, axis=axis)
             if keep:
                 y = jnp.expand_dims(y, axis)
             return (y.astype(jnp.int64),)
+
+        if op == "CumSum":
+            axis = int(np.asarray(inp(1)).reshape(()))
+            y = x
+            if a.get("reverse", 0):
+                y = jnp.flip(jnp.cumsum(jnp.flip(y, axis), axis=axis), axis)
+            else:
+                y = jnp.cumsum(y, axis=axis)
+            if a.get("exclusive", 0):
+                raise NotImplementedError("exclusive CumSum")
+            return (y,)
+
+        if op == "ScatterND":
+            idx = np.moveaxis(np.asarray(inp(1)), -1, 0)
+            return (x.at[tuple(idx)].set(inp(2)),)
+
+        if op == "ReduceProd":
+            if len(n.inputs) > 1 and n.inputs[1]:
+                axes = tuple(int(v) for v in _np_dims(inp(1)))
+            else:
+                axes = tuple(int(v) for v in a.get("axes", [])) or None
+            return (jnp.prod(x, axis=axes, keepdims=bool(a.get("keepdims", 1))),)
 
         if op == "Tile":
             reps = [int(r) for r in _np_dims(inp(1))]
@@ -743,6 +767,10 @@ _ELEMENTWISE = {
     "Reciprocal": lambda x: 1.0 / x,
     "Not": lambda x: ~x.astype(bool),
     "Softplus": jax.nn.softplus,
+    "Sin": jnp.sin,
+    "Cos": jnp.cos,
+    "Sign": jnp.sign,
+    "Round": jnp.round,
     "Gelu": lambda x: jax.nn.gelu(x, approximate=False),
     "HardSwish": lambda x: x * jnp.clip(x / 6 + 0.5, 0, 1),
 }
