@@ -82,7 +82,7 @@ _BINOP = {
     "max": "Max",
     "min": "Min",
     "pow": "Pow",
-    "rem": "Mod",
+    "rem": None,  # Mod with fmod=1 (lax.rem = C semantics), handled explicitly
     "eq": "Equal",
     "ne": None,  # Not(Equal)
     "lt": "Less",
@@ -220,6 +220,11 @@ class _Converter:
             return
         if prim == "ne":
             out(self.n1("Not", [self.n1("Equal", ins)]))
+            return
+        if prim == "rem":
+            # lax.rem follows the dividend's sign (C fmod), ONNX Mod default
+            # (fmod=0) follows the divisor's — emit fmod=1 always
+            out(self.n1("Mod", ins, fmod=1))
             return
         if prim == "xor":
             # a xor b == (a or b) and not(a and b)
@@ -535,10 +540,20 @@ class _Converter:
             and not dn.operand_batching_dims
         ):
             axis = int(dn.start_index_map[0])
+            # ONNX Gather output = data[:axis] + indices.shape + data[axis+1:],
+            # i.e. the canonical jnp.take layout: batch dims at [axis, axis+B),
+            # offset dims at [0, axis) ++ [axis+B, out_rank). A gather whose
+            # offset_dims deviate (rare, from hand-built lax.gather) would give
+            # the right shape but wrong element order — refuse it.
+            n_batch = len(idx_aval.shape) - 1
+            out_rank = len(operand_aval.shape) - 1 + n_batch
+            canonical = tuple(range(axis)) + tuple(range(axis + n_batch, out_rank))
+            if tuple(dn.offset_dims) != canonical:
+                raise NotImplementedError(
+                    f"gather with non-take offset_dims {tuple(dn.offset_dims)}"
+                )
             idx = self.reshape(ins[1], list(idx_aval.shape[:-1]))
             y = self.n1("Gather", [ins[0], idx], axis=axis)
-            # jax output: batch dims in offset-complement positions; for the
-            # canonical jnp.take layout the ONNX Gather output order matches
             return self.reshape(y, list(eqn.outvars[0].aval.shape))
         raise NotImplementedError("general gather export")
 
@@ -579,14 +594,24 @@ def to_onnx(fn, example_args, *, name: str = "graph") -> bytes:
     flat_in, _ = jax.tree_util.tree_flatten(example_args)
     in_names = [f"input_{i}" for i in range(len(flat_in))]
     outs = conv.walk(closed, in_names)
-    # distinct graph-output names (ONNX forbids an output aliasing an input)
-    final = []
+    # distinct graph-output names: ONNX forbids an output aliasing an input,
+    # an initializer, or another output (a jaxpr may return the same var twice)
+    final: list[str] = []
     for i, o in enumerate(outs):
-        if o in in_names or o in conv.g.initializers:
+        if o in in_names or o in conv.g.initializers or o in final:
             o = conv.n1("Identity", [o])
         final.append(o)
     conv.g.inputs = in_names
     conv.g.outputs = final
+    # graph I/O TypeProto (required by the IR spec; onnxruntime enforces it)
+    def _widened(dt):
+        d = np.dtype(dt)
+        return np.dtype(np.float32) if d.name == "bfloat16" else d
+
+    for name_, av in zip(in_names, flat_in):
+        conv.g.io_types[name_] = (_widened(av.dtype), tuple(int(s) for s in np.shape(av)))
+    for name_, var in zip(final, closed.jaxpr.outvars):
+        conv.g.io_types[name_] = (_widened(var.aval.dtype), tuple(int(s) for s in var.aval.shape))
     return encode_model(conv.g)
 
 

@@ -206,6 +206,9 @@ class Graph:
     inputs: list[str] = field(default_factory=list)
     outputs: list[str] = field(default_factory=list)
     name: str = "graph"
+    # name -> (numpy dtype, shape) for graph inputs/outputs; the ONNX IR spec
+    # requires TypeProto on graph I/O (onnxruntime refuses models without it)
+    io_types: dict = field(default_factory=dict)
 
 
 def _parse_node(buf: memoryview) -> Node:
@@ -225,11 +228,32 @@ def _parse_node(buf: memoryview) -> Node:
     return n
 
 
-def _value_info_name(buf: memoryview) -> str:
+def _parse_value_info(buf: memoryview) -> tuple[str, Optional[tuple]]:
+    """ValueInfoProto -> (name, (np dtype, shape) or None)."""
+    name = ""
+    ty = None
     for fnum, wt, v in _fields(buf):
         if fnum == 1:
-            return bytes(v).decode()
-    return ""
+            name = bytes(v).decode()
+        elif fnum == 2:  # TypeProto
+            for f2, _, v2 in _fields(v):
+                if f2 != 1:  # tensor_type
+                    continue
+                elem, dims = None, []
+                for f3, _, v3 in _fields(v2):
+                    if f3 == 1:
+                        elem = v3
+                    elif f3 == 2:  # TensorShapeProto
+                        for f4, _, v4 in _fields(v3):
+                            if f4 == 1:  # Dimension
+                                dim = -1
+                                for f5, _, v5 in _fields(v4):
+                                    if f5 == 1:
+                                        dim = _signed(v5)
+                                dims.append(dim)
+                if elem in _DTYPES:
+                    ty = (np.dtype(_DTYPES[elem]), tuple(dims))
+    return name, ty
 
 
 def _parse_graph(buf: memoryview) -> Graph:
@@ -243,9 +267,15 @@ def _parse_graph(buf: memoryview) -> Graph:
             name, arr = _parse_tensor(v)
             g.initializers[name] = arr
         elif fnum == 11:
-            g.inputs.append(_value_info_name(v))
+            name, ty = _parse_value_info(v)
+            g.inputs.append(name)
+            if ty is not None:
+                g.io_types[name] = ty
         elif fnum == 12:
-            g.outputs.append(_value_info_name(v))
+            name, ty = _parse_value_info(v)
+            g.outputs.append(name)
+            if ty is not None:
+                g.io_types[name] = ty
     g.inputs = [i for i in g.inputs if i not in g.initializers]
     return g
 
@@ -323,9 +353,27 @@ def _encode_attr(name: str, value: Any) -> bytes:
     return bytes(out)
 
 
-def _encode_value_info(name: str) -> bytes:
+def _encode_value_info(name: str, ty: Optional[tuple] = None) -> bytes:
     out = bytearray()
     _put_str(out, 1, name)
+    if ty is not None:
+        dtype, shape = ty
+        tensor = bytearray()
+        _tag(tensor, 1, 0)
+        _write_varint(tensor, _DTYPE_CODES[np.dtype(dtype)])  # elem_type
+        shp = bytearray()
+        for d in shape:
+            dim = bytearray()
+            if int(d) >= 0:
+                _tag(dim, 1, 0)
+                _write_varint(dim, int(d))
+            else:  # unknown dim -> dim_param
+                _put_str(dim, 2, "dyn")
+            _put_bytes(shp, 1, bytes(dim))
+        _put_bytes(tensor, 2, bytes(shp))
+        typ = bytearray()
+        _put_bytes(typ, 1, bytes(tensor))  # TypeProto.tensor_type
+        _put_bytes(out, 2, bytes(typ))  # ValueInfoProto.type
     return bytes(out)
 
 
@@ -347,9 +395,9 @@ def encode_model(g: Graph, opset: int = 17) -> bytes:
     for name, arr in g.initializers.items():
         _put_bytes(gout, 5, _encode_tensor(name, arr))
     for i in g.inputs:
-        _put_bytes(gout, 11, _encode_value_info(i))
+        _put_bytes(gout, 11, _encode_value_info(i, g.io_types.get(i)))
     for o in g.outputs:
-        _put_bytes(gout, 12, _encode_value_info(o))
+        _put_bytes(gout, 12, _encode_value_info(o, g.io_types.get(o)))
 
     out = bytearray()
     _tag(out, 1, 0)
@@ -443,6 +491,10 @@ class OnnxModel:
 
         if op in _ELEMENTWISE:
             return (_ELEMENTWISE[op](x),)
+        if op == "Mod":
+            # fmod=1 -> C semantics (sign follows dividend, matches lax.rem);
+            # fmod=0 -> Python semantics (sign follows divisor)
+            return ((jnp.fmod if a.get("fmod") else jnp.mod)(x, inp(1)),)
         if op in _BINARY:
             return (_BINARY[op](x, inp(1)),)
 

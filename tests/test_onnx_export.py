@@ -136,3 +136,62 @@ def test_vocoder_onnx_parity():
     got = om(mel)[0]
     want = model.apply(params, jnp.asarray(mel))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+
+def test_to_onnx_io_types_and_dup_outputs():
+    # graph I/O must carry TypeProto (elem_type + dims) and duplicate
+    # outputs must get distinct names (ADVICE r1: onnx_lite.py:326, onnx_export.py:583)
+    from gpt_sovits_tpu.utils.onnx_lite import parse_model
+
+    def fn(x, i):
+        y = jnp.tanh(x)
+        return y, y, x.astype(jnp.int32) + i  # same var twice + mixed dtypes
+
+    x = np.random.RandomState(0).randn(2, 5).astype(np.float32)
+    blob = to_onnx(fn, (jnp.asarray(x), jnp.asarray(3)))
+    g = parse_model(blob)
+    assert len(set(g.outputs)) == len(g.outputs) == 3
+    for name in g.inputs + g.outputs:
+        assert name in g.io_types, f"missing TypeProto for {name}"
+    assert g.io_types[g.inputs[0]] == (np.dtype(np.float32), (2, 5))
+    assert g.io_types[g.outputs[0]] == (np.dtype(np.float32), (2, 5))
+    assert g.io_types[g.outputs[2]][0] == np.dtype(np.int32)
+    m = OnnxModel(blob)
+    o = m(x, np.asarray(3))
+    np.testing.assert_allclose(np.asarray(o[0]), np.tanh(x), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(o[0]), np.asarray(o[1]))
+
+
+def test_to_onnx_rem_c_semantics():
+    # lax.rem follows the dividend's sign; Mod must be emitted with fmod=1
+    fn = lambda a, b: (jax.lax.rem(a, b), jax.lax.rem(a.astype(jnp.int32), b.astype(jnp.int32)))
+    a = np.asarray([-7.5, 7.5, -3.0, 3.0], np.float32)
+    b = np.asarray([2.0, -2.0, 2.5, -2.5], np.float32)
+    m = OnnxModel(to_onnx(fn, (jnp.asarray(a), jnp.asarray(b))))
+    got_f, got_i = m(a, b)
+    np.testing.assert_allclose(np.asarray(got_f), np.asarray(jax.lax.rem(jnp.asarray(a), jnp.asarray(b))), atol=1e-6)
+    np.testing.assert_array_equal(
+        np.asarray(got_i),
+        np.asarray(jax.lax.rem(jnp.asarray(a, jnp.int32), jnp.asarray(b, jnp.int32))),
+    )
+
+
+def test_gather_non_take_layout_refused():
+    # a gather whose offset_dims deviate from the canonical take layout must
+    # raise instead of silently exporting wrong element order
+    import pytest
+
+    def fn(table, idx):
+        dn = jax.lax.GatherDimensionNumbers(
+            offset_dims=(0,),  # operand dim placed before the batch dim: non-take order
+            collapsed_slice_dims=(0,),
+            start_index_map=(0,),
+        )
+        return jax.lax.gather(table, idx, dn, slice_sizes=(1, 4))
+
+    table = np.random.RandomState(0).randn(6, 4).astype(np.float32)
+    idx = np.asarray([[1], [3], [0]], np.int32)
+    out = fn(jnp.asarray(table), jnp.asarray(idx))
+    assert out.shape == (4, 3)  # offset dim first: not the take layout
+    with pytest.raises(NotImplementedError):
+        to_onnx(fn, (jnp.asarray(table), jnp.asarray(idx)))
