@@ -121,12 +121,22 @@ def get_jyutping(text: str) -> list[str]:
                 "Cantonese g2p needs the ToJyutping package or a lexicon file "
                 "(set GPT_SOVITS_JYUTPING_LEXICON to a char\\tjyutping TSV)"
             ) from None
+        from gpt_sovits_tpu.text.zh_norm import traditional_variants_table
+
+        variants = traditional_variants_table()
         out = []
         for ch in text:
             if punct_re.match(ch):
                 out.append(ch)
             elif ch in lex:
                 out.append(lex[ch])
+            else:
+                # TN simplifies hanzi; Cantonese lexicons are usually keyed
+                # on traditional forms — retry every traditional variant
+                for trad in variants.get(ch, ""):
+                    if trad in lex:
+                        out.append(lex[trad])
+                        break
         return out
 
 

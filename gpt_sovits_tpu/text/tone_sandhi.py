@@ -203,15 +203,46 @@ def _three_sandhi(word: str, syl: list[str]) -> list[str]:
     return syl
 
 
-def _pre_merge(words: list[tuple[str, str]]) -> list[tuple[str, str]]:
-    """Merge segmentation artifacts before the rules run (ref
-    pre_merge_for_modify): V 一 V across words, standalone 不/一 attached to
-    the following word, reduplicated single chars re-joined."""
+def _word_tones(word: str) -> list[int]:
+    """Lexicon tones per char (pre-sandhi); [] for non-hanzi words."""
+    from gpt_sovits_tpu.text.chinese import _word_pinyin
+
+    if not _HANZI.search(word):
+        return []
+    return [_tone(s) for s in _word_pinyin(word)]
+
+
+def _merge_bu(words: list[tuple[str, str]]) -> list[tuple[str, str]]:
+    """Standalone 不 attaches to the following word (ref _merge_bu)."""
+    out: list[tuple[str, str]] = []
+    last = ""
+    for w, p in words:
+        if last == "不":
+            w = last + w
+        if w != "不":
+            out.append((w, p))
+        last = w
+    if last == "不":
+        out.append((last, "d"))
+    return out
+
+
+def _merge_yi(words: list[tuple[str, str]]) -> list[tuple[str, str]]:
+    """V 一 V re-joined across words; then standalone 一 attaches to the
+    following word (ref _merge_yi)."""
     merged: list[tuple[str, str]] = []
     i = 0
     while i < len(words):
         w, p = words[i]
-        if w == "一" and merged and i + 1 < len(words) and merged[-1][0] == words[i + 1][0]:
+        if (
+            w == "一"
+            and i > 0
+            and i + 1 < len(words)
+            and merged
+            and merged[-1][0] == words[i + 1][0]
+            and merged[-1][1] == "v"
+            and words[i + 1][1] == "v"
+        ):
             merged[-1] = (merged[-1][0] + "一" + words[i + 1][0], merged[-1][1])
             i += 2
             continue
@@ -219,17 +250,78 @@ def _pre_merge(words: list[tuple[str, str]]) -> list[tuple[str, str]]:
         i += 1
     out: list[tuple[str, str]] = []
     for w, p in merged:
-        if out and out[-1][0] in ("不", "一"):
-            out[-1] = (out[-1][0] + w, p)
+        if out and out[-1][0] == "一":
+            out[-1] = (out[-1][0] + w, out[-1][1])
         else:
             out.append((w, p))
-    out2: list[tuple[str, str]] = []
-    for w, p in out:
-        if out2 and len(w) == 1 and out2[-1][0] == w:
-            out2[-1] = (w + w, p)
+    return out
+
+
+def _merge_reduplication(words: list[tuple[str, str]]) -> list[tuple[str, str]]:
+    out: list[tuple[str, str]] = []
+    for w, p in words:
+        if out and w == out[-1][0]:
+            out[-1] = (out[-1][0] + w, out[-1][1])
         else:
-            out2.append((w, p))
-    return out2
+            out.append((w, p))
+    return out
+
+
+def _merge_three_tones(words: list[tuple[str, str]], boundary_only: bool) -> list[tuple[str, str]]:
+    """Join adjacent short words for the third-tone rules: either both words
+    entirely tone 3, or just the boundary syllables tone 3 (ref
+    _merge_continuous_three_tones / _2). Reduplications stay split so the
+    neutral-tone rule still sees them; merged result capped at 3 chars."""
+    tones = [_word_tones(w) for w, _ in words]
+    out: list[tuple[str, str]] = []
+    merged_prev = False
+    for i, (w, p) in enumerate(words):
+        if i > 0 and not merged_prev and tones[i - 1] and tones[i]:
+            if boundary_only:
+                joinable = tones[i - 1][-1] == 3 and tones[i][0] == 3
+            else:
+                joinable = all(t == 3 for t in tones[i - 1]) and all(t == 3 for t in tones[i])
+            prev_w = words[i - 1][0]
+            if joinable and not (len(prev_w) == 2 and prev_w[0] == prev_w[1]) and len(prev_w) + len(w) <= 3:
+                out[-1] = (out[-1][0] + w, out[-1][1])
+                merged_prev = True
+                continue
+        out.append((w, p))
+        merged_prev = False
+    return out
+
+
+def _merge_er(words: list[tuple[str, str]]) -> list[tuple[str, str]]:
+    out: list[tuple[str, str]] = []
+    for i, (w, p) in enumerate(words):
+        if i > 0 and w == "儿" and words[i - 1][0] != "#":
+            out[-1] = (out[-1][0] + w, out[-1][1])
+        else:
+            out.append((w, p))
+    return out
+
+
+def _pre_merge(words: list[tuple[str, str]]) -> list[tuple[str, str]]:
+    """Merge segmentation artifacts before the rules run (ref
+    pre_merge_for_modify): 不/一 attachment, reduplications, continuous
+    third-tone runs, trailing 儿."""
+    words = _merge_bu(words)
+    words = _merge_yi(words)
+    words = _merge_reduplication(words)
+    words = _merge_three_tones(words, boundary_only=False)
+    words = _merge_three_tones(words, boundary_only=True)
+    words = _merge_er(words)
+    return words
+
+
+def modified_tone(word: str, pos: str, sylls: list[str]) -> list[str]:
+    """All four sandhi rule families on one word's toned pinyin, in the
+    reference's order (tone_sandhi.py:769-774)."""
+    sylls = _bu_sandhi(word, sylls)
+    sylls = _yi_sandhi(word, sylls)
+    sylls = _neural_sandhi(word, pos, sylls)
+    sylls = _three_sandhi(word, sylls)
+    return sylls
 
 
 _HANZI = re.compile(r"[一-鿿]")

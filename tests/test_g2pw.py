@@ -87,13 +87,12 @@ def test_correct_overlay(bundle):
 def test_enable_routes_chinese_g2p(bundle):
     d, tok = bundle
     from gpt_sovits_tpu.text import g2pw as mod
-    from gpt_sovits_tpu.text.chinese import _g2pw_overlay
+    from gpt_sovits_tpu.text.chinese import _g2pw_segment
 
+    assert _g2pw_segment("长行") is None  # disabled -> no overlay
     mod.enable(d, tok)
     try:
-        out = _g2pw_overlay("长行", ["chang2", "hang2"])
+        out = _g2pw_segment("长行")
         assert out == ["zhang3", "xing2"]
-        # misaligned base -> untouched
-        assert _g2pw_overlay("长行", ["chang2"]) == ["chang2"]
     finally:
         mod.disable()

@@ -122,8 +122,8 @@ def test_zh_normalize_patterns():
     assert normalize_zh("25%") == "百分之二十五"
     assert normalize_zh("3/4") == "四分之三"
     assert "二零二四年三月五日" in normalize_zh("2024年3月5日")
-    assert "三点三十分" in normalize_zh("3:30")
-    assert normalize_zh("13800138000") == "一三八零零一三八零零零"
+    assert normalize_zh("3:30") == "三点半"  # minute 30 reads 半 (ref chronology.py:70-72)
+    assert normalize_zh("13800138000") == "幺三八零零幺三八零零零"
 
 
 def test_zh_tone_sandhi():
@@ -264,8 +264,8 @@ def test_tone_sandhi_word_level():
 def test_zh_norm_extended():
     from gpt_sovits_tpu.text.zh_norm import normalize_zh
 
-    assert normalize_zh("现在是3:30:15") == "现在是三点三十分十五秒"
-    assert normalize_zh("气温-3℃到25°C") == "气温零下三摄氏度到二十五摄氏度"
+    assert normalize_zh("现在是3:30:15") == "现在是三点半十五秒"
+    assert normalize_zh("气温-3℃到25°C") == "气温零下三度到二十五度"
     assert normalize_zh("大概3~5天") == "大概三到五天"
-    assert normalize_zh("电话138-1234-5678") == "电话一三八一二三四五六七八"
+    assert normalize_zh("电话138-1234-5678") == "电话幺三八减幺二三四减五六七八"
     assert normalize_zh("-42分") == "负四十二分"
