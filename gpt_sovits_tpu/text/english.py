@@ -319,8 +319,19 @@ def _rules_g2p(word: str) -> list[str]:
 
 @functools.lru_cache(maxsize=1)
 def _cmu_dict() -> dict[str, list[str]]:
-    path = os.environ.get("GSV_CMUDICT_PATH")
+    """Built-in CMU-derived lexicon (data/en_cmudict.json.gz, 135k words —
+    the reference's cmudict.rep + cmudict-fast + hot overrides merged by
+    scripts/gen_en_data.py), optionally extended/overridden by a user dict
+    at GSV_CMUDICT_PATH (standard cmudict line format)."""
+    import gzip
+    import json
+
+    bundled = os.path.join(os.path.dirname(__file__), "data", "en_cmudict.json.gz")
     table: dict[str, list[str]] = {}
+    if os.path.exists(bundled):
+        with gzip.open(bundled, "rt", encoding="utf-8") as f:
+            table = json.load(f)
+    path = os.environ.get("GSV_CMUDICT_PATH")
     if path and os.path.exists(path):
         with open(path, errors="ignore") as f:
             for line in f:
@@ -334,23 +345,82 @@ def _cmu_dict() -> dict[str, list[str]]:
     return table
 
 
+@functools.lru_cache(maxsize=1)
+def _name_dict() -> dict[str, list[str]]:
+    """First-name pronunciations (data/en_names.json.gz, ~20k), consulted
+    for Title-case words only (reference en_G2p.qryword, english.py:315)."""
+    import gzip
+    import json
+
+    bundled = os.path.join(os.path.dirname(__file__), "data", "en_names.json.gz")
+    if os.path.exists(bundled):
+        with gzip.open(bundled, "rt", encoding="utf-8") as f:
+            return json.load(f)
+    return {}
+
+
+# 's voicing classes (reference english.py:336-346)
+_VOICELESS = {"P", "T", "K", "F", "TH", "HH"}
+_SIBILANT = {"S", "Z", "SH", "ZH", "CH", "JH"}
+
+
+def _possessive(phones: list[str]) -> list[str]:
+    if phones[-1] in _VOICELESS:
+        return phones + ["S"]
+    if phones[-1] in _SIBILANT:
+        return phones + ["AH0", "Z"]
+    return phones + ["Z"]
+
+
+def _split_compound(word: str) -> list[str] | None:
+    """Greedy in-lexicon split for OOV compounds ('sunflowerseed' ->
+    sunflower + seed): longest dictionary prefix first, parts >= 3 chars.
+    Stands in for the reference's wordsegment dependency."""
+    cmu = _cmu_dict()
+    for i in range(len(word) - 3, 2, -1):
+        head, tail = word[:i], word[i:]
+        if head in cmu:
+            if tail in cmu:
+                return [head, tail]
+            rest = _split_compound(tail)
+            if rest:
+                return [head] + rest
+    return None
+
+
 def g2p_word(word: str) -> list[str]:
+    """One token -> ARPAbet phones, the reference qryword chain
+    (english.py:248-357): dictionary, single letters, Title-case names,
+    short-OOV letter spelling, possessives, compounds, then rules."""
     lw = word.lower()
     cmu = _cmu_dict()
+    if len(lw) == 1:
+        if word == "A":
+            return ["EY1"]
+        return list(cmu.get(lw) or g2p_word(_LETTER_NAMES.get(lw, lw)))
     if lw in cmu:
         return list(cmu[lw])
     if lw in _LEXICON:
         return _LEXICON[lw].split()
-    if lw.isupper() or (len(lw) <= 4 and word.isupper()):
-        # acronym: spell out
-        phones = []
+    if word.istitle() and lw in _name_dict():
+        return list(_name_dict()[lw])
+    if len(lw) <= 3 or word.isupper():
+        # short OOV / acronym: letter-by-letter (A reads EY1)
+        phones: list[str] = []
         for c in lw:
-            phones.extend(g2p_word(_LETTER_NAMES.get(c, c)))
+            if c == "a":
+                phones.append("EY1")
+            elif not c.isalpha():
+                phones.append(c)
+            else:
+                phones.extend(g2p_word(c))
         return phones
-    # simple suffix morphology
-    for suf, extra in (("'s", ["Z"]), ("s'", ["Z"])):
-        if lw.endswith(suf) and lw[: -len(suf)] in _LEXICON:
-            return _LEXICON[lw[: -len(suf)]].split() + extra
+    for suf in ("'s", "s'"):
+        if lw.endswith(suf):
+            return _possessive(g2p_word(lw[: -len(suf)]))
+    comps = _split_compound(lw)
+    if comps:
+        return [p for c in comps for p in g2p_word(c)]
     return _rules_g2p(lw)
 
 
