@@ -101,6 +101,7 @@ class V3Bundle:
     t_chunk: int  # 934 (v3) / 1000 (v4)
     out_sr: int  # 24000 (v3) / 48000 (v4)
     sample_steps: int = 32
+    overlapped_len: int = 12  # SOLA overlap frames (TTS.py:621,654)
     # optional AP-BWE super-resolution (v3 24k->48k, TTS.py:1407-1417)
     sr_model: Any = None
     sr_params: Any = None
@@ -489,7 +490,13 @@ class TTSPipeline:
             idx = [order[g] for g in group]
             batch = [segments[i] for i in idx]
             key, sub = jax.random.split(key)
-            synth = self._synthesize_v3_batch if self.v3 is not None else self._synthesize_batch
+            if self.v3 is not None:
+                # parallel_infer batches overlapped chunks through one CFM
+                # call + SOLA (TTS.py:1496); otherwise the serial
+                # rolling-reference loop (TTS.py:1469-1487)
+                synth = self._synthesize_v3_batch_parallel if parallel_infer else self._synthesize_v3_batch
+            else:
+                synth = self._synthesize_batch
             with timer.phase("synthesize"):
                 wav_list = synth(
                     batch, sub,
@@ -745,6 +752,106 @@ class TTSPipeline:
                 up, _ = super_resolve(v3.sr_model, v3.sr_params, jnp.asarray(wav[None]), v3.out_sr)
                 wav = np.asarray(up)[0]
             out_wavs.append(wav)
+        return out_wavs
+
+    def _synthesize_v3_batch_parallel(
+        self, batch, key, *, top_k, top_p, temperature, repetition_penalty, speed, max_sec,
+        sample_steps=None, super_sampling=None,
+    ):
+        """Batched v3/v4 path: all segments' conditioning features are
+        concatenated, sliced into overlapping T_chunk windows, pushed
+        through ONE batched CFM call + ONE vocoder call, and the audio
+        chunks are SOLA-crossfaded back together (the reference's
+        using_vocoder_synthesis_batched_infer, TTS.py:1496-1635).
+
+        TPU notes: the chunk batch is padded to a small bucket so the
+        (bs, T_chunk) DiT shapes stay in a bounded compile cache, and the
+        batched CFM is the MXU-dense formulation of the serial loop."""
+        from gpt_sovits_tpu.dsp.sola import sola_stitch
+
+        v3 = self.v3
+        tokens, lengths = self._s1_generate(
+            batch, key, top_k=top_k, top_p=top_p, temperature=temperature,
+            repetition_penalty=repetition_penalty, max_sec=max_sec,
+        )
+        fea_ref0, ge, mel2_0, t_min = self._v3_ref_features()
+        upsample = v3.out_sr * v3.mel_cfg.hop_size // v3.mel_cfg.sampling_rate
+        chunk_len = v3.t_chunk - t_min
+        overlap = v3.overlapped_len
+
+        # per-segment conditioning features (cheap relative to CFM)
+        feat_list, feat_lens = [], []
+        for i, seg in enumerate(batch):
+            n = int(lengths[i])
+            codes = jnp.asarray(tokens[i : i + 1, : _next_bucket(n)])
+            pids = np.asarray(seg["phones"], np.int32)
+            fea, _, mel_len = self._decode_encp(
+                v3.params, codes, jnp.asarray([n]),
+                jnp.asarray(pids[None]), jnp.asarray([len(pids)]),
+                jnp.asarray(self.ref.refer_spec[None]), jnp.asarray([self.ref.refer_spec.shape[0]]),
+                speed=speed,
+            )
+            total = int(mel_len[0])
+            feat_list.append(np.asarray(fea)[:, :total])
+            feat_lens.append(total)
+
+        # one stream, front-padded by the SOLA overlap, cut into overlapping
+        # chunks (TTS.py:1553-1575)
+        feats = np.concatenate(feat_list, axis=1)
+        feats = np.pad(feats, ((0, 0), (overlap, 0), (0, 0)))
+        chunks = []
+        pos = 0
+        padding_len = 0
+        while True:
+            if pos > 0:
+                pos -= overlap
+            chunk = feats[:, pos : pos + chunk_len]
+            pos += chunk_len
+            if chunk.shape[1] == 0:
+                break
+            padding_len = chunk_len - chunk.shape[1]
+            if padding_len:
+                chunk = np.pad(chunk, ((0, 0), (0, padding_len), (0, 0)))
+            chunks.append(chunk)
+
+        bs = len(chunks)
+        bs_pad = 1 << max(0, (bs - 1).bit_length())  # bucket the batch dim
+        fea_chunks = np.concatenate(chunks, axis=0)
+        if bs_pad > bs:
+            fea_chunks = np.pad(fea_chunks, ((0, bs_pad - bs), (0, 0), (0, 0)))
+        fea = np.concatenate([np.repeat(fea_ref0, bs_pad, axis=0), fea_chunks], axis=1)
+        mel2 = np.repeat(mel2_0, bs_pad, axis=0)
+        key, sub = jax.random.split(key)
+        mel_out = self._cfm_infer(
+            jnp.asarray(fea), jnp.full((bs_pad,), t_min + chunk_len, jnp.int32),
+            jnp.asarray(mel2), sub, n_steps=int(sample_steps or v3.sample_steps),
+        )
+        mel_out = np.asarray(mel_out)[:bs, t_min:]  # (bs, chunk_len, M)
+        mel_long = mel_out.reshape(1, bs * chunk_len, -1)
+        # pad the vocoder input back to the bucket with the last frame held
+        # (keeps the vocoder compile cache bounded without contaminating the
+        # tail of the last real chunk with arbitrary mel)
+        if bs_pad > bs:
+            mel_long = np.pad(mel_long, ((0, 0), (0, (bs_pad - bs) * chunk_len), (0, 0)), mode="edge")
+        wav = np.asarray(self._vocoder_fwd(v3.vocoder_params, denorm_spec(jnp.asarray(mel_long))))[0, :, 0]
+        wav = wav[: bs * chunk_len * upsample]
+
+        frag_len = chunk_len * upsample
+        fragments = [wav[k * frag_len : (k + 1) * frag_len] for k in range(bs)]
+        audio = sola_stitch(fragments, overlap * upsample)
+        audio = audio[overlap * upsample : len(audio) - padding_len * upsample or None]
+
+        out_wavs = []
+        off = 0
+        for total in feat_lens:
+            w = audio[off : off + total * upsample]
+            off += total * upsample
+            if v3.sr_model is not None and v3.sr_params is not None and super_sampling is not False:
+                from gpt_sovits_tpu.models.apbwe import super_resolve
+
+                up, _ = super_resolve(v3.sr_model, v3.sr_params, jnp.asarray(np.asarray(w)[None]), v3.out_sr)
+                w = np.asarray(up)[0]
+            out_wavs.append(np.asarray(w))
         return out_wavs
 
 

@@ -119,6 +119,12 @@ class SynthesizerTrnV3(nn.Module):
             mel_len = (codes_lengths * (3.875 if c.version == "v3" else 4) / speed).astype(jnp.int32) + 1
         else:
             mel_len = (codes_lengths * (3.875 if c.version == "v3" else 4)).astype(jnp.int32)
+        # the reference slices fea[:, :, :sizee] where torch clips to the
+        # actual (unpadded) length (models.py:1254-1266: sizee uses 3.875 but
+        # the x1.875 interp yields floor(codes*3.75) frames); clamp to the
+        # true content length so downstream bookkeeping matches
+        content_len = jnp.floor(codes_lengths * 2 * self.interp_factor).astype(jnp.int32)
+        mel_len = jnp.minimum(jnp.minimum(mel_len, content_len), fea.shape[1])
         mel_mask = sequence_mask(mel_len, fea.shape[1])
         fea = self.wns1(fea, mel_mask, g=ge)
         return fea, ge, mel_len

@@ -89,7 +89,7 @@ def test_v3_decode_encp_and_euler(v3_model):
     )
     # v3: fea time = codes*2 (50Hz) interpolated x1.875
     assert fea.shape == (B, int(TS * 1.875), 512)
-    assert int(mel_len[0]) == int((TS // 2) * 3.875)
+    assert int(mel_len[0]) == int((TS // 2) * 2 * 1.875)  # clipped content length (models.py:1254 sizee is clipped by torch slicing)
 
     dit = DiT(model.dit_config)
     dit_params = {"params": params["params"]["cfm"]["estimator"]}
