@@ -69,6 +69,92 @@ class DiscriminatorP(nn.Module):
         return x.reshape(b, -1), fmap
 
 
+def _mrd_magnitude(x: jnp.ndarray, n_fft: int, hop: int, win: int) -> jnp.ndarray:
+    """|STFT| the way the vendored MRD computes it (BigVGAN/
+    discriminators.py:215-232): reflect-pad (n_fft-hop)/2, center=False,
+    rectangular window of win_length. Expressed as a frame matmul against
+    real-DFT bases so XLA tiles it onto the MXU. x: (B, T, 1) -> (B, F, TT).
+    """
+    import numpy as np
+
+    b = x.shape[0]
+    y = x[..., 0]
+    pad = (n_fft - hop) // 2
+    y = jnp.pad(y, ((0, 0), (pad, pad)), mode="reflect")
+    n_frames = 1 + (y.shape[1] - n_fft) // hop
+    idx = jnp.arange(n_frames)[:, None] * hop + jnp.arange(n_fft)[None, :]
+    frames = y[:, idx]  # (B, TT, n_fft)
+    # rectangular window of win_length, centered in the n_fft frame
+    if win < n_fft:
+        lo = (n_fft - win) // 2
+        mask = np.zeros((n_fft,), np.float32)
+        mask[lo : lo + win] = 1.0
+        frames = frames * jnp.asarray(mask)
+    n_bins = n_fft // 2 + 1
+    n = np.arange(n_fft, dtype=np.float64)[:, None]
+    k = np.arange(n_bins, dtype=np.float64)[None, :]
+    ang = 2.0 * np.pi * n * k / n_fft
+    cos = jnp.asarray(np.cos(ang), jnp.float32)
+    sin = jnp.asarray(-np.sin(ang), jnp.float32)
+    re = frames @ cos
+    im = frames @ sin
+    mag = jnp.sqrt(re * re + im * im + 1e-9)
+    return jnp.swapaxes(mag, 1, 2)  # (B, F, TT)
+
+
+class DiscriminatorR(nn.Module):
+    """One resolution of the multi-resolution (STFT) discriminator
+    (BigVGAN/discriminators.py:140-236). channels=32, (3,9) kernels with
+    three stride-(1,2) stages over the time axis, NHWC."""
+
+    resolution: Sequence[int]  # (n_fft, hop, win)
+
+    @nn.compact
+    def __call__(self, x):
+        n_fft, hop, win = self.resolution
+        m = _mrd_magnitude(x, n_fft, hop, win)  # (B, F, TT)
+        h = m[..., None]  # NHWC: (B, F, TT, 1)
+        fmap = []
+        specs = [  # (kernel, stride)
+            ((3, 9), (1, 1)),
+            ((3, 9), (1, 2)),
+            ((3, 9), (1, 2)),
+            ((3, 9), (1, 2)),
+            ((3, 3), (1, 1)),
+        ]
+        for i, (k, s) in enumerate(specs):
+            h = nn.Conv(
+                32, k, strides=s,
+                padding=[((k[0] - 1) // 2, (k[0] - 1) // 2), ((k[1] - 1) // 2, (k[1] - 1) // 2)],
+                name=f"conv_{i}",
+            )(h)
+            h = jax.nn.leaky_relu(h, 0.1)
+            fmap.append(h)
+        h = nn.Conv(1, (3, 3), padding=[(1, 1), (1, 1)], name="conv_post")(h)
+        fmap.append(h)
+        return h.reshape(h.shape[0], -1), fmap
+
+
+class MultiResolutionDiscriminator(nn.Module):
+    """Three DiscriminatorR resolutions (BigVGAN/discriminators.py:239-271,
+    default cfg.resolutions)."""
+
+    resolutions: Sequence[Sequence[int]] = ((1024, 120, 600), (2048, 240, 1200), (512, 50, 240))
+
+    @nn.compact
+    def __call__(self, y, y_hat):
+        y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []
+        for res in self.resolutions:
+            d = DiscriminatorR(res, name=f"disc_r{res[0]}")
+            r, fr = d(y)
+            g, fg = d(y_hat)
+            y_d_rs.append(r)
+            y_d_gs.append(g)
+            fmap_rs.append(fr)
+            fmap_gs.append(fg)
+        return y_d_rs, y_d_gs, fmap_rs, fmap_gs
+
+
 class MultiPeriodDiscriminator(nn.Module):
     periods: Sequence[int] = (2, 3, 5, 7, 11)  # v2Pro: + (17, 23)
 

@@ -1,11 +1,12 @@
 """BigVGAN vocoder GAN training.
 
 Counterpart of the vendored BigVGAN trainer (BigVGAN/train.py:75-84): the
-generator trains against a multi-period discriminator with adversarial +
-feature-matching + multi-scale mel losses (lambda_melloss=15). The
-reference's CQT-based discriminator needs a constant-Q transform stack;
-the multi-scale mel discriminator-free loss plus MPD covers the published
-BigVGAN-v2 recipe's core. One jitted two-optimizer step, like s2_train.
+generator trains against the multi-period discriminator AND the
+multi-resolution STFT discriminator (DiscriminatorR x3, BigVGAN/
+discriminators.py:140-271) with adversarial + feature-matching +
+multi-scale mel losses (lambda_melloss=15). The reference's optional
+CQT-based family needs a constant-Q stack and is not part of the default
+recipe. One jitted two-optimizer step, like s2_train.
 """
 
 from __future__ import annotations
@@ -19,13 +20,30 @@ import optax
 
 from gpt_sovits_tpu.dsp.mel import mel_spectrogram
 from gpt_sovits_tpu.models.bigvgan import BigVGAN
+import flax.linen as nn
+
 from gpt_sovits_tpu.models.discriminators import (
     MultiPeriodDiscriminator,
+    MultiResolutionDiscriminator,
     discriminator_loss,
     feature_loss,
     generator_loss,
 )
 from gpt_sovits_tpu.utils.config import MelConfig, TrainConfig
+
+
+class BigVGANDiscriminators(nn.Module):
+    """MPD + MRD under one param tree, outputs concatenated the way the
+    vendored trainer sums loss_f + loss_s terms (BigVGAN/train.py:75-84)."""
+
+    periods: tuple = (2, 3, 5, 7, 11)
+    resolutions: tuple = ((1024, 120, 600), (2048, 240, 1200), (512, 50, 240))
+
+    @nn.compact
+    def __call__(self, y, y_hat):
+        r1, g1, fr1, fg1 = MultiPeriodDiscriminator(self.periods, name="mpd")(y, y_hat)
+        r2, g2, fr2, fg2 = MultiResolutionDiscriminator(self.resolutions, name="mrd")(y, y_hat)
+        return r1 + r2, g1 + g2, fr1 + fr2, fg1 + fg2
 
 
 @flax.struct.dataclass

@@ -5,8 +5,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from gpt_sovits_tpu.models.bigvgan import BigVGAN, BigVGANConfig
-from gpt_sovits_tpu.models.discriminators import MultiPeriodDiscriminator
-from gpt_sovits_tpu.train.bigvgan_train import init_state, make_train_step, multiscale_mel_loss
+from gpt_sovits_tpu.train.bigvgan_train import BigVGANDiscriminators, init_state, make_train_step, multiscale_mel_loss
 from gpt_sovits_tpu.utils.config import MelConfig, TrainConfig
 
 MEL = MelConfig(sampling_rate=8000, n_fft=256, win_size=256, hop_size=64, num_mels=13)
@@ -19,7 +18,7 @@ CFG = BigVGANConfig(
 def test_bigvgan_train_step():
     assert int(np.prod(CFG.upsample_rates)) == MEL.hop_size
     gen = BigVGAN(CFG)
-    disc = MultiPeriodDiscriminator((2, 3))
+    disc = BigVGANDiscriminators(periods=(2, 3), resolutions=((128, 32, 64), (256, 64, 128)))
     tc = TrainConfig(batch_size=2, learning_rate=2e-4)
     seg = 16
     state = init_state(jax.random.PRNGKey(0), gen, disc, tc, MEL, seg)
@@ -42,3 +41,22 @@ def test_multiscale_mel_loss_zero_for_identical():
     assert float(multiscale_mel_loss(y, y, MEL)) == 0.0
     y2 = y + 0.05
     assert float(multiscale_mel_loss(y, y2, MEL)) > 0.0
+
+
+def test_mrd_discriminator_shapes():
+    """DiscriminatorR: 3 stride-2 time stages over the |STFT| image, 6 fmaps
+    (BigVGAN/discriminators.py:140-236)."""
+    from gpt_sovits_tpu.models.discriminators import MultiResolutionDiscriminator
+
+    mrd = MultiResolutionDiscriminator(((128, 32, 64), (256, 64, 128)))
+    y = jnp.asarray(np.random.default_rng(0).standard_normal((2, 1024, 1)).astype(np.float32))
+    params = mrd.init(jax.random.PRNGKey(0), y, y)
+    r, g, fr, fg = mrd.apply(params, y, y * 0.5)
+    assert len(r) == len(g) == len(fr) == len(fg) == 2
+    for rr, ff in zip(r, fr):
+        assert rr.ndim == 2 and rr.shape[0] == 2
+        assert len(ff) == 6
+    # real==gen inputs give identical outputs (shared params)
+    r2, g2, _, _ = mrd.apply(params, y, y)
+    for a, b in zip(r2, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
