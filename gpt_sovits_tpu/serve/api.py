@@ -55,6 +55,56 @@ def wav_stream_header(sr: int) -> bytes:
     )
 
 
+def _ffmpeg_pack(audio_int16: np.ndarray, sr: int, args: list[str]) -> bytes:
+    import shutil
+    import subprocess
+
+    if shutil.which("ffmpeg") is None:
+        raise RuntimeError("ffmpeg not found")
+    p = subprocess.run(
+        ["ffmpeg", "-loglevel", "error", "-f", "s16le", "-ar", str(sr), "-ac", "1", "-i", "pipe:0"]
+        + args + ["pipe:1"],
+        input=audio_int16.astype("<i2").tobytes(), capture_output=True,
+    )
+    if p.returncode != 0:
+        raise RuntimeError(f"ffmpeg failed: {p.stderr[-300:].decode(errors='replace')}")
+    return p.stdout
+
+
+def pack_ogg(audio_int16: np.ndarray, sr: int) -> bytes:
+    """OGG container (api_v2.py:176-186): soundfile/Vorbis when importable,
+    else ffmpeg/Opus; raises RuntimeError when no encoder is available
+    (the endpoint reports 400 with this message)."""
+    try:
+        import io
+
+        import soundfile as sf
+
+        buf = io.BytesIO()
+        sf.write(buf, audio_int16.astype(np.float32) / 32768.0, sr, format="OGG", subtype="VORBIS")
+        return buf.getvalue()
+    except ImportError:
+        pass
+    try:
+        return _ffmpeg_pack(audio_int16, sr, ["-f", "ogg", "-c:a", "libopus"])
+    except RuntimeError as e:
+        raise RuntimeError(
+            "media_type=ogg needs the soundfile package or an ffmpeg binary; "
+            f"neither is available ({e})"
+        ) from None
+
+
+def pack_aac(audio_int16: np.ndarray, sr: int) -> bytes:
+    """ADTS/AAC via ffmpeg (api_v2.py:189-205); RuntimeError when absent."""
+    try:
+        return _ffmpeg_pack(audio_int16, sr, ["-f", "adts", "-c:a", "aac", "-b:a", "128k"])
+    except RuntimeError as e:
+        raise RuntimeError(f"media_type=aac needs an ffmpeg binary ({e})") from None
+
+
+_PACKERS = {"ogg": pack_ogg, "aac": pack_aac}
+
+
 class TTSService:
     """Request validation + synthesis on top of a TTSPipeline
     (ref api_v2 check_params:262 + tts_handle:300)."""
@@ -140,7 +190,10 @@ class TTSService:
         if req["text_lang"].lower() not in self.LANGS:
             return 400, f"text_lang: {req['text_lang']} is not supported"
         media = req.get("media_type", "wav")
-        if media not in ("wav", "raw"):
+        # wav/raw always; ogg/aac via encoder adapters (reference packers
+        # api_v2.py:176-233 — the reference limits ogg to streaming mode,
+        # here ogg/aac pack the complete clip in non-streaming responses)
+        if media not in ("wav", "raw", "ogg", "aac"):
             return 400, f"media_type: {media} is not supported"
         try:
             get_method(req.get("text_split_method", "cut5"))
@@ -213,8 +266,14 @@ class TTSService:
                 self._ref_path = None
                 self._aux_paths = ()
                 return 500, json.dumps({"message": f"internal error (recovered): {e}"}).encode(), "application/json"
-        if req.get("media_type", "wav") == "raw":
+        media = req.get("media_type", "wav")
+        if media == "raw":
             return 200, audio.astype("<i2").tobytes(), "audio/raw"
+        if media in _PACKERS:
+            try:
+                return 200, _PACKERS[media](audio, sr), f"audio/{media}"
+            except RuntimeError as e:
+                return 400, json.dumps({"message": str(e)}).encode(), "application/json"
         return 200, wav_bytes(audio, sr), "audio/wav"
 
     def set_refer_audio(self, path: str) -> tuple[int, bytes, str]:

@@ -284,7 +284,7 @@ def edit_label(list_path: str, index: int, *, text=None, lang=None, delete=False
 # HTTP layer + page
 # ---------------------------------------------------------------------------
 
-_PAGE = """<!doctype html>
+_PAGE_TEMPLATE = """<!doctype html>
 <html><head><meta charset="utf-8"><title>gpt_sovits_tpu webui</title>
 <style>
  body{font-family:system-ui,sans-serif;margin:0;background:#f6f7f9;color:#1a1a2e}
@@ -302,10 +302,12 @@ _PAGE = """<!doctype html>
  td,th{border:1px solid #dde;padding:4px 8px;font-size:13px}
  .done{color:#2a2}.failed{color:#c22}.running{color:#c80}
 </style></head><body>
-<header><b>gpt_sovits_tpu</b> — TPU-native GPT-SoVITS control panel</header>
+<header><b>gpt_sovits_tpu</b> — __SUBTITLE__</header>
 <nav style="padding:10px 20px"></nav>
 <main></main>
 <script>
+const I18N = __I18N_JSON__;
+const tr = s => I18N[s] || s;
 const TABS = {
  "Data tools": [
   ["slice", [["input","input wav or dir"],["out_dir","output dir"],["threshold","-34"],["min_length","4000"]]],
@@ -335,24 +337,24 @@ function mkTab(name){
    const fs = document.createElement("fieldset");
    fs.innerHTML = `<legend><b>${tool}</b></legend>` + fields.map(([k, ph]) =>
      `<label>${k}</label><input name="${k}" placeholder="${ph}">`).join("") +
-     `<br><button class="go" onclick="runTool('${tool}', this)">Run ${tool}</button>`;
+     `<br><button class="go" onclick="runTool('${tool}', this)">${tr("Run")} ${tool}</button>`;
    div.appendChild(fs);
  }
  if (name === "Labels") div.innerHTML = `
-   <fieldset><legend><b>label proofreading</b></legend>
-   <label>.list path</label><input id="lbl-list"><button class="go" onclick="loadLabels()">Load</button>
+   <fieldset><legend><b>${tr("label proofreading")}</b></legend>
+   <label>.list path</label><input id="lbl-list"><button class="go" onclick="loadLabels()">${tr("Load")}</button>
    <div id="lbl-table"></div></fieldset>`;
  if (name === "Jobs") div.innerHTML = `<div id="jobs"></div><pre id="joblog"></pre>`;
  return div;
 }
 for (const t of tabs) {
- const b = document.createElement("button"); b.textContent = t;
+ const b = document.createElement("button"); b.textContent = tr(t); b.dataset.name = t;
  b.onclick = () => { cur = t; render(); };
  nav.appendChild(b);
  mainEl.appendChild(mkTab(t));
 }
 function render(){
- nav.querySelectorAll("button").forEach(b => b.classList.toggle("on", b.textContent === cur));
+ nav.querySelectorAll("button").forEach(b => b.classList.toggle("on", b.dataset.name === cur));
  mainEl.querySelectorAll(".tab").forEach(d => d.classList.toggle("on", d.dataset.name === cur));
  if (cur === "Jobs") refreshJobs();
 }
@@ -412,6 +414,20 @@ render();
 </script></body></html>"""
 
 
+def _render_page(language: str | None = None) -> str:
+    """Fill the page template with the locale map for `language` (the
+    `lang` query param or the browser's Accept-Language), ref tools/i18n."""
+    import json as _json
+
+    from gpt_sovits_tpu.utils.i18n import I18nAuto
+
+    i18n = I18nAuto(language or None)
+    return _PAGE_TEMPLATE.replace("__I18N_JSON__", _json.dumps(i18n.mapping(), ensure_ascii=False)).replace(
+        "__SUBTITLE__", i18n("TPU-native GPT-SoVITS control panel")
+    )
+
+
+
 def make_handler(runner: JobRunner):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):
@@ -433,7 +449,8 @@ def make_handler(runner: JobRunner):
             url = urllib.parse.urlparse(self.path)
             q = dict(urllib.parse.parse_qsl(url.query))
             if url.path in ("/", "/index.html"):
-                self._send(200, _PAGE.encode(), "text/html; charset=utf-8")
+                lang = q.get("lang") or (self.headers.get("Accept-Language") or "").split(",")[0].split(";")[0].strip()
+                self._send(200, _render_page(lang).encode(), "text/html; charset=utf-8")
             elif url.path == "/api/jobs":
                 self._send(200, {"jobs": runner.list()})
             elif url.path.startswith("/api/jobs/"):

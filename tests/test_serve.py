@@ -170,3 +170,30 @@ def test_tts_with_aux_ref_audio_paths(server, tmp_path):
     })
     code, body, _ = _get(base + "/tts?" + q)
     assert code == 200 and body[:4] == b"RIFF"
+
+
+def test_tts_media_type_ogg_aac(server, monkeypatch):
+    """ogg/aac media types (reference packers api_v2.py:176-233): encoded
+    via adapters when an encoder exists, documented 400 otherwise."""
+    import gpt_sovits_tpu.serve.api as api_mod
+
+    base, ref, _ = server
+    # no soundfile/ffmpeg in this image -> documented 400
+    q = urllib.parse.urlencode(
+        {"text": "Hi", "text_lang": "en", "ref_audio_path": ref, "media_type": "ogg", "seed": 1}
+    )
+    code, body, _ = _get(base + "/tts?" + q)
+    assert code == 400 and (b"soundfile" in body or b"ffmpeg" in body)
+    # bogus format still rejected up front
+    q = urllib.parse.urlencode(
+        {"text": "Hi", "text_lang": "en", "ref_audio_path": ref, "media_type": "mp9"}
+    )
+    code, body, _ = _get(base + "/tts?" + q)
+    assert code == 400 and b"not supported" in body
+    # wired through when an encoder is present (packer stub)
+    monkeypatch.setitem(api_mod._PACKERS, "ogg", lambda a, sr: b"OggS" + a.tobytes()[:64])
+    q = urllib.parse.urlencode(
+        {"text": "Hi", "text_lang": "en", "ref_audio_path": ref, "media_type": "ogg", "seed": 1}
+    )
+    code, body, ctype = _get(base + "/tts?" + q)
+    assert code == 200 and ctype == "audio/ogg" and body[:4] == b"OggS"

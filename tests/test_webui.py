@@ -121,3 +121,23 @@ def test_label_editing(panel, tmp_path):
     code, _ = _req(panel, "/api/labels", "POST", json.dumps(
         {"list": str(lst), "index": 99, "delete": True}).encode())
     assert code == 400
+
+
+def test_i18n_page_rendering():
+    """Locale maps are injected into the page (ref tools/i18n/): lang query
+    param or Accept-Language selects zh/ja/ko; unknown falls back to en."""
+    from gpt_sovits_tpu.serve.webui import _render_page
+    from gpt_sovits_tpu.utils.i18n import I18nAuto, resolve_language
+
+    assert resolve_language("zh") == "zh_CN"
+    assert resolve_language("ja-JP") == "ja_JP"
+    assert resolve_language("ko") == "ko_KR"
+    assert resolve_language("fr_FR") == "en_US"
+    assert I18nAuto("zh_CN")("Training") == "训练"
+    assert I18nAuto("ja")("Jobs") == "ジョブ"
+    assert I18nAuto("ko")("Run") == "실행"
+    assert I18nAuto("en")("Training") == "Training"
+    for lang, probe in [("zh_CN", "控制面板"), ("ja_JP", "コントロールパネル"), ("ko_KR", "제어판")]:
+        page = _render_page(lang)
+        assert probe in page
+        assert "const tr" in page and "__I18N_JSON__" not in page
