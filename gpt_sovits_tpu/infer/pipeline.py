@@ -60,6 +60,18 @@ def _split_batches(sorted_lens: list, batch_size: int, threshold: float) -> list
     return groups
 
 
+def snap_speed(speed: float) -> float:
+    """Snap a continuous speed_factor to a 0.05 grid in [0.5, 2.0].
+
+    `speed` is a trace-time constant (it changes output shapes via the
+    text-encoder resize, models.py:227), so every distinct value compiles a
+    new XLA program per shape bucket; an API exposing a float slider could
+    thrash the compile cache. The 0.05 grid is inaudible (<2.5% tempo) and
+    bounds the cache at 31 entries per bucket."""
+    s = min(max(float(speed), 0.5), 2.0)
+    return round(round(s / 0.05) * 0.05, 2)
+
+
 def _next_bucket(n: int, buckets=(32, 64, 128, 256, 512)) -> int:
     for b in buckets:
         if n <= b:
@@ -456,6 +468,7 @@ class TTSPipeline:
         repetition_penalty = cfg.repetition_penalty if repetition_penalty is None else repetition_penalty
         fragment_interval = cfg.fragment_interval if fragment_interval is None else fragment_interval
         cut_method = cut_method or cfg.text_split_method
+        speed = snap_speed(speed)
 
         # per-request phase breakdown + throughput counters (the reference's
         # hand-rolled t0..t5 line, TTS.py:1317-1338)
@@ -542,7 +555,7 @@ class TTSPipeline:
             top_p=kwargs.pop("top_p", None) or cfg.top_p,
             temperature=kwargs.pop("temperature", None) or cfg.temperature,
             repetition_penalty=kwargs.pop("repetition_penalty", None) or cfg.repetition_penalty,
-            speed=kwargs.pop("speed", 1.0),
+            speed=snap_speed(kwargs.pop("speed", 1.0)),
             max_sec=kwargs.pop("max_sec", 30),
         )
         kwargs.pop("split_bucket", None)  # streaming always yields in reading order

@@ -275,3 +275,20 @@ def test_split_batches_matches_reference_algorithm():
         theirs = ref_split(lens, bs, th)
         assert [sorted(lens[i] for i in a) for a in ours] == [sorted(lens[i] for i in b) for b in theirs]
         assert sorted(i for g in ours for i in g) == list(range(n))
+
+
+def test_snap_speed_grid():
+    """speed_factor snaps to a bounded grid so the XLA compile cache cannot
+    be thrashed by continuous slider values (models.py:227 resize makes
+    speed a trace-time constant)."""
+    from gpt_sovits_tpu.infer.pipeline import snap_speed
+
+    assert snap_speed(1.0) == 1.0
+    assert snap_speed(1.013) == 1.0
+    assert snap_speed(1.237) == 1.25
+    assert snap_speed(0.01) == 0.5
+    assert snap_speed(9.9) == 2.0
+    # grid is closed under itself and bounded
+    vals = {snap_speed(0.5 + i * 0.001) for i in range(1500)}
+    assert len(vals) <= 31
+    assert all(abs(v * 20 - round(v * 20)) < 1e-9 for v in vals)

@@ -269,3 +269,33 @@ def test_zh_norm_extended():
     assert normalize_zh("大概3~5天") == "大概三到五天"
     assert normalize_zh("电话138-1234-5678") == "电话幺三八减幺二三四减五六七八"
     assert normalize_zh("-42分") == "负四十二分"
+
+
+def test_korean_phonological_rules():
+    """g2pk2's main rule families, built in (VERDICT r1 #6): standard
+    textbook examples per family."""
+    from gpt_sovits_tpu.text.korean import pronounce
+
+    cases = {
+        "국물": "궁물", "먹는": "멍는", "앞문": "암문",   # nasalization
+        "심리": "심니", "협력": "혐녁",                   # ㄹ nasalization
+        "신라": "실라", "설날": "설랄",                   # lateralization
+        "학교": "학꾜", "국밥": "국빱", "없다": "업따",   # tensification
+        "좋다": "조타", "않던": "안턴",                   # aspiration
+        "놓아": "노아", "많아": "마나", "좋은": "조은",   # ㅎ deletion
+        "같이": "가치", "맏이": "마지",                   # palatalization
+        "밥이": "바비", "읽어": "일거", "앉아": "안자",   # liaison
+        "값이": "갑씨", "닭이": "달기",                   # cluster liaison
+        "읽다": "익따", "옷": "옫",                       # coda reduction
+    }
+    bad = {k: (pronounce(k), w) for k, w in cases.items() if pronounce(k) != w}
+    assert not bad, bad
+
+
+def test_korean_clean_text_symbols_valid():
+    from gpt_sovits_tpu.text import get_symbols
+    from gpt_sovits_tpu.text.cleaner import clean_text
+
+    phones, word2ph, norm = clean_text("안녕하세요, 감사합니다!", "ko")
+    symbols = set(get_symbols("v2"))
+    assert phones and all(p in symbols for p in phones)
