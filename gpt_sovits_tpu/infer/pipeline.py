@@ -26,6 +26,8 @@ from typing import Any, Generator, Optional
 
 import jax
 import jax.numpy as jnp
+import time
+
 import numpy as np
 
 from gpt_sovits_tpu.dsp.audio_io import load_wav, resample
@@ -171,6 +173,7 @@ class TTSPipeline:
 
         self.meter = ThroughputMeter()  # cumulative serving counters
         self.last_timing: dict = {}
+        self.last_ttfb: Optional[float] = None  # streaming time-to-first-fragment
         # S2 decode runs as decode_latent (flax) + the lane-folded generator
         # (ops/folded_conv.py) — exact same waveform, ~1.8x faster vocoder.
         # (v3/v4 pipelines pass s2_params=None; the CFM path replaces S2.)
@@ -576,10 +579,16 @@ class TTSPipeline:
         key = jax.random.PRNGKey(seed)
         synth = self._synthesize_v3_batch if self.v3 is not None else self._synthesize_batch
         silence = np.zeros(int(sr * fragment_interval), np.float32)
+        t_start = time.perf_counter()
+        first = True
         for start in range(0, len(segments), bs):
             batch = segments[start : start + bs]
             key, sub = jax.random.split(key)
             for wav in synth(batch, sub, **synth_kw):
+                if first:
+                    # time-to-first-fragment, the streaming latency metric
+                    self.last_ttfb = time.perf_counter() - t_start
+                    first = False
                 frag = np.concatenate([np.clip(wav, -1.0, 1.0), silence])
                 yield sr, (frag * 32767.0).astype(np.int16)
 

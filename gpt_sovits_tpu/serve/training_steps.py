@@ -81,7 +81,16 @@ def _make_asr(cfg: ServiceConfig) -> Optional[Callable[[str], tuple[str, str]]]:
             import funasr  # noqa: F401
         else:
             import faster_whisper  # noqa: F401
-    except ImportError:
+    except ImportError as e:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "ASR enabled but no backend importable (%s): slices will be "
+            "labeled with empty text and must be transcribed by hand — "
+            "install funasr (zh/yue) or faster_whisper, or set GSVT_ASR=0 "
+            "to silence this (reference tools/asr has the same optional deps)",
+            e,
+        )
         return None
     from gpt_sovits_tpu.corpus.asr import make_transcriber
 
