@@ -12,9 +12,18 @@ from gpt_sovits_tpu.text.english import clean_text_en
 
 LANGUAGES = ("zh", "en", "ja", "ko", "yue", "auto")
 
+# special silence symbols: the marker char becomes a dedicated pause phone
+# (ref cleaner.py:13-17 + clean_special:58-83)
+SPECIAL = (("￥", "zh", "SP2"), ("^", "zh", "SP3"))
+
 
 def clean_text(text: str, language: str, version: str = "v2"):
     language = language.replace("all_", "")
+    for marker, lang, target in SPECIAL:
+        if marker in text and language == lang:
+            phones, word2ph, norm = clean_text(text.replace(marker, ","), language, version)
+            phones = [target if p == "," else p for p in phones]
+            return phones, word2ph, norm
     if language == "zh":
         phones, word2ph, norm = clean_text_zh(text)
     elif language == "en":

@@ -299,3 +299,15 @@ def test_korean_clean_text_symbols_valid():
     phones, word2ph, norm = clean_text("안녕하세요, 감사합니다!", "ko")
     symbols = set(get_symbols("v2"))
     assert phones and all(p in symbols for p in phones)
+
+
+def test_special_silence_symbols():
+    """￥ -> SP2 and ^ -> SP3 pause phones in zh (ref cleaner.py:13-17,
+    clean_special:58-83)."""
+    from gpt_sovits_tpu.text.cleaner import clean_text
+
+    phones, word2ph, norm = clean_text("你好￥世界。", "zh")
+    assert "SP2" in phones
+    assert sum(word2ph) == len(phones) and len(word2ph) == len(norm)
+    phones2, _, _ = clean_text("前^后。", "zh")
+    assert "SP3" in phones2
