@@ -77,10 +77,77 @@ def _ordinalize(words: str) -> str:
     return " ".join(parts)
 
 
+def _money(amount: str, unit: str, sub_unit: str, sub_plural: str) -> str:
+    """$6.24 -> 'six dollars and twenty four cents' (ref en_normalization/
+    expend.py:117-166, sub-unit zero-padded to two digits)."""
+    parts = amount.replace(",", "").split(".")
+    if len(parts) > 2:
+        return amount + f" {unit}s"
+    main = int(parts[0]) if parts[0] else 0
+    sub = int(parts[1].ljust(2, "0")[:2]) if len(parts) > 1 and parts[1] else 0
+    bits = []
+    if main:
+        bits.append(_num_to_words(main) + " " + (unit if main == 1 else unit + "s"))
+    if sub:
+        bits.append(_num_to_words(sub) + " " + (sub_unit if sub == 1 else sub_plural))
+    return " and ".join(bits) if bits else f"zero {unit}s"
+
+
+_FRACTION_DENOM = {2: ("half", "halves")}
+
+
+def _fraction(num: int, den: int) -> str:
+    """1/3 -> one third, 3/4 -> three fourths, 3/2 -> three halves
+    (expend.py:188-218)."""
+    top = _num_to_words(num)
+    if den == 1:
+        return top
+    if den == 2:
+        return f"{top} " + ("half" if num == 1 else "halves")
+    bottom = _ordinalize(_num_to_words(den))
+    if num > 1:
+        bottom += "s"
+    return f"{top} {bottom}"
+
+
+_MEASURES_EN = {
+    "km/h": "kilometers per hour", "km": "kilometers", "m": "meters",
+    "ft": "feet", "L": "liters", "tbsp": "tablespoons", "tsp": "teaspoons",
+    "h": "hours", "min": "minutes", "s": "seconds",
+    "°C": "degrees celsius", "°F": "degrees fahrenheit",
+}
+
+
+def _year_number(n: int) -> str:
+    """Year-style pairs reading for 1000<n<3000 (expend.py:226-238):
+    1997 -> nineteen ninety seven, 2005 -> two thousand five,
+    1900 -> nineteen hundred."""
+    if n == 2000:
+        return "two thousand"
+    if 2000 < n < 2010:
+        return "two thousand " + _num_to_words(n % 100)
+    if n % 100 == 0:
+        return _num_to_words(n // 100) + " hundred"
+    hi, lo = divmod(n, 100)
+    lo_words = _num_to_words(lo) if lo >= 10 else "oh " + _num_to_words(lo)
+    return _num_to_words(hi) + " " + lo_words
+
+
 def normalize(text: str) -> str:
     text = text.replace("’", "'").replace("“", '"').replace("”", '"')
-    text = re.sub(r"\$(\d[\d,]*(\.\d+)?)", lambda m: m.group(1) + " dollars", text)
+    # money with sub-units, leading or trailing currency sign (expend.py)
+    for sign, units in (("£", ("pound", "penny", "pence")), ("\\$", ("dollar", "cent", "cents"))):
+        text = re.sub(rf"{sign}(\d[\d,]*(\.\d+)?)", lambda m, u=units: _money(m.group(1), *u), text)
+        text = re.sub(rf"(\d[\d,]*(\.\d+)?){sign}", lambda m, u=units: _money(m.group(1), *u), text)
     text = re.sub(r"(\d[\d,]*)(\.\d+)?%", lambda m: m.group(0)[:-1] + " percent", text)
+    # measurement suffixes (expend.py:101-114)
+    units_alt = "|".join(re.escape(u) for u in sorted(_MEASURES_EN, key=len, reverse=True))
+    text = re.sub(
+        rf"\b(\d+(?:\.\d+)?)({units_alt})\b",
+        lambda m: m.group(1) + " " + _MEASURES_EN[m.group(2)],
+        text,
+    )
+    text = re.sub(r"(\d+(?:\.\d+)?)(°C|°F)", lambda m: m.group(1) + " " + _MEASURES_EN[m.group(2)], text)
     # ordinals: 1st 2nd 3rd 21st ...
     text = re.sub(
         r"(\d+)(st|nd|rd|th)\b", lambda m: _ordinalize(_num_to_words(int(m.group(1)))), text
@@ -95,6 +162,16 @@ def normalize(text: str) -> str:
         return _num_to_words(h) + " " + _num_to_words(int(mi))
 
     text = re.sub(r"\b(\d{1,2}):(\d{2})\b", _time, text)
+    # fractions: 3/4 -> three fourths (expend.py:188-218)
+    text = re.sub(r"\b(\d+)/(\d+)\b", lambda m: _fraction(int(m.group(1)), int(m.group(2))), text)
+    # minus sign on negative numbers
+    text = re.sub(r"(?<![\w.])-(\d)", r"minus \1", text)
+    # bare 4-digit years read in pairs (expend.py:226-238)
+    text = re.sub(
+        r"\b([12]\d{3})\b(?!\s*(?:point|\.\d))",
+        lambda m: _year_number(int(m.group(1))) if 1000 < int(m.group(1)) < 3000 else m.group(0),
+        text,
+    )
     text = re.sub(r"\d[\d,]*(\.\d+)?", _expand_number, text)
     words = []
     for w in re.findall(r"[A-Za-z']+|[^\sA-Za-z']", text):

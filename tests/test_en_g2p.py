@@ -76,3 +76,28 @@ def test_clean_text_en_symbols_valid():
     assert phones
     bad = [p for p in phones if p not in symbols and p not in "&;"]
     assert not bad, bad
+
+
+def test_en_normalize_money_fractions_years():
+    """expend.py-parity behaviors: money with sub-units, fraction readings,
+    year pairs, measurement suffixes (ref en_normalization/expend.py)."""
+    from gpt_sovits_tpu.text.english import normalize
+
+    cases = {
+        "$6.24": "six dollars and twenty four cents",
+        "$1.01": "one dollar and one cent",
+        "£5": "five pounds",
+        "32.3$": "thirty two dollars and thirty cents",
+        "3/4 cup": "three fourths cup",
+        "1/2 done": "one half done",
+        "3/2": "three halves",
+        "born in 1997": "born in nineteen ninety seven",
+        "year 2005": "year two thousand five",
+        "in 1900": "in nineteen hundred",
+        "5km run at 20km/h": "five kilometers run at twenty kilometers per hour",
+        "25°C out": "twenty five degrees celsius out",
+        "-5 degrees": "minus five degrees",
+        "3:05 pm": "three oh five pm",
+    }
+    bad = {k: (normalize(k), w) for k, w in cases.items() if normalize(k) != w}
+    assert not bad, bad
