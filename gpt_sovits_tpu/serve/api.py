@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import io
 import json
+import os
 import struct
 import threading
 import urllib.parse
@@ -118,7 +119,66 @@ class TTSService:
         self._aux_paths: tuple = ()
         # legacy api.py default reference (DefaultRefer, api.py:177)
         self.default_ref = {"path": "", "text": "", "language": ""}
+        # legacy api.py speaker registry (Speaker/speaker_list, api.py:358-369):
+        # name -> weight paths + optional per-speaker default reference; the
+        # `spk` request param hot-swaps weights through weight_loader
+        self.speakers: dict = {}
+        self.current_speaker: Optional[str] = None
         self.lock = threading.Lock()
+
+    # -- speaker registry ----------------------------------------------------
+
+    def list_speakers(self) -> tuple[int, bytes, str]:
+        body = {"speakers": self.speakers, "current": self.current_speaker}
+        return 200, json.dumps(body).encode(), "application/json"
+
+    def register_speaker(self, req: dict) -> tuple[int, bytes, str]:
+        """POST /speakers: {"name", "gpt_weights"?, "sovits_weights"?,
+        "refer_wav_path"?, "prompt_text"?, "prompt_language"?}."""
+        name = req.get("name", "")
+        if not name:
+            return 400, json.dumps({"message": "name is required"}).encode(), "application/json"
+        for key in ("gpt_weights", "sovits_weights"):
+            path = req.get(key)
+            if path and not os.path.exists(path):
+                return 400, json.dumps({"message": f"{key} not found: {path}"}).encode(), "application/json"
+        with self.lock:
+            self.speakers[name] = {
+                "gpt_weights": req.get("gpt_weights", ""),
+                "sovits_weights": req.get("sovits_weights", ""),
+                "refer_wav_path": req.get("refer_wav_path", ""),
+                "prompt_text": req.get("prompt_text", ""),
+                "prompt_language": req.get("prompt_language", ""),
+            }
+        return 200, json.dumps({"code": 0, "message": "Success"}).encode(), "application/json"
+
+    def _apply_speaker(self, req: dict) -> None:
+        """Honor the `spk` param (api.py:843-850): swap to the speaker's
+        weights when needed and fill missing reference fields from its
+        registry entry. Raises ValueError for an unknown speaker."""
+        spk = req.get("spk")
+        if not spk:
+            return
+        if spk not in self.speakers:
+            raise ValueError(f"unknown speaker: {spk}")
+        entry = self.speakers[spk]
+        if spk != self.current_speaker:
+            if self.weight_loader is None and (entry["gpt_weights"] or entry["sovits_weights"]):
+                raise ValueError("speaker weight hot-swap not configured")
+            if entry["gpt_weights"]:
+                self.weight_loader("gpt", entry["gpt_weights"])
+            if entry["sovits_weights"]:
+                self.weight_loader("sovits", entry["sovits_weights"])
+            self._ref_path = None  # prompt cache belongs to the old weights
+            self._aux_paths = ()
+            self.current_speaker = spk
+        if entry["refer_wav_path"]:
+            req.setdefault("ref_audio_path", entry["refer_wav_path"])
+            req.setdefault("refer_wav_path", entry["refer_wav_path"])
+            if entry["prompt_text"]:
+                req.setdefault("prompt_text", entry["prompt_text"])
+            if entry["prompt_language"]:
+                req.setdefault("prompt_language", entry["prompt_language"])
 
     # -- legacy api.py contract (GET/POST "/", /change_refer) ---------------
 
@@ -151,6 +211,11 @@ class TTSService:
     def legacy_tts(self, req: dict) -> tuple[int, bytes, str]:
         """api.py:1100 handle: param names of the legacy endpoint mapped to
         the modern service; falls back to the /change_refer default."""
+        try:
+            with self.lock:
+                self._apply_speaker(req)
+        except ValueError as e:
+            return 400, json.dumps({"code": 400, "message": str(e)}).encode(), "application/json"
         path = req.get("refer_wav_path") or self.default_ref["path"]
         ptext = req.get("prompt_text") or self.default_ref["text"]
         plang = req.get("prompt_language") or self.default_ref["language"]
@@ -232,6 +297,11 @@ class TTSService:
                 yield sr, frag.astype("<i2").tobytes()
 
     def tts(self, req: dict) -> tuple[int, bytes, str]:
+        try:
+            with self.lock:
+                self._apply_speaker(req)
+        except ValueError as e:
+            return 400, json.dumps({"message": str(e)}).encode(), "application/json"
         err = self.validate(req)
         if err:
             return err[0], json.dumps({"message": err[1]}).encode(), "application/json"
@@ -348,6 +418,12 @@ def make_handler(service: TTSService):
             return {k: v[0] for k, v in urllib.parse.parse_qs(parsed.query).items()}
 
         def _stream_tts(self, params: dict):
+            try:
+                with service.lock:
+                    service._apply_speaker(params)
+            except ValueError as e:
+                self._send(400, json.dumps({"message": str(e)}).encode(), "application/json")
+                return
             err = service.validate(params)
             if err:
                 self._send(err[0], json.dumps({"message": err[1]}).encode(), "application/json")
@@ -385,6 +461,8 @@ def make_handler(service: TTSService):
                 self._stream_tts(params)
             elif route == "/tts":
                 self._send(*service.tts(params))
+            elif route == "/speakers":
+                self._send(*service.list_speakers())
             elif route == "/set_refer_audio":
                 self._send(*service.set_refer_audio(params.get("refer_audio_path", "")))
             elif route == "/set_gpt_weights":
@@ -422,12 +500,16 @@ def make_handler(service: TTSService):
             except json.JSONDecodeError:
                 self._send(400, b'{"message":"invalid json"}', "application/json")
                 return
-            if route == "/tts":
+            if route == "/tts" and params.get("streaming_mode") in _TRUE:
+                self._stream_tts(params)
+            elif route == "/tts":
                 self._send(*service.tts(params))
             elif route == "/":  # legacy api.py POST /
                 self._send(*service.legacy_tts(params))
             elif route == "/change_refer":
                 self._send(*service.change_refer(params))
+            elif route == "/speakers":
+                self._send(*service.register_speaker(params))
             else:
                 self._send(404, b'{"message":"not found"}', "application/json")
 

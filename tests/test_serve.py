@@ -197,3 +197,70 @@ def test_tts_media_type_ogg_aac(server, monkeypatch):
     )
     code, body, ctype = _get(base + "/tts?" + q)
     assert code == 200 and ctype == "audio/ogg" and body[:4] == b"OggS"
+
+
+def _post(url, payload):
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(), headers={"Content-Type": "application/json"}
+    )
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, r.read(), r.headers.get("Content-Type")
+    except urllib.error.HTTPError as e:
+        return e.code, e.read(), e.headers.get("Content-Type")
+
+
+def test_speaker_registry(server):
+    """Legacy api.py speaker_list equivalent (api.py:358-369,843-850):
+    register named weight sets + per-speaker default reference, switch
+    via the `spk` request param."""
+    base, ref, swaps = server
+    # empty registry
+    code, body, _ = _get(base + "/speakers")
+    assert code == 200 and json.loads(body)["speakers"] == {}
+    # register requires a name; weight paths must exist
+    code, body, _ = _post(base + "/speakers", {"gpt_weights": "/tmp/x.npz"})
+    assert code == 400 and b"name" in body
+    code, body, _ = _post(base + "/speakers", {"name": "alice", "gpt_weights": "/nonexistent/w.npz"})
+    assert code == 400 and b"not found" in body
+    # register a speaker whose entry carries a default reference
+    code, body, _ = _post(
+        base + "/speakers",
+        {"name": "alice", "refer_wav_path": ref, "prompt_text": "hi", "prompt_language": "en"},
+    )
+    assert code == 200, body
+    code, body, _ = _get(base + "/speakers")
+    listing = json.loads(body)
+    assert "alice" in listing["speakers"]
+    # unknown speaker -> 400
+    q = urllib.parse.urlencode({"text": "hello", "text_lang": "en", "ref_audio_path": ref, "spk": "bob"})
+    code, body, _ = _get(base + "/tts?" + q)
+    assert code == 400 and b"unknown speaker" in body
+    # spk fills the missing reference from the registry entry
+    q = urllib.parse.urlencode({"text": "hello there", "text_lang": "en", "spk": "alice", "seed": 5})
+    code, body, ctype = _get(base + "/tts?" + q)
+    assert code == 200, body
+    assert body[:4] == b"RIFF"
+    code, body, _ = _get(base + "/speakers")
+    assert json.loads(body)["current"] == "alice"
+
+
+def test_speaker_weight_swap(server, tmp_path):
+    base, ref, swaps = server
+    w = tmp_path / "bob_s1.npz"
+    w.write_bytes(b"x")
+    code, body, _ = _post(
+        base + "/speakers",
+        {"name": "bob", "gpt_weights": str(w), "refer_wav_path": ref, "prompt_text": "hi", "prompt_language": "en"},
+    )
+    assert code == 200, body
+    n_swaps = len(swaps)
+    q = urllib.parse.urlencode({"text": "switch voices now", "text_lang": "en", "spk": "bob", "seed": 2})
+    code, body, _ = _get(base + "/tts?" + q)
+    assert code == 200, body
+    assert ("gpt", str(w)) in swaps[n_swaps:]
+    # same speaker again: no second swap
+    n_swaps = len(swaps)
+    code, body, _ = _get(base + "/tts?" + q)
+    assert code == 200, body
+    assert len(swaps) == n_swaps
