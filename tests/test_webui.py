@@ -132,7 +132,8 @@ def test_i18n_page_rendering():
     assert resolve_language("zh") == "zh_CN"
     assert resolve_language("ja-JP") == "ja_JP"
     assert resolve_language("ko") == "ko_KR"
-    assert resolve_language("fr_FR") == "en_US"
+    assert resolve_language("fr_FR") == "fr_FR"  # now a real locale
+    assert resolve_language("xx_XX") == "en_US"
     assert I18nAuto("zh_CN")("Training") == "训练"
     assert I18nAuto("ja")("Jobs") == "ジョブ"
     assert I18nAuto("ko")("Run") == "실행"
