@@ -180,17 +180,24 @@ class TTSPipeline:
         if s2_params is not None:
             from gpt_sovits_tpu.ops.folded_conv import fold_generator_params, generator_apply
 
+            # folded decoder WEIGHTS ride in the params pytree ARGUMENT
+            # (closure arrays would serialize into the compiled HLO; over the
+            # remote-compile tunnel that hard-fails for big models). Only the
+            # static pad/meta plan stays in the closure.
             _folded_dec = fold_generator_params(s2_params["params"]["dec"], s2_model.cfg, dtype=_voc_dtype)
+            _dec_static = {k: v for k, v in _folded_dec.items() if k != "arrays"}
+            self._s2_call_params = {"flax": s2_params, "folded_dec": _folded_dec["arrays"]}
             _decode_latent = functools.partial(s2_model.apply, method=SynthesizerTrn.decode_latent)
 
             @functools.partial(jax.jit, static_argnames=("speed",))
-            def _s2_decode(params, codes, codes_lengths, text, text_lengths, refer_spec, refer_lengths, *, speed=1.0, sv_emb=None, ge=None):
+            def _s2_decode(call_params, codes, codes_lengths, text, text_lengths, refer_spec, refer_lengths, *, speed=1.0, sv_emb=None, ge=None):
                 z, ge = _decode_latent(
-                    params, codes, codes_lengths, text, text_lengths, refer_spec, refer_lengths,
+                    call_params["flax"], codes, codes_lengths, text, text_lengths, refer_spec, refer_lengths,
                     speed=speed, sv_emb=sv_emb, ge=ge,
                 )
                 return generator_apply(
-                    _folded_dec, z.astype(_voc_dtype), ge.astype(_voc_dtype)
+                    {"arrays": call_params["folded_dec"], **_dec_static},
+                    z.astype(_voc_dtype), ge.astype(_voc_dtype),
                 ).astype(jnp.float32)
 
             self._s2_decode = _s2_decode
@@ -230,9 +237,16 @@ class TTSPipeline:
                     resblock_kernel_sizes=voc.cfg.resblock_kernel_sizes,
                     resblock_dilation_sizes=voc.cfg.resblock_dilation_sizes,
                 )
+                # folded weights travel as jit ARGUMENTS, not closure
+                # constants: baked-in weights bloat the serialized HLO past
+                # remote-compile limits and defeat donation/sharding
                 _folded_voc = fold_generator_params(v3_bundle.vocoder_params["params"], eff, dtype=_voc_dtype)
+                _voc_static = {k: v for k, v in _folded_voc.items() if k != "arrays"}
+                self._voc_call_params = _folded_voc["arrays"]
                 self._vocoder_fwd = jax.jit(
-                    lambda _params, mel: generator_apply(_folded_voc, mel.astype(_voc_dtype)).astype(jnp.float32)
+                    lambda arrs, mel: generator_apply(
+                        {"arrays": arrs, **_voc_static}, mel.astype(_voc_dtype)
+                    ).astype(jnp.float32)
                 )
             else:
                 from gpt_sovits_tpu.models.bigvgan import BigVGAN as _BigVGAN
@@ -245,10 +259,15 @@ class TTSPipeline:
                     _folded_bv = fold_bigvgan_params(
                         v3_bundle.vocoder_params["params"], v3_bundle.vocoder.cfg, dtype=_voc_dtype
                     )
+                    _bv_static = {k: v for k, v in _folded_bv.items() if k != "arrays"}
+                    self._voc_call_params = _folded_bv["arrays"]
                     self._vocoder_fwd = jax.jit(
-                        lambda _params, mel: bigvgan_apply(_folded_bv, mel.astype(_voc_dtype)).astype(jnp.float32)
+                        lambda arrs, mel: bigvgan_apply(
+                            {"arrays": arrs, **_bv_static}, mel.astype(_voc_dtype)
+                        ).astype(jnp.float32)
                     )
                 else:
+                    self._voc_call_params = v3_bundle.vocoder_params
                     self._vocoder_fwd = jax.jit(v3_bundle.vocoder.apply)
 
             from gpt_sovits_tpu.models.dit import DiT
@@ -266,13 +285,15 @@ class TTSPipeline:
             steps = v3_bundle.sample_steps
 
             @functools.partial(jax.jit, static_argnames=("n_steps",))
-            def _cfm(mu, x_lens, prompt, key, n_steps=steps):
+            def _cfm(params, mu, x_lens, prompt, key, n_steps=steps):
                 mel = cfm_inference(
-                    dit, dit_params, mu.astype(_cfm_dtype), x_lens,
+                    dit, params, mu.astype(_cfm_dtype), x_lens,
                     prompt.astype(_cfm_dtype), key, n_steps=n_steps,
                 )
                 return mel.astype(jnp.float32)
 
+            # params threaded as an argument (see vocoder note above)
+            self._dit_params = dit_params
             self._cfm_infer = _cfm
             self._fea_ref_cache = None
 
@@ -631,7 +652,7 @@ class TTSPipeline:
         tc = _next_bucket(int(lengths.max()))
         codes = jnp.asarray(tokens[:, :tc])
         wav = self._s2_decode(
-            self.s2_params,
+            getattr(self, "_s2_call_params", self.s2_params),
             codes, jnp.asarray(lengths), jnp.asarray(phones_right(batch, tx_max)),
             jnp.asarray([len(s["phones"]) for s in batch], dtype=jnp.int32),
             refer_spec, refer_lens,
@@ -757,7 +778,7 @@ class TTSPipeline:
                     fea = np.pad(fea, ((0, 0), (0, pad), (0, 0)))
                 key2, sub = jax.random.split(key2)
                 mel_out = self._cfm_infer(
-                    jnp.asarray(fea), jnp.asarray([t_min + ln]), jnp.asarray(mel2), sub,
+                    self._dit_params, jnp.asarray(fea), jnp.asarray([t_min + ln]), jnp.asarray(mel2), sub,
                     n_steps=int(sample_steps or v3.sample_steps),
                 )
                 mel_out = np.asarray(mel_out)[:, t_min : t_min + ln]
@@ -766,7 +787,7 @@ class TTSPipeline:
                 fea_ref = chunk[:, -t_min:] if ln >= t_min else np.concatenate([fea_ref, chunk], 1)[:, -t_min:]
                 idx += ln
             mel_full = denorm_spec(jnp.asarray(np.concatenate(mel_chunks, axis=1)))
-            wav = np.asarray(self._vocoder_fwd(v3.vocoder_params, mel_full))[0, :, 0]
+            wav = np.asarray(self._vocoder_fwd(self._voc_call_params, mel_full))[0, :, 0]
             wav = wav[: total * upsample]
             if v3.sr_model is not None and v3.sr_params is not None and super_sampling is not False:
                 from gpt_sovits_tpu.models.apbwe import super_resolve
@@ -845,7 +866,7 @@ class TTSPipeline:
         mel2 = np.repeat(mel2_0, bs_pad, axis=0)
         key, sub = jax.random.split(key)
         mel_out = self._cfm_infer(
-            jnp.asarray(fea), jnp.full((bs_pad,), t_min + chunk_len, jnp.int32),
+            self._dit_params, jnp.asarray(fea), jnp.full((bs_pad,), t_min + chunk_len, jnp.int32),
             jnp.asarray(mel2), sub, n_steps=int(sample_steps or v3.sample_steps),
         )
         mel_out = np.asarray(mel_out)[:bs, t_min:]  # (bs, chunk_len, M)
@@ -855,7 +876,7 @@ class TTSPipeline:
         # tail of the last real chunk with arbitrary mel)
         if bs_pad > bs:
             mel_long = np.pad(mel_long, ((0, 0), (0, (bs_pad - bs) * chunk_len), (0, 0)), mode="edge")
-        wav = np.asarray(self._vocoder_fwd(v3.vocoder_params, denorm_spec(jnp.asarray(mel_long))))[0, :, 0]
+        wav = np.asarray(self._vocoder_fwd(self._voc_call_params, denorm_spec(jnp.asarray(mel_long))))[0, :, 0]
         wav = wav[: bs * chunk_len * upsample]
 
         frag_len = chunk_len * upsample

@@ -77,10 +77,12 @@ def main():
         lambda p: p.astype(dtype), {"params": v3_params["params"]["cfm"]["estimator"]}
     )
 
+    # params are jit ARGUMENTS: closure arrays serialize into the compiled
+    # HLO and exceed the remote-compile tunnel's request limit (HTTP 413)
     @functools.partial(jax.jit, static_argnames=("n_steps",))
-    def cfm(mu, x_lens, prompt, k, n_steps=SAMPLE_STEPS):
+    def cfm(params, mu, x_lens, prompt, k, n_steps=SAMPLE_STEPS):
         mel = cfm_inference(
-            dit, dit_params, mu.astype(dtype), x_lens, prompt.astype(dtype), k, n_steps=n_steps
+            dit, params, mu.astype(dtype), x_lens, prompt.astype(dtype), k, n_steps=n_steps
         )
         return mel.astype(jnp.float32)
 
@@ -88,7 +90,10 @@ def main():
     bv = BigVGAN(bv_cfg)
     bv_params = jax.jit(bv.init)(key, jnp.zeros((b, 64, 100)))
     folded = fold_bigvgan_params(bv_params["params"], bv_cfg, dtype=dtype)
-    voc = jax.jit(lambda mel: bigvgan_apply(folded, mel.astype(dtype)).astype(jnp.float32))
+    voc_static = {k: v for k, v in folded.items() if k != "arrays"}
+    voc = jax.jit(
+        lambda arrs, mel: bigvgan_apply({"arrays": arrs, **voc_static}, mel.astype(dtype)).astype(jnp.float32)
+    )
 
     # one utterance, mirroring pipeline._synthesize_v3_batch: the S1 codes
     # feed decode_encp; fea chunks pad to T_CHUNK; mel chunks concatenate
@@ -119,35 +124,102 @@ def main():
             if pad > 0:
                 fea = jnp.pad(fea, ((0, 0), (0, pad), (0, 0)))
             k2, sub = jax.random.split(k2)
-            mel_out = cfm(fea, jnp.asarray([T_REF + ln]), mel2, sub)
+            mel_out = cfm(dit_params, fea, jnp.asarray([T_REF + ln]), mel2, sub)
             mel_out = mel_out[:, T_REF : T_REF + ln]
             mel_chunks.append(mel_out)
             mel2 = mel_out[:, -T_REF:]
             fea_ref = chunk[:, -T_REF:]
             idx += ln
         mel_full = jnp.concatenate(mel_chunks, axis=1)
-        return voc(mel_full)
+        return voc(folded["arrays"], mel_full)
 
-    wav = synth(jax.random.PRNGKey(1))
-    jax.block_until_ready(wav)
+    # ---- batched parallel path (reference parallel_infer default,
+    # TTS.py:1496-1635): overlapped chunks -> ONE batched CFM call ->
+    # ONE vocoder call -> SOLA crossfade on host ----
+    from gpt_sovits_tpu.dsp.sola import sola_stitch
 
-    n_iter = 6
-    t0 = time.perf_counter()
-    wavs = [synth(jax.random.PRNGKey(2 + i)) for i in range(n_iter)]
-    jax.block_until_ready(wavs)
-    dt = (time.perf_counter() - t0) / n_iter
+    OVERLAP = 12
+    upsample = 256  # 24000 * 256 / 24000 (mel hop) -> samples per frame
 
+    def synth_parallel(k, timing=None):
+        t0 = time.perf_counter()
+        out = s1_step(k)
+        codes = out.tokens[:, :N_NEW_TOKENS]
+        jax.block_until_ready(codes)
+        t1 = time.perf_counter()
+        fea_todo, ge, mel_len = decode_encp(
+            v3_params, codes, jnp.asarray([N_NEW_TOKENS]),
+            phones, text_lengths, refer_spec, jnp.asarray([spec_t]),
+        )
+        feats = np.asarray(fea_todo)
+        t2 = time.perf_counter()
+        feats = np.pad(feats, ((0, 0), (OVERLAP, 0), (0, 0)))
+        chunks = []
+        pos = 0
+        padding_len = 0
+        while True:
+            if pos > 0:
+                pos -= OVERLAP
+            c = feats[:, pos : pos + chunk_len]
+            pos += chunk_len
+            if c.shape[1] == 0:
+                break
+            padding_len = chunk_len - c.shape[1]
+            if padding_len:
+                c = np.pad(c, ((0, 0), (0, padding_len), (0, 0)))
+            chunks.append(c)
+        bs = len(chunks)
+        bs_pad = 1 << max(0, (bs - 1).bit_length())
+        fc = np.concatenate(chunks, axis=0)
+        if bs_pad > bs:
+            fc = np.pad(fc, ((0, bs_pad - bs), (0, 0), (0, 0)))
+        fea_ref = np.zeros((bs_pad, T_REF, fea_dim), np.float32)
+        mel2 = np.zeros((bs_pad, T_REF, v3_cfg.cfm_mel_channels), np.float32)
+        fea = np.concatenate([fea_ref, fc], axis=1)
+        _, sub = jax.random.split(k)
+        mel_out = cfm(dit_params, jnp.asarray(fea), jnp.full((bs_pad,), T_CHUNK, jnp.int32), jnp.asarray(mel2), sub)
+        mel_out = np.asarray(mel_out)[:bs, T_REF:]
+        t3 = time.perf_counter()
+        mel_long = mel_out.reshape(1, bs * chunk_len, -1)
+        wav = np.asarray(voc(folded["arrays"], jnp.asarray(mel_long)))[0, :, 0]
+        t4 = time.perf_counter()
+        frag = chunk_len * upsample
+        fragments = [wav[i * frag : (i + 1) * frag] for i in range(bs)]
+        audio = sola_stitch(fragments, OVERLAP * upsample)
+        audio = audio[OVERLAP * upsample : len(audio) - padding_len * upsample or None]
+        t5 = time.perf_counter()
+        if timing is not None:
+            timing.append({"s1": t1 - t0, "encp": t2 - t1, "cfm": t3 - t2, "voc": t4 - t3, "sola": t5 - t4})
+        return audio
+
+    def bench(fn, n_iter=6):
+        out = fn(jax.random.PRNGKey(1))  # warmup/compile
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        outs = [fn(jax.random.PRNGKey(2 + i)) for i in range(n_iter)]
+        jax.block_until_ready(outs)
+        return (time.perf_counter() - t0) / n_iter, out
+
+    timing: list = []
+    dt_par, audio = bench(lambda k: synth_parallel(k, timing))
+    audio_s_par = len(audio) / 24000.0
+    rtf_par = dt_par / audio_s_par
+    dt_serial, wav = bench(synth)
     audio_s = wav.shape[1] / 24000.0
-    rtf = dt / audio_s
+    rtf_serial = dt_serial / audio_s
+
+    phases = {k: round(sum(t[k] for t in timing) / len(timing), 4) for k in timing[0]}
     print(
         json.dumps(
             {
                 "metric": "zero_shot_rtf_v3_1chip",
-                "value": round(rtf, 5),
+                "value": round(rtf_par, 5),
                 "unit": "s_compute_per_s_audio",
-                "vs_baseline": round(BASELINE_RTF / rtf, 3),
-                "audio_s": round(audio_s, 2),
+                "vs_baseline": round(BASELINE_RTF / rtf_par, 3),
+                "audio_s": round(audio_s_par, 2),
                 "sample_steps": SAMPLE_STEPS,
+                "serial_rtf": round(rtf_serial, 5),
+                "phases_s": phases,
             }
         )
     )
