@@ -531,7 +531,9 @@ def separate(
     if not cfg.stereo and x.shape[0] > 1:
         x = x.mean(axis=0, keepdims=True)
 
-    fwd = jax.jit(lambda w: model.apply({"params": params}, w))
+    # params as a jit argument (closure arrays embed into the compiled HLO)
+    _fwd = jax.jit(lambda p, w: model.apply({"params": p}, w))
+    fwd = lambda w: _fwd(params, w)
     est = demix(
         fwd,
         x,

@@ -578,7 +578,8 @@ def separate(
     X_spec, high_end, high_end_h = wave_to_combined_spec(x, mp)
     aggressiveness = (mp["band"][1]["crop_stop"], agg / 100.0)
 
-    fn = jax.jit(lambda w: net(p, w, n_fft, aggressiveness))
+    _fn = jax.jit(lambda pp, w: net(pp, w, n_fft, aggressiveness))
+    fn = lambda w: _fn(p, w)
     pred, X_mag, X_phase = run_masking(fn, X_spec, offset=offset, tta=tta)
 
     y_spec = pred * X_phase  # what the net isolates

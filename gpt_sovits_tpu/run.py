@@ -127,7 +127,8 @@ def run_prepare(
         import jax.numpy as jnp
 
         model, params, _ = load_s2(s2, version if version in ("v1", "v2") else None)
-        ext = jax.jit(lambda t: model.apply(params, t, method=type(model).extract_latent))
+        _ext = jax.jit(lambda pp, t: model.apply(pp, t, method=type(model).extract_latent))
+        ext = lambda t: _ext(params, t)
         extract.prepare_semantic(list_file, exp_dir, extract_latent_fn=lambda ssl: np.asarray(ext(jnp.asarray(ssl[None])))[0])
         extract.merge_semantic_shards(exp_dir, 1)
 
@@ -137,7 +138,8 @@ def run_prepare(
         from gpt_sovits_tpu.models.eres2net import kaldi_fbank
 
         sv_model, sv_params = load_sv(sv)
-        fwd = jax.jit(lambda w: sv_model.apply(sv_params, kaldi_fbank(w)))
+        _svf = jax.jit(lambda pp, w: sv_model.apply(pp, kaldi_fbank(w)))
+        fwd = lambda w: _svf(sv_params, w)
         extract.prepare_sv(list_file, exp_dir, sv_fn=lambda w: np.asarray(fwd(jnp.asarray(w[None])))[0])
     log("prepare done:", exp_dir)
 

@@ -202,6 +202,7 @@ def main():
 
     timing: list = []
     dt_par, audio = bench(lambda k: synth_parallel(k, timing))
+    timing = timing[1:]  # drop the warmup entry (includes compile)
     audio_s_par = len(audio) / 24000.0
     rtf_par = dt_par / audio_s_par
     dt_serial, wav = bench(synth)

@@ -45,14 +45,16 @@ def _install_stubs():
         mod.RotaryEmbedding = RotaryEmbedding
         sys.modules["rotary_embedding_torch"] = mod
 
+    # another test file (e.g. test_uvr5_vr) may have installed a bare
+    # librosa stub already: always (re)attach the filters submodule
     if "librosa" not in sys.modules:
+        sys.modules["librosa"] = types.ModuleType("librosa")
+    if not hasattr(sys.modules["librosa"], "filters"):
         from gpt_sovits_tpu.dsp.mel import mel_filterbank
 
-        lb = types.ModuleType("librosa")
         lbf = types.ModuleType("librosa.filters")
         lbf.mel = lambda *, sr, n_fft, n_mels, fmin=0.0, fmax=None: mel_filterbank(sr, n_fft, n_mels, fmin, fmax)
-        lb.filters = lbf
-        sys.modules["librosa"] = lb
+        sys.modules["librosa"].filters = lbf
         sys.modules["librosa.filters"] = lbf
 
     if UVR5 not in sys.path:
