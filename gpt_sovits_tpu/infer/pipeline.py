@@ -81,6 +81,26 @@ def _next_bucket(n: int, buckets=(32, 64, 128, 256, 512)) -> int:
     return ((n + 127) // 128) * 128
 
 
+@functools.partial(jax.jit, static_argnames=("bs", "bs_pad", "overlap", "chunk_len"))
+def _v3_assemble_chunks(feats, fea_ref0, *, bs, bs_pad, overlap, chunk_len):
+    """Front-pad the conditioning stream by the SOLA overlap, slice `bs`
+    overlapping `chunk_len` windows, pad the batch to the `bs_pad` bucket,
+    and prepend the reference window to every row — all on device
+    (TTS.py:1553-1575 expressed as one XLA program)."""
+    stride = chunk_len - overlap
+    f = jnp.pad(feats[0], ((overlap, 0), (0, 0)))
+    need = (bs - 1) * stride + chunk_len
+    if need > f.shape[0]:
+        f = jnp.pad(f, ((0, need - f.shape[0]), (0, 0)))
+    chunks = jnp.stack(
+        [jax.lax.dynamic_slice_in_dim(f, i * stride, chunk_len, axis=0) for i in range(bs)]
+    )
+    if bs_pad > bs:
+        chunks = jnp.pad(chunks, ((0, bs_pad - bs), (0, 0), (0, 0)))
+    ref = jnp.repeat(fea_ref0, bs_pad, axis=0)
+    return jnp.concatenate([ref, chunks], axis=1)
+
+
 @dataclasses.dataclass
 class RefCache:
     """Cached per-reference features (prompt cache, TTS.py:443-453)."""
@@ -736,7 +756,9 @@ class TTSPipeline:
             mel2 = mel2[:, -v3.t_ref :]
             fea_ref = fea_ref[:, -v3.t_ref :]
             t_min = v3.t_ref
-        self._fea_ref_cache = (np.asarray(fea_ref), ge, np.asarray(mel2), t_min)
+        # cached as DEVICE arrays: both v3 paths feed them straight into
+        # jitted calls; host copies would round-trip per request
+        self._fea_ref_cache = (fea_ref, ge, mel2, t_min)
         return self._fea_ref_cache
 
     def _synthesize_v3_batch(
@@ -764,29 +786,32 @@ class TTSPipeline:
                 speed=speed,
             )
             total = int(mel_len[0])
-            fea_todo = np.asarray(fea_todo)[:, :total]
-            fea_ref, mel2 = fea_ref0.copy(), mel2_0.copy()
+            # rolling-reference loop with DEVICE-resident glue: the chunk
+            # slicing/concat/pad are eager jnp ops so conditioning features
+            # and mel never round-trip through the host between stages
+            fea_todo = fea_todo[:, :total]
+            fea_ref, mel2 = fea_ref0, mel2_0
             mel_chunks = []
             idx = 0
             key2 = key
             while idx < total:
                 ln = min(chunk_len, total - idx)
                 chunk = fea_todo[:, idx : idx + ln]
-                fea = np.concatenate([fea_ref, chunk], axis=1)
+                fea = jnp.concatenate([fea_ref, chunk], axis=1)
                 pad = v3.t_chunk - fea.shape[1]
                 if pad > 0:
-                    fea = np.pad(fea, ((0, 0), (0, pad), (0, 0)))
+                    fea = jnp.pad(fea, ((0, 0), (0, pad), (0, 0)))
                 key2, sub = jax.random.split(key2)
                 mel_out = self._cfm_infer(
-                    self._dit_params, jnp.asarray(fea), jnp.asarray([t_min + ln]), jnp.asarray(mel2), sub,
+                    self._dit_params, fea, jnp.asarray([t_min + ln]), mel2, sub,
                     n_steps=int(sample_steps or v3.sample_steps),
                 )
-                mel_out = np.asarray(mel_out)[:, t_min : t_min + ln]
+                mel_out = mel_out[:, t_min : t_min + ln]
                 mel_chunks.append(mel_out)
-                mel2 = mel_out[:, -t_min:] if ln >= t_min else np.concatenate([mel2, mel_out], 1)[:, -t_min:]
-                fea_ref = chunk[:, -t_min:] if ln >= t_min else np.concatenate([fea_ref, chunk], 1)[:, -t_min:]
+                mel2 = mel_out[:, -t_min:] if ln >= t_min else jnp.concatenate([mel2, mel_out], 1)[:, -t_min:]
+                fea_ref = chunk[:, -t_min:] if ln >= t_min else jnp.concatenate([fea_ref, chunk], 1)[:, -t_min:]
                 idx += ln
-            mel_full = denorm_spec(jnp.asarray(np.concatenate(mel_chunks, axis=1)))
+            mel_full = denorm_spec(jnp.concatenate(mel_chunks, axis=1))
             wav = np.asarray(self._vocoder_fwd(self._voc_call_params, mel_full))[0, :, 0]
             wav = wav[: total * upsample]
             if v3.sr_model is not None and v3.sr_params is not None and super_sampling is not False:
@@ -822,7 +847,8 @@ class TTSPipeline:
         chunk_len = v3.t_chunk - t_min
         overlap = v3.overlapped_len
 
-        # per-segment conditioning features (cheap relative to CFM)
+        # per-segment conditioning features (cheap relative to CFM) —
+        # kept on DEVICE: only the final waveform leaves the chip
         feat_list, feat_lens = [], []
         for i, seg in enumerate(batch):
             n = int(lengths[i])
@@ -835,48 +861,33 @@ class TTSPipeline:
                 speed=speed,
             )
             total = int(mel_len[0])
-            feat_list.append(np.asarray(fea)[:, :total])
+            feat_list.append(fea[:, :total])
             feat_lens.append(total)
 
         # one stream, front-padded by the SOLA overlap, cut into overlapping
-        # chunks (TTS.py:1553-1575)
-        feats = np.concatenate(feat_list, axis=1)
-        feats = np.pad(feats, ((0, 0), (overlap, 0), (0, 0)))
-        chunks = []
-        pos = 0
-        padding_len = 0
-        while True:
-            if pos > 0:
-                pos -= overlap
-            chunk = feats[:, pos : pos + chunk_len]
-            pos += chunk_len
-            if chunk.shape[1] == 0:
-                break
-            padding_len = chunk_len - chunk.shape[1]
-            if padding_len:
-                chunk = np.pad(chunk, ((0, 0), (0, padding_len), (0, 0)))
-            chunks.append(chunk)
-
-        bs = len(chunks)
+        # chunks (TTS.py:1553-1575) — assembled in ONE jitted program
+        feats = feat_list[0] if len(feat_list) == 1 else jnp.concatenate(feat_list, axis=1)
+        total_frames = sum(feat_lens)
+        stride = chunk_len - overlap
+        bs = max(1, -(-(total_frames + overlap - chunk_len) // stride) + 1)
+        padding_len = (bs - 1) * stride + chunk_len - (total_frames + overlap)
         bs_pad = 1 << max(0, (bs - 1).bit_length())  # bucket the batch dim
-        fea_chunks = np.concatenate(chunks, axis=0)
-        if bs_pad > bs:
-            fea_chunks = np.pad(fea_chunks, ((0, bs_pad - bs), (0, 0), (0, 0)))
-        fea = np.concatenate([np.repeat(fea_ref0, bs_pad, axis=0), fea_chunks], axis=1)
-        mel2 = np.repeat(mel2_0, bs_pad, axis=0)
+        fea = _v3_assemble_chunks(
+            feats, fea_ref0, bs=bs, bs_pad=bs_pad, overlap=overlap, chunk_len=chunk_len
+        )
+        mel2 = jnp.repeat(mel2_0, bs_pad, axis=0)
         key, sub = jax.random.split(key)
         mel_out = self._cfm_infer(
-            self._dit_params, jnp.asarray(fea), jnp.full((bs_pad,), t_min + chunk_len, jnp.int32),
-            jnp.asarray(mel2), sub, n_steps=int(sample_steps or v3.sample_steps),
+            self._dit_params, fea, jnp.full((bs_pad,), t_min + chunk_len, jnp.int32),
+            mel2, sub, n_steps=int(sample_steps or v3.sample_steps),
         )
-        mel_out = np.asarray(mel_out)[:bs, t_min:]  # (bs, chunk_len, M)
-        mel_long = mel_out.reshape(1, bs * chunk_len, -1)
-        # pad the vocoder input back to the bucket with the last frame held
-        # (keeps the vocoder compile cache bounded without contaminating the
-        # tail of the last real chunk with arbitrary mel)
+        # (bs_pad, t_min+chunk_len, M) -> one long mel; bucket rows beyond
+        # bs hold the last real frame (mode="edge") so the vocoder compile
+        # cache stays bounded without contaminating the last real chunk
+        mel_long = mel_out[:bs, t_min:].reshape(1, bs * chunk_len, -1)
         if bs_pad > bs:
-            mel_long = np.pad(mel_long, ((0, 0), (0, (bs_pad - bs) * chunk_len), (0, 0)), mode="edge")
-        wav = np.asarray(self._vocoder_fwd(self._voc_call_params, denorm_spec(jnp.asarray(mel_long))))[0, :, 0]
+            mel_long = jnp.pad(mel_long, ((0, 0), (0, (bs_pad - bs) * chunk_len), (0, 0)), mode="edge")
+        wav = np.asarray(self._vocoder_fwd(self._voc_call_params, denorm_spec(mel_long)))[0, :, 0]
         wav = wav[: bs * chunk_len * upsample]
 
         frag_len = chunk_len * upsample

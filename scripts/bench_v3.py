@@ -141,6 +141,27 @@ def main():
     OVERLAP = 12
     upsample = 256  # 24000 * 256 / 24000 (mel hop) -> samples per frame
 
+    # DEVICE-RESIDENT batched path: the chunk/batch assembly and the
+    # mel->vocoder handoff are jitted so conditioning features and mel
+    # never round-trip through the host (over the tunnel — and on any
+    # host — those transfers dominate; only the final waveform leaves)
+    @functools.partial(jax.jit, static_argnames=("bs",))
+    def chunk_batch(fea_todo, bs):
+        stride = chunk_len - OVERLAP
+        f = jnp.pad(fea_todo[0], ((OVERLAP, 0), (0, 0)))
+        need = (bs - 1) * stride + chunk_len
+        f = jnp.pad(f, ((0, max(0, need - f.shape[0])), (0, 0)))
+        chunks = jnp.stack([jax.lax.dynamic_slice_in_dim(f, i * stride, chunk_len, 0) for i in range(bs)])
+        fea_ref = jnp.zeros((bs, T_REF, fea_dim), chunks.dtype)
+        return jnp.concatenate([fea_ref, chunks], axis=1)
+
+    voc2 = jax.jit(
+        lambda arrs, mel_out: bigvgan_apply(
+            {"arrays": arrs, **voc_static},
+            mel_out[:, T_REF:].reshape(1, -1, mel_out.shape[-1]).astype(dtype),
+        ).astype(jnp.float32)
+    )
+
     def synth_parallel(k, timing=None):
         t0 = time.perf_counter()
         out = s1_step(k)
@@ -151,37 +172,19 @@ def main():
             v3_params, codes, jnp.asarray([N_NEW_TOKENS]),
             phones, text_lengths, refer_spec, jnp.asarray([spec_t]),
         )
-        feats = np.asarray(fea_todo)
+        total = fea_todo.shape[1]  # static here; pipeline slices mel_len
+        stride = chunk_len - OVERLAP
+        bs = max(1, -(-(total + OVERLAP - chunk_len) // stride) + 1)
+        padding_len = (bs - 1) * stride + chunk_len - (total + OVERLAP)
+        fea = chunk_batch(fea_todo, bs)
+        jax.block_until_ready(fea)
         t2 = time.perf_counter()
-        feats = np.pad(feats, ((0, 0), (OVERLAP, 0), (0, 0)))
-        chunks = []
-        pos = 0
-        padding_len = 0
-        while True:
-            if pos > 0:
-                pos -= OVERLAP
-            c = feats[:, pos : pos + chunk_len]
-            pos += chunk_len
-            if c.shape[1] == 0:
-                break
-            padding_len = chunk_len - c.shape[1]
-            if padding_len:
-                c = np.pad(c, ((0, 0), (0, padding_len), (0, 0)))
-            chunks.append(c)
-        bs = len(chunks)
-        bs_pad = 1 << max(0, (bs - 1).bit_length())
-        fc = np.concatenate(chunks, axis=0)
-        if bs_pad > bs:
-            fc = np.pad(fc, ((0, bs_pad - bs), (0, 0), (0, 0)))
-        fea_ref = np.zeros((bs_pad, T_REF, fea_dim), np.float32)
-        mel2 = np.zeros((bs_pad, T_REF, v3_cfg.cfm_mel_channels), np.float32)
-        fea = np.concatenate([fea_ref, fc], axis=1)
+        mel2 = jnp.zeros((bs, T_REF, v3_cfg.cfm_mel_channels))
         _, sub = jax.random.split(k)
-        mel_out = cfm(dit_params, jnp.asarray(fea), jnp.full((bs_pad,), T_CHUNK, jnp.int32), jnp.asarray(mel2), sub)
-        mel_out = np.asarray(mel_out)[:bs, T_REF:]
+        mel_out = cfm(dit_params, fea, jnp.full((bs,), T_CHUNK, jnp.int32), mel2, sub)
+        jax.block_until_ready(mel_out)
         t3 = time.perf_counter()
-        mel_long = mel_out.reshape(1, bs * chunk_len, -1)
-        wav = np.asarray(voc(folded["arrays"], jnp.asarray(mel_long)))[0, :, 0]
+        wav = np.asarray(voc2(folded["arrays"], mel_out))[0, :, 0]
         t4 = time.perf_counter()
         frag = chunk_len * upsample
         fragments = [wav[i * frag : (i + 1) * frag] for i in range(bs)]
@@ -189,7 +192,7 @@ def main():
         audio = audio[OVERLAP * upsample : len(audio) - padding_len * upsample or None]
         t5 = time.perf_counter()
         if timing is not None:
-            timing.append({"s1": t1 - t0, "encp": t2 - t1, "cfm": t3 - t2, "voc": t4 - t3, "sola": t5 - t4})
+            timing.append({"s1": t1 - t0, "encp_chunk": t2 - t1, "cfm": t3 - t2, "voc": t4 - t3, "sola": t5 - t4})
         return audio
 
     def bench(fn, n_iter=6):
