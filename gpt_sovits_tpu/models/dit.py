@@ -11,6 +11,7 @@ All tensors feature-last (B, T, C).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Optional
 
@@ -92,10 +93,13 @@ class GRN(nn.Module):
     dim: int
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, mask=None):
         gamma = self.param("gamma", nn.initializers.zeros, (1, 1, self.dim))
         beta = self.param("beta", nn.initializers.zeros, (1, 1, self.dim))
-        gx = jnp.sqrt(jnp.sum(x * x, axis=1, keepdims=True))  # L2 over time
+        sq = x * x
+        if mask is not None:  # L2 over REAL time frames only (pad-exact)
+            sq = jnp.where(mask[..., None], sq, 0.0)
+        gx = jnp.sqrt(jnp.sum(sq, axis=1, keepdims=True))  # L2 over time
         nx = gx / (jnp.mean(gx, axis=-1, keepdims=True) + 1e-6)
         return gamma * (x * nx) + beta + x
 
@@ -128,15 +132,22 @@ class ConvNeXtV2Block(nn.Module):
     intermediate_dim: int
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, mask=None):
+        # mask: (B, T) bool — pad frames re-zeroed after the block so the
+        # depthwise conv's window at real-edge positions sees exactly the
+        # zeros 'same' padding would supply, and GRN's time-axis norms are
+        # untouched by pads; makes time padding numerically exact
         residual = x
         x = DepthwiseConv1d(self.dim, 7, name="dwconv")(x)
         x = nn.LayerNorm(epsilon=1e-6, name="norm")(x)
         x = nn.Dense(self.intermediate_dim, name="pwconv1")(x)
         x = nn.gelu(x, approximate=False)
-        x = GRN(self.intermediate_dim, name="grn")(x)
+        x = GRN(self.intermediate_dim, name="grn")(x, mask=mask)
         x = nn.Dense(self.dim, name="pwconv2")(x)
-        return residual + x
+        x = residual + x
+        if mask is not None:
+            x = jnp.where(mask[..., None], x, 0.0)
+        return x
 
 
 class TextEmbedding(nn.Module):
@@ -145,7 +156,7 @@ class TextEmbedding(nn.Module):
     max_pos: int = 4096
 
     @nn.compact
-    def __call__(self, text, drop_text: bool = False):
+    def __call__(self, text, drop_text: bool = False, mask=None):
         """text: (B, T, text_dim) conditioning features."""
         if drop_text:
             text = jnp.zeros_like(text)
@@ -154,8 +165,10 @@ class TextEmbedding(nn.Module):
             jnp.minimum(jnp.arange(t), self.max_pos - 1)
         ]
         text = text + pos[None]
+        if mask is not None:  # keep pad frames zero (position emb is nonzero)
+            text = jnp.where(mask[..., None], text, 0.0)
         for i in range(self.conv_layers):
-            text = ConvNeXtV2Block(self.text_dim, self.text_dim * 2, name=f"block_{i}")(text)
+            text = ConvNeXtV2Block(self.text_dim, self.text_dim * 2, name=f"block_{i}")(text, mask=mask)
         return text
 
 
@@ -202,10 +215,12 @@ class ConvPositionEmbedding(nn.Module):
     groups: int = 16
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, mask=None):
         k = self.kernel_size
         x = GroupedConv1d(self.dim, k, self.groups, name="conv1")(x)
         x = _mish(x)
+        if mask is not None:  # conv2 must see 'same'-pad zeros at pads
+            x = jnp.where(mask[..., None], x, 0.0)
         x = GroupedConv1d(self.dim, k, self.groups, name="conv2")(x)
         return _mish(x)
 
@@ -214,11 +229,16 @@ class InputEmbedding(nn.Module):
     out_dim: int
 
     @nn.compact
-    def __call__(self, x, cond, text_embed, drop_audio_cond: bool = False):
+    def __call__(self, x, cond, text_embed, drop_audio_cond: bool = False, mask=None):
         if drop_audio_cond:
             cond = jnp.zeros_like(cond)
         h = nn.Dense(self.out_dim, name="proj")(jnp.concatenate([x, cond, text_embed], axis=-1))
-        return ConvPositionEmbedding(self.out_dim, name="conv_pos_embed")(h) + h
+        if mask is not None:  # zero pads so the grouped convs see 'same'-pad zeros
+            h = jnp.where(mask[..., None], h, 0.0)
+        out = ConvPositionEmbedding(self.out_dim, name="conv_pos_embed")(h, mask=mask) + h
+        if mask is not None:
+            out = jnp.where(mask[..., None], out, 0.0)
+        return out
 
 
 class DiTBlock(nn.Module):
@@ -243,11 +263,37 @@ class DiTBlock(nn.Module):
         qh = q.reshape(b, tl, c.heads, c.dim_head)
         kh = k.reshape(b, tl, c.heads, c.dim_head)
         vh = v.reshape(b, tl, c.heads, c.dim_head)
-        scores = jnp.einsum("bqhd,bkhd->bhqk", qh, kh, preferred_element_type=jnp.float32) / np.sqrt(c.dim_head)
-        if mask is not None:
-            scores = jnp.where(mask[:, None, None, :], scores, -jnp.inf)
-        probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-        attn = jnp.einsum("bhqk,bkhd->bqhd", probs, vh).reshape(b, tl, inner)
+        use_flash = (
+            jax.default_backend() != "cpu"
+            and tl % 512 == 0
+            and not os.environ.get("GPT_SOVITS_NO_FLASH")
+        )
+        if use_flash:
+            # Pallas flash attention: the einsum path materializes the
+            # (B, H, T, T) score/prob tensors in HBM — at T~1k that HBM
+            # round-trip, x22 layers x32 Euler steps, dominates the CFM's
+            # runtime. The flash kernel keeps the softmax streaming in
+            # VMEM; padding frames are fenced with segment ids.
+            from jax.experimental.pallas.ops.tpu.flash_attention import (
+                BlockSizes, SegmentIds, flash_attention,
+            )
+
+            seg = None
+            if mask is not None:
+                ids = mask.astype(jnp.int32)  # real=1, pad=0: pads only see pads
+                seg = SegmentIds(q=ids, kv=ids)
+            bs = BlockSizes(block_q=512, block_k_major=512, block_k=512, block_b=1)
+            attn = flash_attention(
+                qh.transpose(0, 2, 1, 3), kh.transpose(0, 2, 1, 3), vh.transpose(0, 2, 1, 3),
+                segment_ids=seg, sm_scale=1.0 / float(np.sqrt(c.dim_head)), block_sizes=bs,
+            )
+            attn = attn.transpose(0, 2, 1, 3).reshape(b, tl, inner)
+        else:
+            scores = jnp.einsum("bqhd,bkhd->bhqk", qh, kh, preferred_element_type=jnp.float32) / np.sqrt(c.dim_head)
+            if mask is not None:
+                scores = jnp.where(mask[:, None, None, :], scores, -jnp.inf)
+            probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+            attn = jnp.einsum("bhqk,bkhd->bqhd", probs, vh).reshape(b, tl, inner)
         attn = nn.Dense(c.dim, name="to_out")(attn)
         if mask is not None:
             attn = jnp.where(mask[..., None], attn, 0.0)
@@ -290,9 +336,11 @@ class DiT(nn.Module):
             text_embed = text_embed_cache
         else:
             text_embed = TextEmbedding(c.text_dim, c.conv_layers, c.max_pos, name="text_embed")(
-                text, drop_text=drop_text
+                text, drop_text=drop_text, mask=mask
             )
-        h = InputEmbedding(c.dim, name="input_embed")(x, cond, text_embed, drop_audio_cond=drop_audio_cond)
+        h = InputEmbedding(c.dim, name="input_embed")(
+            x, cond, text_embed, drop_audio_cond=drop_audio_cond, mask=mask
+        )
         for i in range(c.depth):
             h = DiTBlock(c, name=f"block_{i}")(h, t_emb, mask)
         mod = nn.Dense(2 * c.dim, name="norm_out_linear")(nn.silu(t_emb))

@@ -385,6 +385,7 @@ def cfm_inference(
     n_steps: int = 32,
     temperature: float = 1.0,
     cfg_rate: float = 0.0,
+    pad_t_to: int | None = None,  # None: 512 on accelerators, off on CPU
 ):
     """Euler sampler (models.py:1027-1084) as one lax.scan over a pure
     dit.apply, with the text conditioner computed once (the reference's
@@ -398,6 +399,20 @@ def cfm_inference(
     # must not change the sampled trajectory, only its rounding
     x = (jax.random.normal(rng, (b, t, mel_dim)) * temperature).astype(mu.dtype)
     prompt_x = jnp.zeros((b, t, mel_dim), mu.dtype).at[:, :prompt_len].set(prompt)
+    t_real = t
+    # TPU: pad T to a 512 multiple — real frames are numerically unchanged
+    # (pad frames are masked in attention and equal 'same'-conv zero
+    # padding elsewhere), the MXU tiles cleanly, and the DiT's attention
+    # can take the Pallas flash path (block size 512). The reference's
+    # T_chunk=934 is an awkward tile size otherwise.
+    if pad_t_to is None:
+        pad_t_to = 512 if jax.default_backend() != "cpu" else 0
+    if pad_t_to and t % pad_t_to:
+        t_pad = -t % pad_t_to
+        x = jnp.pad(x, ((0, 0), (0, t_pad), (0, 0)))
+        prompt_x = jnp.pad(prompt_x, ((0, 0), (0, t_pad), (0, 0)))
+        mu = jnp.pad(mu, ((0, 0), (0, t_pad), (0, 0)))
+        t = t + t_pad
     region = jnp.arange(t)[None, :, None] < prompt_len
     x = jnp.where(region, 0.0, x)
     mask = jnp.arange(t)[None, :] < x_lens[:, None]
@@ -429,4 +444,4 @@ def cfm_inference(
         return x, None
 
     x, _ = jax.lax.scan(step, x, jnp.arange(1, n_steps))
-    return x
+    return x[:, :t_real]

@@ -119,17 +119,25 @@ def fold_bigvgan_params(params: dict, cfg, dtype=jnp.float32) -> dict:
 def _aa_snake(x, alpha, beta, r: int, ch: int, logscale: bool):
     """Anti-aliased snakeβ on a folded (B, Q, r*ch) activation: unfold
     (free reshape), run the exact up x2 -> snakeβ -> down x2 composition,
-    refold. The snake's sin/exp evaluate in f32 (VPU-native) and the
-    result is cast back, so bf16 serving only rounds at the boundary."""
-    from gpt_sovits_tpu.models.bigvgan import downsample1d, snake_beta, upsample1d
-
+    refold. On TPU the fused Pallas kernel (ops/pallas/snake_aa.py) does
+    the whole composition in VMEM — the XLA path materializes f32
+    intermediates at 2x temporal resolution in HBM, which dominates the
+    vocoder's runtime at 10^5-10^6 samples. On CPU the XLA composition
+    runs (snake in f32 on the VPU, cast at the boundary)."""
     b, q, rc = x.shape
     if r > 1:
         x = x.reshape(b, q * r, ch)
-    dt = x.dtype
-    h = upsample1d(x.astype(jnp.float32), 2)
-    h = snake_beta(h, alpha.astype(jnp.float32), beta.astype(jnp.float32), logscale)
-    h = downsample1d(h, 2).astype(dt)
+    if jax.default_backend() != "cpu":
+        from gpt_sovits_tpu.ops.pallas.snake_aa import snake_aa_fused
+
+        h = snake_aa_fused(x, alpha, beta, logscale=logscale)
+    else:
+        from gpt_sovits_tpu.models.bigvgan import downsample1d, snake_beta, upsample1d
+
+        dt = x.dtype
+        h = upsample1d(x.astype(jnp.float32), 2)
+        h = snake_beta(h, alpha.astype(jnp.float32), beta.astype(jnp.float32), logscale)
+        h = downsample1d(h, 2).astype(dt)
     if r > 1:
         h = h.reshape(b, q, rc)
     return h

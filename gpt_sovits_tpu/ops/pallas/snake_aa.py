@@ -109,7 +109,10 @@ def snake_aa_fused(
     b = jnp.exp(beta) if logscale else beta
 
     tile_t = min(tile_t, max(8, t))
-    tile_c = min(tile_c, c if c % 128 == 0 else c)
+    # channel tiles must align to the 128-lane tiling (Mosaic rejects
+    # unaligned HBM slices, e.g. the folded vocoder's 96-lane stages);
+    # channels pad up to a lane multiple instead
+    tile_c = min(tile_c, -(-c // 128) * 128)
     t_pad = -t % tile_t
     c_pad = -c % tile_c
     xp = jnp.pad(x, ((0, 0), (_HALO, _HALO + t_pad), (0, c_pad)), mode="edge")
@@ -130,7 +133,7 @@ def snake_aa_fused(
         ],
         out_specs=pl.BlockSpec((1, tile_t, tile_c), lambda bi, ti, ci: (bi, ti, ci), memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((tile_t + 2 * _HALO, tile_c), jnp.float32),
+            pltpu.VMEM((tile_t + 2 * _HALO, tile_c), x.dtype),  # DMA src/dst dtypes must match
             pltpu.SemaphoreType.DMA,
         ],
     )(xp, ab)

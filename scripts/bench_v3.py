@@ -131,7 +131,7 @@ def main():
             fea_ref = chunk[:, -T_REF:]
             idx += ln
         mel_full = jnp.concatenate(mel_chunks, axis=1)
-        return voc(folded["arrays"], mel_full)
+        return np.asarray(voc(folded["arrays"], mel_full))
 
     # ---- batched parallel path (reference parallel_infer default,
     # TTS.py:1496-1635): overlapped chunks -> ONE batched CFM call ->
@@ -162,7 +162,7 @@ def main():
         ).astype(jnp.float32)
     )
 
-    def synth_parallel(k, timing=None):
+    def synth_parallel(k, timing=None, n_steps=SAMPLE_STEPS):
         t0 = time.perf_counter()
         out = s1_step(k)
         codes = out.tokens[:, :N_NEW_TOKENS]
@@ -181,7 +181,7 @@ def main():
         t2 = time.perf_counter()
         mel2 = jnp.zeros((bs, T_REF, v3_cfg.cfm_mel_channels))
         _, sub = jax.random.split(k)
-        mel_out = cfm(dit_params, fea, jnp.full((bs,), T_CHUNK, jnp.int32), mel2, sub)
+        mel_out = cfm(dit_params, fea, jnp.full((bs,), T_CHUNK, jnp.int32), mel2, sub, n_steps=n_steps)
         jax.block_until_ready(mel_out)
         t3 = time.perf_counter()
         wav = np.asarray(voc2(folded["arrays"], mel_out))[0, :, 0]
@@ -199,8 +199,11 @@ def main():
         out = fn(jax.random.PRNGKey(1))  # warmup/compile
         jax.block_until_ready(out)
         t0 = time.perf_counter()
-        outs = [fn(jax.random.PRNGKey(2 + i)) for i in range(n_iter)]
-        jax.block_until_ready(outs)
+        for i in range(n_iter):
+            # block every iteration: a single trailing sync under-reports
+            # on the remote-device tunnel (queued work escapes accounting)
+            out = fn(jax.random.PRNGKey(2 + i))
+            jax.block_until_ready(out)
         return (time.perf_counter() - t0) / n_iter, out
 
     timing: list = []
@@ -211,6 +214,10 @@ def main():
     dt_serial, wav = bench(synth)
     audio_s = wav.shape[1] / 24000.0
     rtf_serial = dt_serial / audio_s
+    assert np.isfinite(audio).all() and np.isfinite(np.asarray(wav)).all()
+    # low-latency quality setting (reference sample_steps=8 option)
+    dt8, audio8 = bench(lambda k: synth_parallel(k, n_steps=8))
+    rtf_steps8 = dt8 / (len(audio8) / 24000.0)
 
     phases = {k: round(sum(t[k] for t in timing) / len(timing), 4) for k in timing[0]}
     print(
@@ -223,6 +230,7 @@ def main():
                 "audio_s": round(audio_s_par, 2),
                 "sample_steps": SAMPLE_STEPS,
                 "serial_rtf": round(rtf_serial, 5),
+                "rtf_steps8": round(rtf_steps8, 5),
                 "phases_s": phases,
             }
         )

@@ -192,3 +192,25 @@ def test_cfm_inference_bf16_close_to_f32():
     # two trajectories start together; require high agreement
     denom = np.abs(a).mean() + 1e-6
     assert np.abs(a - bb).mean() / denom < 0.1
+
+
+def test_cfm_inference_time_padding_exact():
+    """Padding T to a tile multiple (the TPU serving path) must be
+    numerically exact for real frames: pad frames are masked in attention
+    and equal 'same'-conv zero padding elsewhere."""
+    dit = DiT(DIT_TINY)
+    b, t, tp = 2, 21, 6
+    key = jax.random.PRNGKey(0)
+    mu = jax.random.normal(key, (b, t, 32))
+    prompt = jax.random.normal(jax.random.PRNGKey(1), (b, tp, 20)) * 0.1
+    x = jnp.zeros((b, t, 20))
+    params = dit.init(
+        jax.random.PRNGKey(2), x, x, jnp.zeros((b,)), jnp.zeros((b,)), mu, jnp.ones((b, t), bool)
+    )
+    x_lens = jnp.asarray([t, t - 4])
+    base = cfm_inference(dit, params, mu, x_lens, prompt, jax.random.PRNGKey(3), n_steps=3, pad_t_to=0)
+    padded = cfm_inference(dit, params, mu, x_lens, prompt, jax.random.PRNGKey(3), n_steps=3, pad_t_to=8)
+    a, p = np.asarray(base), np.asarray(padded)
+    assert p.shape == a.shape
+    np.testing.assert_allclose(a[0], p[0], rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(a[1, : t - 4], p[1, : t - 4], rtol=1e-5, atol=1e-5)
