@@ -87,30 +87,30 @@ def main():
     # reference's is_half fp16 default)
     folded_dec = fold_generator_params(s2_params["params"]["dec"], s2_cfg, dtype=dtype)
 
+    # params ride as jit ARGUMENTS (closure arrays serialize into the HLO)
     @jax.jit
-    def s2_step(codes):
+    def s2_step(params, dec_arrays, codes):
         z, ge = s2.apply(
-            s2_params, codes, codes_lengths, text, text_lengths,
+            params, codes, codes_lengths, text, text_lengths,
             refer_spec, refer_lengths, method=SynthesizerTrn.decode_latent,
         )
-        return generator_apply(folded_dec, z.astype(dtype), ge.astype(dtype)).astype(jnp.float32)
+        dec = {"arrays": dec_arrays, **{k: v for k, v in folded_dec.items() if k != "arrays"}}
+        return generator_apply(dec, z.astype(dtype), ge.astype(dtype)).astype(jnp.float32)
 
     # warmup / compile
-    wav = s2_step(s1_step(jax.random.PRNGKey(1)).tokens[:, :N_NEW_TOKENS])
+    wav = s2_step(s2_params, folded_dec["arrays"], s1_step(jax.random.PRNGKey(1)).tokens[:, :N_NEW_TOKENS])
     jax.block_until_ready(wav)
 
-    # Utterances are submitted back-to-back (S1 output feeds S2 on device, no
-    # host round-trip) and synced once at the end — steady-state serving
-    # throughput. Note: this TPU is attached through a tunnel whose host-sync
-    # notification has ~30 ms latency on large executables (device time is
-    # unaffected); per-utterance syncs would measure the tunnel, not the chip.
+    # Each utterance blocks before the next is submitted: a single trailing
+    # sync under-reports on the tunnel-attached device (queued work escapes
+    # accounting). The final-array sync excludes the host transfer, so this
+    # is per-utterance device latency.
     n_iter = 8
     t0 = time.perf_counter()
-    wavs = []
     for i in range(n_iter):
         out = s1_step(jax.random.PRNGKey(2 + i))
-        wavs.append(s2_step(out.tokens[:, :N_NEW_TOKENS]))
-    jax.block_until_ready(wavs)
+        wav = s2_step(s2_params, folded_dec["arrays"], out.tokens[:, :N_NEW_TOKENS])
+        jax.block_until_ready(wav)
     dt = (time.perf_counter() - t0) / n_iter
 
     rtf = dt / AUDIO_SECONDS
