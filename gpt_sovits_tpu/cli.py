@@ -192,6 +192,29 @@ def cmd_asr(args):
     print(f"wrote manifest: {out}")
 
 
+def cmd_download(args):
+    """Fetch pretrained assets (install.sh model fetching + the reference's
+    on-demand G2PWModel/UVR5/funasr downloads, GPT_SoVITS/text/g2pw/
+    onnx_api.py:58, install.sh --download-uvr5, tools/asr/funasr_asr.py)."""
+    from gpt_sovits_tpu.utils import download as dl
+
+    did = False
+    if args.models:
+        dl.download_all(args.dest, names=args.names or None)
+        did = True
+    if args.g2pw:
+        print(dl.download_g2pw(args.dest))
+        did = True
+    if args.uvr5:
+        print(dl.download_uvr5(os.path.join(args.dest, "uvr5_weights")))
+        did = True
+    if args.asr:
+        print(dl.download_asr(os.path.join(args.dest, "asr_models"), languages=tuple(args.asr)))
+        did = True
+    if not did:
+        dl.download_all(args.dest)
+
+
 def cmd_list_models(args):
     """List trained weights per version dir as JSON (get_trained_models.py)."""
     import json
@@ -381,6 +404,15 @@ def main(argv=None):
     s = sub.add_parser("list-models", help="newest trained GPT/SoVITS weights per version (get_trained_models.py)")
     s.add_argument("--root", default=".", help="directory holding GPT_weights*/SoVITS_weights* dirs")
     s.set_defaults(fn=cmd_list_models)
+
+    s = sub.add_parser("download", help="fetch pretrained checkpoints / G2PWModel / UVR5 / ASR assets")
+    s.add_argument("--dest", default="pretrained_models")
+    s.add_argument("--models", action="store_true", help="core checkpoints (default when no flag given)")
+    s.add_argument("--names", nargs="*", help="subset of asset names (see utils/download.PRETRAINED)")
+    s.add_argument("--g2pw", action="store_true", help="G2PWModel bundle for zh polyphone g2p")
+    s.add_argument("--uvr5", action="store_true", help="UVR5 separation weights bundle")
+    s.add_argument("--asr", nargs="*", metavar="LANG", help="prefetch funasr models (e.g. --asr zh)")
+    s.set_defaults(fn=cmd_download)
 
     s = sub.add_parser("separate", help="UVR5 vocal separation (roformer/vr/mdx/hpss)")
     g = s.add_mutually_exclusive_group(required=True)

@@ -869,6 +869,14 @@ class TTSPipeline:
         feats = feat_list[0] if len(feat_list) == 1 else jnp.concatenate(feat_list, axis=1)
         total_frames = sum(feat_lens)
         stride = chunk_len - overlap
+        # closed-form chunk count. DELIBERATE deviation from the reference
+        # loop (TTS.py:1553-1575): when total_frames lands within `overlap`
+        # of a stride boundary the reference emits one extra chunk holding
+        # only the duplicated overlap tail (its last overlap region gets a
+        # SOLA crossfade; ours comes from the previous chunk alone). Output
+        # sample count and real-frame coverage are identical — verified by
+        # simulation over T=1..4000 — and the closed form saves one full
+        # CFM+vocoder chunk at those boundaries.
         bs = max(1, -(-(total_frames + overlap - chunk_len) // stride) + 1)
         padding_len = (bs - 1) * stride + chunk_len - (total_frames + overlap)
         bs_pad = 1 << max(0, (bs - 1).bit_length())  # bucket the batch dim

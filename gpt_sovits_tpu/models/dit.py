@@ -264,7 +264,9 @@ class DiTBlock(nn.Module):
         kh = k.reshape(b, tl, c.heads, c.dim_head)
         vh = v.reshape(b, tl, c.heads, c.dim_head)
         use_flash = (
-            jax.default_backend() != "cpu"
+            # TPU only: the imported kernel is pallas.ops.tpu — on GPU it
+            # fails at lowering rather than falling back to the einsum path
+            jax.default_backend() == "tpu"
             and tl % 512 == 0
             and not os.environ.get("GPT_SOVITS_NO_FLASH")
         )

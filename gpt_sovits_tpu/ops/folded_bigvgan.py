@@ -124,10 +124,19 @@ def _aa_snake(x, alpha, beta, r: int, ch: int, logscale: bool):
     intermediates at 2x temporal resolution in HBM, which dominates the
     vocoder's runtime at 10^5-10^6 samples. On CPU the XLA composition
     runs (snake in f32 on the VPU, cast at the boundary)."""
+    import os
+
+    impl = os.environ.get("GSVT_SNAKE", "folded")
+    if jax.default_backend() != "cpu" and impl == "folded":
+        # fastest path: never leave the folded layout (no relayout, no
+        # 128-lane channel padding) — ops/pallas/snake_aa.py:snake_aa_folded
+        from gpt_sovits_tpu.ops.pallas.snake_aa import snake_aa_folded
+
+        return snake_aa_folded(x, alpha, beta, r=r, ch=ch, logscale=logscale)
     b, q, rc = x.shape
     if r > 1:
         x = x.reshape(b, q * r, ch)
-    if jax.default_backend() != "cpu":
+    if jax.default_backend() != "cpu" and impl == "pallas":
         from gpt_sovits_tpu.ops.pallas.snake_aa import snake_aa_fused
 
         h = snake_aa_fused(x, alpha, beta, logscale=logscale)

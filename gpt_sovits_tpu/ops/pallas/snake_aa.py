@@ -88,11 +88,142 @@ def _make_kernel(tile_t: int, tile_c: int):
 
 
 def _xla_compose(x, a, b):
-    from gpt_sovits_tpu.models.bigvgan import downsample1d, snake_beta, upsample1d
+    from gpt_sovits_tpu.models.bigvgan import downsample1d, upsample1d
 
     h = upsample1d(x, 2)
     h = h + (1.0 / (b + 1e-9)) * jnp.sin(h * a) ** 2
     return downsample1d(h, 2)
+
+
+# ---------------------------------------------------------------------------
+# folded-layout variant: the same fused up×2 -> snakeβ -> down×2, computed
+# directly on a lane-folded (B, Q, r·ch) activation (ops/folded_conv.py
+# space-to-depth layout). The unfolded signal x[t, c] lives at flat position
+# n = t·ch + c = (q·R + l) with R = r·ch, so a time shift by δ is a flat
+# shift by δ·ch — implementable as a lane roll with a row carry, entirely in
+# VMEM. This avoids BOTH costs of unfolding per activation: the TPU relayout
+# (Q, R) -> (T, ch) and the 128-lane channel padding (ch as small as 24 in
+# BigVGAN's last stage → 5.3× wasted bandwidth). HBM traffic is the ideal
+# read-x + write-y at full lane occupancy.
+# ---------------------------------------------------------------------------
+
+
+def _make_folded_kernel(tile_q: int, R: int, ch: int, hx_l: int, hx: int, hu: int):
+    f = _filter()
+
+    def kernel(x_hbm, ab_ref, y_ref, xl_ref, sem):
+        bi = pl.program_id(0)
+        qi = pl.program_id(1)
+        cp = pltpu.make_async_copy(
+            x_hbm.at[bi, pl.ds(qi * tile_q, tile_q + hx_l + hx), :], xl_ref, sem
+        )
+        cp.start()
+        cp.wait()
+        x = xl_ref[:].astype(jnp.float32)  # (tile_q + hx_l + hx, R)
+        aR = ab_ref[0, :][None, :]
+        bR = ab_ref[1, :][None, :]
+
+        def fsh(arr, base, n, s):
+            # rows [base, base+n) of arr, flat-shifted by s: out[q, l] =
+            # arr_flat[(base+q)·R + l + s]  (lane roll + next-row carry)
+            q_off, sl = divmod(s, R)
+            b0 = base + q_off
+            a1 = arr[b0 : b0 + n]
+            if sl == 0:
+                return a1
+            a2 = arr[b0 + 1 : b0 + 1 + n]
+            ar = pltpu.roll(a1, R - sl, 1)  # left-roll by sl (shift must be >= 0)
+            br = pltpu.roll(a2, R - sl, 1)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (n, R), 1)
+            return jnp.where(lane < R - sl, ar, br)
+
+        n_u = tile_q + 2 * hu + 1
+        u_e = jnp.zeros((n_u, R), jnp.float32)
+        u_o = jnp.zeros((n_u, R), jnp.float32)
+        for j in range(6):
+            u_e = u_e + (2.0 * float(f[2 * j + 1])) * fsh(x, hx_l - hu, n_u, -(1 + j) * ch)
+            u_o = u_o + (2.0 * float(f[2 * j])) * fsh(x, hx_l - hu, n_u, -j * ch)
+        s_e = _snake(u_e, aR, bR)
+        s_o = _snake(u_o, aR, bR)
+        y = jnp.zeros((tile_q, R), jnp.float32)
+        for j in range(6):
+            y = y + float(f[2 * j + 1]) * fsh(s_e, hu, tile_q, (j + 1) * ch)
+            y = y + float(f[2 * j]) * fsh(s_o, hu, tile_q, j * ch)
+        y_ref[0] = y.astype(y_ref.dtype)
+
+    return kernel
+
+
+def snake_aa_folded(
+    x: jnp.ndarray,  # (B, Q, R) lane-folded, R = r·ch
+    alpha: jnp.ndarray,  # (ch,)
+    beta: jnp.ndarray,  # (ch,)
+    *,
+    r: int,
+    ch: int,
+    logscale: bool = True,
+    tile_q: int | None = None,
+) -> jnp.ndarray:
+    B, Q, R = x.shape
+    assert R == r * ch, (R, r, ch)
+    a = jnp.exp(alpha) if logscale else alpha
+    b = jnp.exp(beta) if logscale else beta
+
+    hu = -(-6 // r)
+    hx = hu + max(hu, 2)
+    m = -(-16 // r)  # rows holding >=16 unfolded samples (exact edge recompute)
+    if R % 128 != 0 or Q < max(2 * m, 2 * hx):
+        # kernel preconditions unmet (odd lane widths or tiny inputs):
+        # exact fallback through the unfolded composition
+        xu = x.reshape(B, Q * r, ch)
+        return _xla_compose(xu.astype(jnp.float32), a, b).astype(x.dtype).reshape(B, Q, R)
+
+    if tile_q is None:
+        tile_q = 256 if R <= 512 else 128
+    tile_q = min(tile_q, -(-Q // 8) * 8)
+    q_pad = -Q % tile_q
+    # DMA slice row counts must be 8-aligned (Mosaic sublane tiling):
+    # grow the LEADING halo so tile_q + hx_l + hx is a multiple of 8
+    hx_l = hx + (-(tile_q + 2 * hx) % 8)
+
+    # halo rows replicate the first/last UNFOLDED frame (edge semantics of
+    # the reference resampler), not the last folded row
+    first = jnp.tile(x[:, :1, :ch], (1, hx_l, r))
+    last = jnp.tile(x[:, -1:, R - ch :], (1, hx + q_pad, r))
+    xp = jnp.concatenate([first, x, last], axis=1)
+    ab = jnp.stack([jnp.tile(a, r), jnp.tile(b, r)]).astype(jnp.float32)  # (2, R)
+
+    out = pl.pallas_call(
+        _make_folded_kernel(tile_q, R, ch, hx_l, hx, hu),
+        out_shape=jax.ShapeDtypeStruct((B, Q + q_pad, R), x.dtype),
+        grid=(B, (Q + q_pad) // tile_q),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # full padded x in HBM
+            pl.BlockSpec((2, R), lambda bi, qi: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tile_q, R), lambda bi, qi: (bi, qi, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((tile_q + hx_l + hx, R), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(xp, ab)
+    out = out[:, :Q]
+
+    # exact edge stitch: the fused interior formula extends through
+    # edge-replicated x while the reference replicate-pads the *snaked*
+    # stream; only the first/last 3 unfolded samples differ. Recompute them
+    # through the exact composition on a tiny unfolded strip and patch the
+    # affected rows (k rows each end — cheap dynamic-update-slices).
+    e = _EDGE
+    k = -(-e // r)
+    dt = x.dtype
+    yl = _xla_compose(x[:, :m].reshape(B, m * r, ch).astype(jnp.float32), a, b)[:, :e]
+    yr = _xla_compose(x[:, -m:].reshape(B, m * r, ch).astype(jnp.float32), a, b)[:, -e:]
+    head = out[:, :k].reshape(B, k * r, ch).at[:, :e].set(yl.astype(dt)).reshape(B, k, R)
+    tail = out[:, Q - k :].reshape(B, k * r, ch).at[:, -e:].set(yr.astype(dt)).reshape(B, k, R)
+    return out.at[:, :k].set(head).at[:, Q - k :].set(tail)
 
 
 def snake_aa_fused(

@@ -297,15 +297,17 @@ class TTSService:
                 yield sr, frag.astype("<i2").tobytes()
 
     def tts(self, req: dict) -> tuple[int, bytes, str]:
-        try:
-            with self.lock:
-                self._apply_speaker(req)
-        except ValueError as e:
-            return 400, json.dumps({"message": str(e)}).encode(), "application/json"
-        err = self.validate(req)
-        if err:
-            return err[0], json.dumps({"message": err[1]}).encode(), "application/json"
+        # ONE lock acquisition across speaker swap + validate + synthesis:
+        # releasing between them lets a concurrent request hot-swap to
+        # another speaker's weights before this one synthesizes
         with self.lock:
+            try:
+                self._apply_speaker(req)
+            except ValueError as e:
+                return 400, json.dumps({"message": str(e)}).encode(), "application/json"
+            err = self.validate(req)
+            if err:
+                return err[0], json.dumps({"message": err[1]}).encode(), "application/json"
             try:
                 self._ensure_ref(req)
                 seed = int(req.get("seed", -1))
@@ -363,6 +365,12 @@ class TTSService:
         try:
             with self.lock:
                 self.weight_loader(which, path)
+                # manual weight loads supersede any registry speaker: a later
+                # spk=<current> request must re-swap, and the prompt cache
+                # belongs to the old weights
+                self.current_speaker = None
+                self._ref_path = None
+                self._aux_paths = ()
             return 200, json.dumps({"message": "success"}).encode(), "application/json"
         except Exception as e:  # mirror api_v2's catch-all error payload
             return 400, json.dumps({"message": f"change {which} weight failed", "Exception": str(e)}).encode(), "application/json"

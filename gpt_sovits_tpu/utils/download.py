@@ -64,3 +64,82 @@ def download_all(dest_dir: str, names=None) -> dict[str, str]:
     for name in names or PRETRAINED:
         out[name] = download(name, dest_dir)
     return out
+
+
+# -- corpus-tool / frontend assets the reference auto-downloads -------------
+
+# G2PWModel bundle (g2pW.onnx + config.py + dicts) — the reference fetches
+# it on first zh g2p use (GPT_SoVITS/text/g2pw/onnx_api.py:58-76); the
+# extracted dir is what text/g2pw.py:enable() accepts
+G2PW_URL = "https://www.modelscope.cn/models/kamiorinn/g2pw/resolve/master/G2PWModel_1.1.zip"
+
+# UVR5 separation weights (roformer/VR/MDX checkpoints) — install.sh
+# --download-uvr5 in the reference
+UVR5_URL = "https://huggingface.co/XXXXRT/GPT-SoVITS-Pretrained/resolve/main/uvr5_weights.zip"
+
+# funasr ASR models resolve by modelscope id at runtime
+# (tools/asr/funasr_asr.py:25-50); listed here so `download --asr` can
+# prefetch them when modelscope is installed
+ASR_MODELS = {
+    "zh": "iic/speech_paraformer-large_asr_nat-zh-cn-16k-common-vocab8404-pytorch",
+    "zh_vad": "iic/speech_fsmn_vad_zh-cn-16k-common-pytorch",
+    "zh_punc": "iic/punc_ct-transformer_zh-cn-common-vocab272727-pytorch",
+    "yue": "iic/speech_UniASR_asr_2pass-cantonese-CHS-16k-common-vocab1468-tensorflow1-online",
+}
+
+
+def _fetch_zip(url: str, dest_dir: str, marker: str, progress: bool = True) -> str:
+    """Download + extract a zip into dest_dir; skip when `marker` exists."""
+    import zipfile
+
+    target = os.path.join(dest_dir, marker)
+    if os.path.exists(target):
+        return target
+    os.makedirs(dest_dir, exist_ok=True)
+    zpath = os.path.join(dest_dir, os.path.basename(url))
+    if not os.path.exists(zpath):
+        urllib.request.urlretrieve(url, zpath)
+    with zipfile.ZipFile(zpath) as zf:
+        for m in zf.namelist():  # refuse path traversal in downloaded zips
+            if m.startswith("/") or ".." in m.split("/"):
+                raise ValueError(f"unsafe zip member: {m}")
+        zf.extractall(dest_dir)
+    os.remove(zpath)
+    if progress:
+        print(f"{marker}: done -> {target}")
+    return target
+
+
+def download_g2pw(dest_dir: str = "pretrained_models", *, progress: bool = True) -> str:
+    """Fetch + extract the G2PWModel bundle; returns the model dir to pass
+    to gpt_sovits_tpu.text.g2pw.enable()."""
+    path = _fetch_zip(G2PW_URL, dest_dir, "G2PWModel_1.1", progress)
+    alias = os.path.join(dest_dir, "G2PWModel")
+    if not os.path.exists(alias):
+        os.symlink(os.path.basename(path), alias)
+    return path
+
+
+def download_uvr5(dest_dir: str = "uvr5_weights", *, progress: bool = True) -> str:
+    """Fetch + extract the UVR5 separation weights bundle."""
+    return _fetch_zip(UVR5_URL, dest_dir, "uvr5_weights", progress)
+
+
+def download_asr(dest_dir: str = "asr_models", languages=("zh",), *, progress: bool = True) -> dict[str, str]:
+    """Prefetch funasr models via modelscope (runtime fallback: corpus/asr.py
+    lets funasr resolve the same ids lazily)."""
+    try:
+        from modelscope.hub.snapshot_download import snapshot_download
+    except ImportError as e:
+        raise RuntimeError(
+            "modelscope is required to prefetch ASR models; funasr will "
+            f"auto-download {ASR_MODELS} at first use instead"
+        ) from e
+    out = {}
+    for lang in languages:
+        for key, model_id in ASR_MODELS.items():
+            if key == lang or key.startswith(f"{lang}_"):
+                out[key] = snapshot_download(model_id, cache_dir=dest_dir)
+                if progress:
+                    print(f"{key}: done -> {out[key]}")
+    return out

@@ -96,3 +96,33 @@ def test_enable_routes_chinese_g2p(bundle):
         assert out == ["zhang3", "xing2"]
     finally:
         mod.disable()
+
+
+def test_cli_download_g2pw_bundle_loads(bundle, tmp_path, monkeypatch):
+    """`download --g2pw` output dir is accepted by g2pw (zip fetch mocked:
+    the reference's auto-download flow, text/g2pw/onnx_api.py:58-76)."""
+    import os
+    import shutil
+    import urllib.request
+    import zipfile
+
+    d, tok = bundle
+    src_zip = tmp_path / "src.zip"
+    with zipfile.ZipFile(src_zip, "w") as zf:
+        for name in os.listdir(d):
+            zf.write(os.path.join(d, name), f"G2PWModel_1.1/{name}")
+
+    def fake_retrieve(url, dest, reporthook=None):
+        shutil.copy(src_zip, dest)
+
+    monkeypatch.setattr(urllib.request, "urlretrieve", fake_retrieve)
+    from gpt_sovits_tpu.utils.download import download_g2pw
+
+    dest = tmp_path / "pretrained"
+    model_dir = download_g2pw(str(dest))
+    assert os.path.isdir(model_dir)
+    assert os.path.exists(os.path.join(str(dest), "G2PWModel"))  # alias
+    g = G2PW(model_dir, tok)
+    assert g(["我们长"])[0][-1] in ("zhang4", "zhang3")
+    # idempotent: second call short-circuits without refetching
+    assert download_g2pw(str(dest)) == model_dir

@@ -126,3 +126,20 @@ def test_phones_in_symbol_table():
     for text in KANA_CASES:
         phones, _, _ = clean_text(text, "ja", "v2")
         assert all(p in symbols for p in phones), (text, phones)
+
+
+@pytest.mark.parametrize(
+    "s,want",
+    [
+        ("一億二千万", 120_000_000),  # multiple big units must not compound
+        ("三兆五億", 3_000_500_000_000),
+        ("一億二千三百四十五万六千七百八十九", 123_456_789),
+        ("千二百", 1200),
+        ("二〇二四", 2024),
+        ("万", 10_000),
+    ],
+)
+def test_kanji_num_value_big_units(s, want):
+    from gpt_sovits_tpu.text.japanese import _kanji_num_value
+
+    assert _kanji_num_value(s) == want

@@ -39,3 +39,33 @@ def test_snake_aa_fused_matches_composition(t, c, monkeypatch):
         )
     assert out.shape == ref.shape
     np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)
+
+
+# fold factors and channel counts of the production BigVGAN plan
+# (ops/folded_bigvgan.py: ch 768..24, r chosen so r*ch is a 128 multiple),
+# plus a fallback case (R not a lane multiple) and a ragged Q
+@pytest.mark.parametrize(
+    "r,ch,q",
+    [(1, 768, 48), (2, 192, 100), (4, 96, 96), (8, 48, 70), (16, 24, 40), (2, 64, 60), (16, 24, 33)],
+)
+def test_snake_aa_folded_matches_composition(r, ch, q):
+    from jax.experimental.pallas import tpu as pltpu
+
+    from gpt_sovits_tpu.ops.pallas import snake_aa
+
+    rng = np.random.default_rng(1)
+    t = q * r
+    xu = (rng.standard_normal((2, t, ch)) * 0.5).astype(np.float32)
+    alpha = (rng.standard_normal(ch) * 0.1).astype(np.float32)
+    beta = (rng.standard_normal(ch) * 0.1).astype(np.float32)
+
+    ref = np.asarray(_xla_ref(jnp.asarray(xu), jnp.asarray(alpha), jnp.asarray(beta), logscale=True))
+    x_folded = jnp.asarray(xu.reshape(2, q, r * ch))
+    with pltpu.force_tpu_interpret_mode():
+        out = np.asarray(
+            snake_aa.snake_aa_folded(
+                x_folded, jnp.asarray(alpha), jnp.asarray(beta), r=r, ch=ch, logscale=True, tile_q=16
+            )
+        )
+    assert out.shape == x_folded.shape
+    np.testing.assert_allclose(out.reshape(2, t, ch), ref, atol=2e-5, rtol=1e-4)

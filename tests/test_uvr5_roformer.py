@@ -20,7 +20,10 @@ from gpt_sovits_tpu.dsp.stft import istft_center, stft_center
 UVR5 = "/root/reference/tools/uvr5"
 
 
-def _install_stubs():
+@pytest.fixture
+def _install_stubs(monkeypatch):
+    # monkeypatch-scoped: raw sys.modules writes leak into later tests in
+    # the same xdist worker (the round-2 kaldi-fbank ordering flake)
     if "rotary_embedding_torch" not in sys.modules:
         mod = types.ModuleType("rotary_embedding_torch")
 
@@ -43,22 +46,22 @@ def _install_stubs():
                 return t * freqs.cos() + rot * freqs.sin()
 
         mod.RotaryEmbedding = RotaryEmbedding
-        sys.modules["rotary_embedding_torch"] = mod
+        monkeypatch.setitem(sys.modules, "rotary_embedding_torch", mod)
 
     # another test file (e.g. test_uvr5_vr) may have installed a bare
     # librosa stub already: always (re)attach the filters submodule
     if "librosa" not in sys.modules:
-        sys.modules["librosa"] = types.ModuleType("librosa")
+        monkeypatch.setitem(sys.modules, "librosa", types.ModuleType("librosa"))
     if not hasattr(sys.modules["librosa"], "filters"):
         from gpt_sovits_tpu.dsp.mel import mel_filterbank
 
         lbf = types.ModuleType("librosa.filters")
         lbf.mel = lambda *, sr, n_fft, n_mels, fmin=0.0, fmax=None: mel_filterbank(sr, n_fft, n_mels, fmin, fmax)
-        sys.modules["librosa"].filters = lbf
-        sys.modules["librosa.filters"] = lbf
+        monkeypatch.setattr(sys.modules["librosa"], "filters", lbf, raising=False)
+        monkeypatch.setitem(sys.modules, "librosa.filters", lbf)
 
     if UVR5 not in sys.path:
-        sys.path.append(UVR5)
+        monkeypatch.syspath_prepend(UVR5)
 
 
 def test_stft_istft_match_torch():
@@ -113,8 +116,7 @@ def _tiny_mel_cfg():
 
 
 @pytest.mark.parametrize("kind", ["bs", "mel"])
-def test_roformer_parity(kind):
-    _install_stubs()
+def test_roformer_parity(kind, _install_stubs):
     torch.manual_seed(0)
 
     if kind == "bs":

@@ -27,12 +27,15 @@ from gpt_sovits_tpu.corpus.vr import (
 UVR5 = "/root/reference/tools/uvr5"
 
 
-def _install_stubs():
+@pytest.fixture
+def _install_stubs(monkeypatch):
+    # monkeypatch-scoped: raw sys.modules writes leak into later tests in
+    # the same xdist worker (the round-2 kaldi-fbank ordering flake)
     for name in ("librosa", "soundfile"):
         if name not in sys.modules:
-            sys.modules[name] = types.ModuleType(name)
+            monkeypatch.setitem(sys.modules, name, types.ModuleType(name))
     if UVR5 not in sys.path:
-        sys.path.append(UVR5)
+        monkeypatch.syspath_prepend(UVR5)
 
 
 def _randomize_bn_stats(model):
@@ -46,8 +49,7 @@ def _randomize_bn_stats(model):
     model.eval()
 
 
-def test_cascaded_aspp_net_parity():
-    _install_stubs()
+def test_cascaded_aspp_net_parity(_install_stubs):
     from lib.lib_v5 import nets_61968KB as Nets
 
     torch.manual_seed(0)
@@ -73,8 +75,7 @@ def test_cascaded_aspp_net_parity():
 
 
 @pytest.mark.parametrize("nout", [32])
-def test_cascaded_net_parity(nout):
-    _install_stubs()
+def test_cascaded_net_parity(nout, _install_stubs):
     from lib.lib_v5.nets_new import CascadedNet
 
     torch.manual_seed(1)
