@@ -81,6 +81,20 @@ def _next_bucket(n: int, buckets=(32, 64, 128, 256, 512)) -> int:
     return ((n + 127) // 128) * 128
 
 
+# chunk-batch buckets for the batched v3/v4 CFM+vocoder path. CFM cost is
+# linear in the batch, so pow2 bucketing wasted up to 60% (bs=5 -> 8); this
+# set caps pad waste at <=33% (typically <=20%) while keeping the compile
+# cache bounded at 10 shapes
+_BS_BUCKETS = (1, 2, 3, 4, 6, 8, 12, 16, 24, 32)
+
+
+def _next_bs_bucket(n: int) -> int:
+    for b in _BS_BUCKETS:
+        if n <= b:
+            return b
+    return -(-n // 8) * 8
+
+
 @functools.partial(jax.jit, static_argnames=("bs", "bs_pad", "overlap", "chunk_len"))
 def _v3_assemble_chunks(feats, fea_ref0, *, bs, bs_pad, overlap, chunk_len):
     """Front-pad the conditioning stream by the SOLA overlap, slice `bs`
@@ -290,18 +304,32 @@ class TTSPipeline:
                     self._voc_call_params = v3_bundle.vocoder_params
                     self._vocoder_fwd = jax.jit(v3_bundle.vocoder.apply)
 
-            from gpt_sovits_tpu.models.dit import DiT
+            from gpt_sovits_tpu.models.dit import DiT, quantize_dit_params
             from gpt_sovits_tpu.models.v3 import cfm_inference
 
-            dit = DiT(v3_bundle.model.dit_config)
-            dit_params = {"params": v3_bundle.params["params"]["cfm"]["estimator"]}
             # bf16 CFM sampling when half (the reference's is_half runs the
             # DiT in fp16 — TTS.py init, inference_webui); DiT matmuls hit
             # the MXU at the bf16 rate, timestep embeddings stay f32 inside
-            # the model, and the sampled mel returns in f32
+            # the model, and the sampled mel returns in f32.
+            # On top of half, the six big per-block matmuls default to
+            # weight+activation int8 (2x MXU rate on v5e; measured CFM mel
+            # drift ~0.2% — below bf16 rounding noise, tests/test_dit_quant)
+            # unless GSVT_DIT_QUANT=bf16 opts out.
+            _dit_quant = os.environ.get("GSVT_DIT_QUANT", "int8") if half else "bf16"
+            dit_cfg = v3_bundle.model.dit_config
+            if _dit_quant == "int8":
+                import dataclasses as _dc
+
+                dit_cfg = _dc.replace(dit_cfg, quant="int8")
+            dit = DiT(dit_cfg)
+            dit_params = {"params": v3_bundle.params["params"]["cfm"]["estimator"]}
             _cfm_dtype = jnp.bfloat16 if half else jnp.float32
             if half:
                 dit_params = jax.tree.map(lambda p: p.astype(_cfm_dtype), dit_params)
+            if _dit_quant == "int8":
+                # after the bf16 cast: quantize emits int8 kernels + f32
+                # scales (scales must not round to bf16)
+                dit_params = quantize_dit_params(dit_params)
             steps = v3_bundle.sample_steps
 
             @functools.partial(jax.jit, static_argnames=("n_steps",))
@@ -812,6 +840,12 @@ class TTSPipeline:
                 fea_ref = chunk[:, -t_min:] if ln >= t_min else jnp.concatenate([fea_ref, chunk], 1)[:, -t_min:]
                 idx += ln
             mel_full = denorm_spec(jnp.concatenate(mel_chunks, axis=1))
+            # bucket the vocoder's time axis (multiples of 256 frames, edge
+            # pad): every distinct utterance length would otherwise compile
+            # a fresh vocoder program
+            t_pad = -mel_full.shape[1] % 256
+            if t_pad:
+                mel_full = jnp.pad(mel_full, ((0, 0), (0, t_pad), (0, 0)), mode="edge")
             wav = np.asarray(self._vocoder_fwd(self._voc_call_params, mel_full))[0, :, 0]
             wav = wav[: total * upsample]
             if v3.sr_model is not None and v3.sr_params is not None and super_sampling is not False:
@@ -879,7 +913,7 @@ class TTSPipeline:
         # CFM+vocoder chunk at those boundaries.
         bs = max(1, -(-(total_frames + overlap - chunk_len) // stride) + 1)
         padding_len = (bs - 1) * stride + chunk_len - (total_frames + overlap)
-        bs_pad = 1 << max(0, (bs - 1).bit_length())  # bucket the batch dim
+        bs_pad = _next_bs_bucket(bs)  # bucket the batch dim
         fea = _v3_assemble_chunks(
             feats, fea_ref0, bs=bs, bs_pad=bs_pad, overlap=overlap, chunk_len=chunk_len
         )

@@ -33,6 +33,66 @@ class DiTConfig:
     conv_layers: int = 4
     freq_embed_dim: int = 256
     max_pos: int = 4096
+    # "int8": serve the six big per-block matmuls (qkv/out/ff) with
+    # weight+activation int8 on the int8 MXU (2x the bf16 rate on v5e).
+    # Param trees must be transformed with quantize_dit_params first;
+    # training/init always use "bf16" (the float path).
+    quant: str = "bf16"
+
+
+class QDense(nn.Module):
+    """nn.Dense drop-in with an optional int8 serving path.
+
+    Float path is exactly nn.Dense (same param tree, same init). When
+    `quant` is on AND the kernel arrived int8 (via quantize_dit_params),
+    computes y = (x_q @ w_q) · s_x·s_w + b with per-token dynamic
+    activation scales and per-output-channel weight scales — both matmul
+    operands int8, so the MXU runs at its doubled int8 rate. Activation
+    rounding is the only approximation (weights round once offline)."""
+
+    features: int
+    quant: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (jnp.shape(x)[-1], self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        if self.quant and kernel.dtype == jnp.int8:
+            sw = self.param("kernel_scale", nn.initializers.ones, (1, self.features))
+            sx = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True) / 127.0
+            sx = jnp.maximum(sx, 1e-8)
+            xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sx), -127, 127).astype(jnp.int8)
+            y = jax.lax.dot_general(
+                xq, kernel, (((x.ndim - 1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+            )
+            y = y.astype(jnp.float32) * sx * sw.astype(jnp.float32)
+            return (y + bias.astype(jnp.float32)).astype(x.dtype)
+        return jnp.dot(x, kernel) + bias
+
+
+_QUANT_DENSE_NAMES = ("to_q", "to_k", "to_v", "to_out", "ff1", "ff2")
+
+
+def quantize_dit_params(params: dict) -> dict:
+    """Per-output-channel symmetric int8 for the big DiT matmul kernels.
+
+    Leaves every other param untouched; adds a `kernel_scale` sibling so
+    DiT(cfg with quant="int8").apply runs the int8 MXU path."""
+    from flax.traverse_util import flatten_dict, unflatten_dict
+
+    flat = flatten_dict(params)
+    out = {}
+    for path, leaf in flat.items():
+        if len(path) >= 2 and path[-1] == "kernel" and path[-2] in _QUANT_DENSE_NAMES:
+            w = jnp.asarray(leaf, jnp.float32)
+            s = jnp.maximum(jnp.max(jnp.abs(w), axis=0, keepdims=True) / 127.0, 1e-12)
+            out[path] = jnp.clip(jnp.round(w / s), -127, 127).astype(jnp.int8)
+            out[path[:-1] + ("kernel_scale",)] = s
+        else:
+            out[path] = leaf
+    return unflatten_dict(out)
 
 
 def sinus_position_embedding(t: jnp.ndarray, dim: int, scale: float = 1000.0) -> jnp.ndarray:
@@ -255,9 +315,10 @@ class DiTBlock(nn.Module):
         norm = norm * (1 + scale_msa[:, None]) + shift_msa[:, None]
 
         b, tl, _ = x.shape
-        q = nn.Dense(inner, name="to_q")(norm)
-        k = nn.Dense(inner, name="to_k")(norm)
-        v = nn.Dense(inner, name="to_v")(norm)
+        q8 = c.quant == "int8"
+        q = QDense(inner, quant=q8, name="to_q")(norm)
+        k = QDense(inner, quant=q8, name="to_k")(norm)
+        v = QDense(inner, quant=q8, name="to_v")(norm)
         q = rope_rotate(q, tl, c.dim_head)
         k = rope_rotate(k, tl, c.dim_head)
         qh = q.reshape(b, tl, c.heads, c.dim_head)
@@ -296,16 +357,16 @@ class DiTBlock(nn.Module):
                 scores = jnp.where(mask[:, None, None, :], scores, -jnp.inf)
             probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
             attn = jnp.einsum("bhqk,bkhd->bqhd", probs, vh).reshape(b, tl, inner)
-        attn = nn.Dense(c.dim, name="to_out")(attn)
+        attn = QDense(c.dim, quant=q8, name="to_out")(attn)
         if mask is not None:
             attn = jnp.where(mask[..., None], attn, 0.0)
         x = x + gate_msa[:, None] * attn
 
         norm2 = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6, name="ff_norm")(x)
         norm2 = norm2 * (1 + scale_mlp[:, None]) + shift_mlp[:, None]
-        ff = nn.Dense(c.dim * c.ff_mult, name="ff1")(norm2)
+        ff = QDense(c.dim * c.ff_mult, quant=q8, name="ff1")(norm2)
         ff = nn.gelu(ff, approximate=True)
-        ff = nn.Dense(c.dim, name="ff2")(ff)
+        ff = QDense(c.dim, quant=q8, name="ff2")(ff)
         return x + gate_mlp[:, None] * ff
 
 

@@ -108,9 +108,8 @@ def main():
             v3_params, codes, jnp.asarray([N_NEW_TOKENS]),
             phones, text_lengths, refer_spec, jnp.asarray([spec_t]),
         )
-        # clamp to whole chunks (the 11-frame tail would just add one more
-        # degenerate compile; the pipeline handles real tails)
-        total = (fea_todo.shape[1] // chunk_len) * chunk_len
+        # full length including the ragged tail chunk (what serving does)
+        total = fea_todo.shape[1]
         fea_ref = jnp.zeros((b, T_REF, fea_dim), fea_todo.dtype)
         mel2 = jnp.zeros((b, T_REF, v3_cfg.cfm_mel_channels))
         mel_chunks = []
@@ -127,11 +126,14 @@ def main():
             mel_out = cfm(dit_params, fea, jnp.asarray([T_REF + ln]), mel2, sub)
             mel_out = mel_out[:, T_REF : T_REF + ln]
             mel_chunks.append(mel_out)
-            mel2 = mel_out[:, -T_REF:]
-            fea_ref = chunk[:, -T_REF:]
+            mel2 = mel_out[:, -T_REF:] if ln >= T_REF else jnp.concatenate([mel2, mel_out], 1)[:, -T_REF:]
+            fea_ref = chunk[:, -T_REF:] if ln >= T_REF else jnp.concatenate([fea_ref, chunk], 1)[:, -T_REF:]
             idx += ln
         mel_full = jnp.concatenate(mel_chunks, axis=1)
-        return np.asarray(voc(folded["arrays"], mel_full))
+        t_pad = -mel_full.shape[1] % 256  # serving's vocoder time bucket
+        if t_pad:
+            mel_full = jnp.pad(mel_full, ((0, 0), (0, t_pad), (0, 0)), mode="edge")
+        return np.asarray(voc(folded["arrays"], mel_full))[:, : total * upsample]
 
     # ---- batched parallel path (reference parallel_infer default,
     # TTS.py:1496-1635): overlapped chunks -> ONE batched CFM call ->
@@ -145,22 +147,28 @@ def main():
     # mel->vocoder handoff are jitted so conditioning features and mel
     # never round-trip through the host (over the tunnel — and on any
     # host — those transfers dominate; only the final waveform leaves)
-    @functools.partial(jax.jit, static_argnames=("bs",))
-    def chunk_batch(fea_todo, bs):
+    from gpt_sovits_tpu.infer.pipeline import _next_bs_bucket
+
+    @functools.partial(jax.jit, static_argnames=("bs", "bs_pad"))
+    def chunk_batch(fea_todo, bs, bs_pad):
         stride = chunk_len - OVERLAP
         f = jnp.pad(fea_todo[0], ((OVERLAP, 0), (0, 0)))
         need = (bs - 1) * stride + chunk_len
         f = jnp.pad(f, ((0, max(0, need - f.shape[0])), (0, 0)))
         chunks = jnp.stack([jax.lax.dynamic_slice_in_dim(f, i * stride, chunk_len, 0) for i in range(bs)])
-        fea_ref = jnp.zeros((bs, T_REF, fea_dim), chunks.dtype)
+        if bs_pad > bs:
+            chunks = jnp.pad(chunks, ((0, bs_pad - bs), (0, 0), (0, 0)))
+        fea_ref = jnp.zeros((bs_pad, T_REF, fea_dim), chunks.dtype)
         return jnp.concatenate([fea_ref, chunks], axis=1)
 
-    voc2 = jax.jit(
-        lambda arrs, mel_out: bigvgan_apply(
-            {"arrays": arrs, **voc_static},
-            mel_out[:, T_REF:].reshape(1, -1, mel_out.shape[-1]).astype(dtype),
-        ).astype(jnp.float32)
-    )
+    @functools.partial(jax.jit, static_argnames=("bs", "bs_pad"))
+    def voc2(arrs, mel_out, bs, bs_pad):
+        # real chunks only -> one long mel, padded to the bucket with edge
+        # frames (pipeline._synthesize_v3_batch_parallel vocoder handoff)
+        mel_long = mel_out[:bs, T_REF:].reshape(1, bs * chunk_len, -1)
+        if bs_pad > bs:
+            mel_long = jnp.pad(mel_long, ((0, 0), (0, (bs_pad - bs) * chunk_len), (0, 0)), mode="edge")
+        return bigvgan_apply({"arrays": arrs, **voc_static}, mel_long.astype(dtype)).astype(jnp.float32)
 
     def synth_parallel(k, timing=None, n_steps=SAMPLE_STEPS):
         t0 = time.perf_counter()
@@ -175,24 +183,32 @@ def main():
         total = fea_todo.shape[1]  # static here; pipeline slices mel_len
         stride = chunk_len - OVERLAP
         bs = max(1, -(-(total + OVERLAP - chunk_len) // stride) + 1)
+        bs_pad = _next_bs_bucket(bs)  # serving's chunk-batch bucket
         padding_len = (bs - 1) * stride + chunk_len - (total + OVERLAP)
-        fea = chunk_batch(fea_todo, bs)
+        fea = chunk_batch(fea_todo, bs, bs_pad)
         jax.block_until_ready(fea)
         t2 = time.perf_counter()
-        mel2 = jnp.zeros((bs, T_REF, v3_cfg.cfm_mel_channels))
+        mel2 = jnp.zeros((bs_pad, T_REF, v3_cfg.cfm_mel_channels))
         _, sub = jax.random.split(k)
-        mel_out = cfm(dit_params, fea, jnp.full((bs,), T_CHUNK, jnp.int32), mel2, sub, n_steps=n_steps)
+        mel_out = cfm(dit_params, fea, jnp.full((bs_pad,), T_CHUNK, jnp.int32), mel2, sub, n_steps=n_steps)
         jax.block_until_ready(mel_out)
         t3 = time.perf_counter()
-        wav = np.asarray(voc2(folded["arrays"], mel_out))[0, :, 0]
+        wav_dev = voc2(folded["arrays"], mel_out, bs, bs_pad)
+        jax.block_until_ready(wav_dev)
         t4 = time.perf_counter()
+        # device->host fetch is timed separately: over the attached-TPU
+        # tunnel it costs hundreds of ms for ~1.4 MB and would be ~0.5 ms
+        # over local PCIe — it is a harness artifact, not serving compute
+        wav = np.asarray(wav_dev)[0, :, 0]
+        t4b = time.perf_counter()
         frag = chunk_len * upsample
         fragments = [wav[i * frag : (i + 1) * frag] for i in range(bs)]
         audio = sola_stitch(fragments, OVERLAP * upsample)
         audio = audio[OVERLAP * upsample : len(audio) - padding_len * upsample or None]
         t5 = time.perf_counter()
         if timing is not None:
-            timing.append({"s1": t1 - t0, "encp_chunk": t2 - t1, "cfm": t3 - t2, "voc": t4 - t3, "sola": t5 - t4})
+            timing.append({"s1": t1 - t0, "encp_chunk": t2 - t1, "cfm": t3 - t2, "voc": t4 - t3,
+                           "fetch_host": t4b - t4, "sola": t5 - t4b})
         return audio
 
     def bench(fn, n_iter=6):

@@ -54,7 +54,8 @@ def main():
         audio_s = t_mel * 256 / 24000.0
         print(f"--- T_mel={t_mel} ({audio_s:.1f}s audio) ---", flush=True)
         outs = {}
-        for impl in ("folded", "pallas", "xla"):
+        impls = tuple(os.environ.get("GSVT_PROFILE_IMPLS", "folded,pallas,xla").split(","))
+        for impl in impls:
             os.environ["GSVT_SNAKE"] = impl  # read at trace time
 
             @jax.jit

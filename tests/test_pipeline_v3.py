@@ -48,6 +48,10 @@ VOC_CFG = replace(
 
 @pytest.fixture(scope="module")
 def v3_pipeline():
+    return _build_v3_pipeline()
+
+
+def _build_v3_pipeline(half=False):
     key = jax.random.PRNGKey(0)
     s1 = T2SDecoder(S1_TINY)
     s1_params = s1.init(key, method=T2SDecoder.init_all)
@@ -84,7 +88,23 @@ def v3_pipeline():
         mel_cfg=MEL_SPEC,
         infer_cfg=InferenceConfig(min_ref_sec=0.1, max_ref_sec=30.0, batch_size=2),
         v3_bundle=bundle,
+        half=half,
     )
+
+
+def test_v3_run_end_to_end_half_int8():
+    """half=True drives the bf16 vocoder + int8 QDense CFM serving path
+    (GSVT_DIT_QUANT default) end to end on CPU."""
+    pipe = _build_v3_pipeline(half=True)
+    rng = np.random.default_rng(3)
+    wav = (rng.standard_normal(8000) * 0.1).astype(np.float32)
+    pipe.set_ref_audio(wav, sr=8000, ref_text="hello world")
+    sr, audio = pipe.run("Quantized serving path check.", "en", seed=1, max_sec=2)
+    assert len(audio) > 0 and np.isfinite(audio.astype(np.float32)).all()
+    from flax.traverse_util import flatten_dict
+
+    kinds = {leaf.dtype for _, leaf in flatten_dict(pipe._dit_params).items()}
+    assert jnp.int8 in {jnp.dtype(k) for k in kinds} or any(str(k) == "int8" for k in kinds)
 
 
 def test_v3_run_end_to_end(v3_pipeline):
