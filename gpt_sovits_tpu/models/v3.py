@@ -398,7 +398,9 @@ def cfm_inference(
     # is dtype-dependent in jax, and the serving dtype (bf16 when half)
     # must not change the sampled trajectory, only its rounding
     x = (jax.random.normal(rng, (b, t, mel_dim)) * temperature).astype(mu.dtype)
-    prompt_x = jnp.zeros((b, t, mel_dim), mu.dtype).at[:, :prompt_len].set(prompt)
+    # pad (not .at[].set: that lowers to stablehlo.scatter, which
+    # serializes on TPU)
+    prompt_x = jnp.pad(prompt.astype(mu.dtype), ((0, 0), (0, t - prompt_len), (0, 0)))
     t_real = t
     # TPU: pad T to a 512 multiple — real frames are numerically unchanged
     # (pad frames are masked in attention and equal 'same'-conv zero

@@ -160,11 +160,33 @@ def bigvgan_apply(folded: dict, mel: jnp.ndarray) -> jnp.ndarray:
     plan, rks, rds = meta["plan"], meta["rks"], meta["rds"]
     logscale = meta["logscale"]
 
+    import os
+
+    use_taps = jax.default_backend() != "cpu" and os.environ.get("GSVT_VOC_CONV", "taps") == "taps"
+
     def conv(x, w, b, pad, dil=1):
-        y = jax.lax.conv_general_dilated(
-            x, w, (1,), [pad if isinstance(pad, tuple) else (pad, pad)],
-            rhs_dilation=(dil,), dimension_numbers=("NWC", "WIO", "NWC"),
-        )
+        pl_, pr_ = pad if isinstance(pad, tuple) else (pad, pad)
+        if use_taps:
+            # per-tap matmul accumulation: XLA's TPU conv lowering achieves
+            # ~20-38% MXU on these (kq, R, R) folded weights while plain
+            # dot_general runs far closer to peak (profiled round 3); the
+            # tap loop is exactly the same contraction, f32-accumulated
+            k = w.shape[0]
+            xp = jnp.pad(x, ((0, 0), (pl_, pr_), (0, 0)))
+            q_out = x.shape[1] + pl_ + pr_ - (k - 1) * dil
+            acc = None
+            for i in range(k):
+                t = jax.lax.dot_general(
+                    xp[:, i * dil : i * dil + q_out], w[i],
+                    (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+                )
+                acc = t if acc is None else acc + t
+            y = acc.astype(x.dtype)
+        else:
+            y = jax.lax.conv_general_dilated(
+                x, w, (1,), [(pl_, pr_)],
+                rhs_dilation=(dil,), dimension_numbers=("NWC", "WIO", "NWC"),
+            )
         return y + b if b is not None else y
 
     x = conv(mel, a["conv_pre_w"], a["conv_pre_b"], 3)

@@ -221,9 +221,15 @@ def snake_aa_folded(
     dt = x.dtype
     yl = _xla_compose(x[:, :m].reshape(B, m * r, ch).astype(jnp.float32), a, b)[:, :e]
     yr = _xla_compose(x[:, -m:].reshape(B, m * r, ch).astype(jnp.float32), a, b)[:, -e:]
-    head = out[:, :k].reshape(B, k * r, ch).at[:, :e].set(yl.astype(dt)).reshape(B, k, R)
-    tail = out[:, Q - k :].reshape(B, k * r, ch).at[:, -e:].set(yr.astype(dt)).reshape(B, k, R)
-    return out.at[:, :k].set(head).at[:, Q - k :].set(tail)
+    # patch via concat-on-tiny + dynamic_update_slice on the big array:
+    # .at[...].set lowers to stablehlo.scatter, which serializes on TPU
+    # (measured: the scatters dominated the whole vocoder's runtime)
+    head = out[:, :k].reshape(B, k * r, ch)
+    head = jnp.concatenate([yl.astype(dt), head[:, e:]], axis=1).reshape(B, k, R)
+    tail = out[:, Q - k :].reshape(B, k * r, ch)
+    tail = jnp.concatenate([tail[:, : k * r - e], yr.astype(dt)], axis=1).reshape(B, k, R)
+    out = jax.lax.dynamic_update_slice(out, head, (0, 0, 0))
+    return jax.lax.dynamic_update_slice(out, tail, (0, Q - k, 0))
 
 
 def snake_aa_fused(

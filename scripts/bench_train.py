@@ -25,13 +25,11 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
 def timeit(step_fn, state, batch, rng, n=5):
-    state2, m = step_fn(state, batch, rng)  # compile
-    jax.block_until_ready(m)
-    t0 = time.perf_counter()
-    for _ in range(n):
-        state2, m = step_fn(state2, batch, rng)
-        jax.block_until_ready(m)
-    return (time.perf_counter() - t0) / n
+    """Trace-based device timing: per-call block_until_ready under-reports
+    through the attached-TPU tunnel (see scripts/_trace_time.py)."""
+    from scripts._trace_time import device_time
+
+    return device_time(lambda s_, b_, r_: step_fn(s_, b_, r_)[1], state, batch, rng, n=n)
 
 
 def bench_s1():
@@ -122,7 +120,7 @@ def main():
     out = {
         "metric": "train_step_time_1chip",
         "hardware": "TPU v5e (1 chip, attached via tunnel)",
-        "note": "production model sizes, random data, per-step block_until_ready",
+        "note": "production model sizes, random data, trace-based device timing (scripts/_trace_time.py)",
     }
     if "s1" in which:
         out["s1_adamw"] = bench_s1()

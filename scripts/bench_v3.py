@@ -72,10 +72,18 @@ def main():
     )
     decode_encp = jax.jit(functools.partial(v3.apply, method=SynthesizerTrnV3.decode_encp))
 
-    dit = DiT(v3.dit_config)
-    dit_params = jax.tree.map(
+    import dataclasses as _dc
+
+    from gpt_sovits_tpu.models.dit import quantize_dit_params
+
+    # serving default: int8 QDense matmuls on top of bf16 (pipeline.py
+    # GSVT_DIT_QUANT); bf16 comparison timed separately below
+    dit = DiT(_dc.replace(v3.dit_config, quant="int8"))
+    dit_bf16 = DiT(v3.dit_config)
+    dit_params_bf16 = jax.tree.map(
         lambda p: p.astype(dtype), {"params": v3_params["params"]["cfm"]["estimator"]}
     )
+    dit_params = quantize_dit_params(dit_params_bf16)
 
     # params are jit ARGUMENTS: closure arrays serialize into the compiled
     # HLO and exceed the remote-compile tunnel's request limit (HTTP 413)
@@ -83,6 +91,13 @@ def main():
     def cfm(params, mu, x_lens, prompt, k, n_steps=SAMPLE_STEPS):
         mel = cfm_inference(
             dit, params, mu.astype(dtype), x_lens, prompt.astype(dtype), k, n_steps=n_steps
+        )
+        return mel.astype(jnp.float32)
+
+    @functools.partial(jax.jit, static_argnames=("n_steps",))
+    def cfm_bf16(params, mu, x_lens, prompt, k, n_steps=SAMPLE_STEPS):
+        mel = cfm_inference(
+            dit_bf16, params, mu.astype(dtype), x_lens, prompt.astype(dtype), k, n_steps=n_steps
         )
         return mel.astype(jnp.float32)
 
@@ -235,6 +250,24 @@ def main():
     dt8, audio8 = bench(lambda k: synth_parallel(k, n_steps=8))
     rtf_steps8 = dt8 / (len(audio8) / 24000.0)
 
+    # int8-vs-bf16 CFM throughput at the batched shape (serving claim:
+    # int8 QDense >= 1.5x bf16; tests/test_dit_quant.py gates accuracy)
+    bs_cmp = _next_bs_bucket(5)
+    fea_cmp = jnp.zeros((bs_cmp, T_CHUNK, fea_dim))
+    mel2_cmp = jnp.zeros((bs_cmp, T_REF, v3_cfg.cfm_mel_channels))
+    lens_cmp = jnp.full((bs_cmp,), T_CHUNK, jnp.int32)
+    kc = jax.random.PRNGKey(7)
+
+    def _time(fn, n=4):
+        jax.block_until_ready(fn(kc))
+        t0 = time.perf_counter()
+        for _ in range(n):
+            jax.block_until_ready(fn(kc))
+        return (time.perf_counter() - t0) / n
+
+    t_int8 = _time(lambda k: cfm(dit_params, fea_cmp, lens_cmp, mel2_cmp, k))
+    t_bf16 = _time(lambda k: cfm_bf16(dit_params_bf16, fea_cmp, lens_cmp, mel2_cmp, k))
+
     phases = {k: round(sum(t[k] for t in timing) / len(timing), 4) for k in timing[0]}
     print(
         json.dumps(
@@ -248,6 +281,9 @@ def main():
                 "serial_rtf": round(rtf_serial, 5),
                 "rtf_steps8": round(rtf_steps8, 5),
                 "phases_s": phases,
+                "cfm_b6_int8_s": round(t_int8, 4),
+                "cfm_b6_bf16_s": round(t_bf16, 4),
+                "cfm_int8_speedup": round(t_bf16 / t_int8, 3),
             }
         )
     )
