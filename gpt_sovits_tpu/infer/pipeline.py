@@ -311,11 +311,14 @@ class TTSPipeline:
             # DiT in fp16 — TTS.py init, inference_webui); DiT matmuls hit
             # the MXU at the bf16 rate, timestep embeddings stay f32 inside
             # the model, and the sampled mel returns in f32.
-            # On top of half, the six big per-block matmuls default to
-            # weight+activation int8 (2x MXU rate on v5e; measured CFM mel
-            # drift ~0.2% — below bf16 rounding noise, tests/test_dit_quant)
-            # unless GSVT_DIT_QUANT=bf16 opts out.
-            _dit_quant = os.environ.get("GSVT_DIT_QUANT", "int8") if half else "bf16"
+            # GSVT_DIT_QUANT=int8 serves the six big per-block matmuls
+            # weight+activation int8. Accuracy is fine (CFM mel drift
+            # ~0.2%, below bf16 rounding noise — tests/test_dit_quant) but
+            # measured THROUGHPUT on v5e via XLA's s8xs8->s32 dot is ~1.0x
+            # bf16 (benchmarks/BENCH_v3_r03.json cfm_int8_speedup), so the
+            # default stays bf16; the knob exists for chips/toolchains
+            # where the int8 MXU path engages.
+            _dit_quant = os.environ.get("GSVT_DIT_QUANT", "bf16") if half else "bf16"
             dit_cfg = v3_bundle.model.dit_config
             if _dit_quant == "int8":
                 import dataclasses as _dc

@@ -345,7 +345,12 @@ class DiTBlock(nn.Module):
             if mask is not None:
                 ids = mask.astype(jnp.int32)  # real=1, pad=0: pads only see pads
                 seg = SegmentIds(q=ids, kv=ids)
-            bs = BlockSizes(block_q=512, block_k_major=512, block_k=512, block_b=1)
+            # block size trades VMEM for grid-step count: the grid is
+            # (B, H, T/block) sequential steps on the single TensorCore, so
+            # per-step overhead scales with B·H·T/block (measured: b6 CFM
+            # ran slower per row than b1 at block 512)
+            blk = min(int(os.environ.get("GPT_SOVITS_FLASH_BLOCK", "1024")), tl)
+            bs = BlockSizes(block_q=blk, block_k_major=blk, block_k=blk, block_b=1)
             attn = flash_attention(
                 qh.transpose(0, 2, 1, 3), kh.transpose(0, 2, 1, 3), vh.transpose(0, 2, 1, 3),
                 segment_ids=seg, sm_scale=1.0 / float(np.sqrt(c.dim_head)), block_sizes=bs,

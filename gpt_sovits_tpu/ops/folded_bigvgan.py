@@ -5,17 +5,24 @@ Same exact space-to-depth rewrite as the folded HiFiGAN
 24-96-channel activations over 10^5-10^6 samples, wasting most of the
 TPU's 128-wide lane axis. Folding r timesteps into channels (a free
 contiguous reshape) and building block-Toeplitz folded weights once at
-load restores full lane occupancy; measured ~300 ms -> ~60 ms f32 for
-10 s of 24 kHz audio on one v5e chip.
+load restores full lane occupancy.
 
 Differences from the HiFiGAN fold:
   - the inter-conv activation is the anti-aliased snake (up x2 -> snakeβ
     -> down x2, the reference's CUDA kernel — BigVGAN/alias_free_activation).
-    It runs in UNFOLDED layout between folded convs: unfolding is a free
-    reshape, and the depthwise resampling filters would turn into
-    channel-diagonal (wasteful) dense blocks if folded.
+    It runs IN the folded layout via a Pallas kernel
+    (ops/pallas/snake_aa.py:snake_aa_folded) — a time shift by δ equals a
+    flat lane shift by δ·ch, so the whole composition stays in VMEM with
+    no relayout and no channel padding (round 2 unfolded per activation:
+    the relayouts + 128-lane padding dominated the vocoder's runtime).
+  - convs run as per-tap matmul accumulations on TPU
+    (folded_conv.conv_apply), not lax.conv — XLA's conv lowering reached
+    only ~20-38% MXU on the (kq, R, R) folded weights.
   - conv_post has no bias and the output clamps to [-1, 1]
     (use_bias_at_final=False, use_tanh_at_final=False in the 24 kHz config).
+Bench numbers: benchmarks/BENCH_v3_r03.json (scripts/profile_voc.py to
+re-measure; the round-2 docstring's "60 ms" figure was an async-timing
+artifact of the tunnel device — see scripts/_trace_time.py).
 
 Numerically identical to models/bigvgan.py:BigVGAN.__call__ modulo float
 reassociation (parity-tested in tests/test_folded_conv.py).
@@ -160,34 +167,7 @@ def bigvgan_apply(folded: dict, mel: jnp.ndarray) -> jnp.ndarray:
     plan, rks, rds = meta["plan"], meta["rks"], meta["rds"]
     logscale = meta["logscale"]
 
-    import os
-
-    use_taps = jax.default_backend() != "cpu" and os.environ.get("GSVT_VOC_CONV", "taps") == "taps"
-
-    def conv(x, w, b, pad, dil=1):
-        pl_, pr_ = pad if isinstance(pad, tuple) else (pad, pad)
-        if use_taps:
-            # per-tap matmul accumulation: XLA's TPU conv lowering achieves
-            # ~20-38% MXU on these (kq, R, R) folded weights while plain
-            # dot_general runs far closer to peak (profiled round 3); the
-            # tap loop is exactly the same contraction, f32-accumulated
-            k = w.shape[0]
-            xp = jnp.pad(x, ((0, 0), (pl_, pr_), (0, 0)))
-            q_out = x.shape[1] + pl_ + pr_ - (k - 1) * dil
-            acc = None
-            for i in range(k):
-                t = jax.lax.dot_general(
-                    xp[:, i * dil : i * dil + q_out], w[i],
-                    (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-                )
-                acc = t if acc is None else acc + t
-            y = acc.astype(x.dtype)
-        else:
-            y = jax.lax.conv_general_dilated(
-                x, w, (1,), [(pl_, pr_)],
-                rhs_dilation=(dil,), dimension_numbers=("NWC", "WIO", "NWC"),
-            )
-        return y + b if b is not None else y
+    from gpt_sovits_tpu.ops.folded_conv import conv_apply as conv  # taps-vs-conv policy lives there
 
     x = conv(mel, a["conv_pre_w"], a["conv_pre_b"], 3)
     B = x.shape[0]

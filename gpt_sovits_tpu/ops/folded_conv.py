@@ -52,10 +52,37 @@ def fold_conv_weight(w: np.ndarray, dilation: int, pad: int, r: int):
     return wf, (-tmin, tmax)
 
 
+def conv_apply(x, w, b, pad, dil: int = 1):
+    """Folded/plain 1D conv. On TPU defaults to a per-tap dot_general
+    accumulation: XLA's conv lowering reaches only ~20-38% MXU on these
+    (k, C, C) weights while plain matmuls run far closer to peak (round-3
+    trace); identical contraction, f32-accumulated. GSVT_VOC_CONV=conv
+    restores lax.conv."""
+    import os
+
+    pl_, pr_ = pad if isinstance(pad, tuple) else (pad, pad)
+    if jax.default_backend() != "cpu" and os.environ.get("GSVT_VOC_CONV", "taps") == "taps":
+        k = w.shape[0]
+        xp = jnp.pad(x, ((0, 0), (pl_, pr_), (0, 0)))
+        q_out = x.shape[1] + pl_ + pr_ - (k - 1) * dil
+        acc = None
+        for i in range(k):
+            t = jax.lax.dot_general(
+                xp[:, i * dil : i * dil + q_out], w[i],
+                (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            )
+            acc = t if acc is None else acc + t
+        y = acc.astype(x.dtype)
+    else:
+        y = jax.lax.conv_general_dilated(
+            x, w, (1,), [(pl_, pr_)], rhs_dilation=(dil,),
+            dimension_numbers=("NWC", "WIO", "NWC"),
+        )
+    return y + b if b is not None else y
+
+
 def folded_conv(x: jnp.ndarray, wf: jnp.ndarray, pads: tuple[int, int]) -> jnp.ndarray:
-    return jax.lax.conv_general_dilated(
-        x, wf, (1,), [pads], dimension_numbers=("NWC", "WIO", "NWC")
-    )
+    return conv_apply(x, wf, None, pads)
 
 
 def _leaky(x, slope):
@@ -187,12 +214,7 @@ def generator_apply(folded: dict, x: jnp.ndarray, g: Optional[jnp.ndarray] = Non
     rks = folded["meta"]["rks"]
     rds = folded["meta"]["rds"]
 
-    def conv(x, w, b, pad, dil=1):
-        y = jax.lax.conv_general_dilated(
-            x, w, (1,), [pad if isinstance(pad, tuple) else (pad, pad)],
-            rhs_dilation=(dil,), dimension_numbers=("NWC", "WIO", "NWC"),
-        )
-        return y + b if b is not None else y
+    conv = conv_apply
 
     x = conv(x, a["conv_pre_w"], a["conv_pre_b"], 3)
     if g is not None and "cond_w" in a:

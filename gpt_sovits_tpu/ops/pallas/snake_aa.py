@@ -114,12 +114,27 @@ def _make_folded_kernel(tile_q: int, R: int, ch: int, hx_l: int, hx: int, hu: in
     def kernel(x_hbm, ab_ref, y_ref, xl_ref, sem):
         bi = pl.program_id(0)
         qi = pl.program_id(1)
-        cp = pltpu.make_async_copy(
-            x_hbm.at[bi, pl.ds(qi * tile_q, tile_q + hx_l + hx), :], xl_ref, sem
-        )
-        cp.start()
-        cp.wait()
-        x = xl_ref[:].astype(jnp.float32)  # (tile_q + hx_l + hx, R)
+        nq = pl.num_programs(1)
+        rows = tile_q + hx_l + hx
+
+        def dma(q, slot):
+            return pltpu.make_async_copy(
+                x_hbm.at[bi, pl.ds(q * tile_q, rows), :], xl_ref.at[slot], sem.at[slot]
+            )
+
+        # double-buffered input stream: prefetch tile qi+1 while computing
+        # qi (the serialized start/wait version spent most of each grid
+        # step stalled on the DMA)
+        @pl.when(qi == 0)
+        def _():
+            dma(0, 0).start()
+
+        @pl.when(qi + 1 < nq)
+        def _():
+            dma(qi + 1, (qi + 1) % 2).start()
+
+        dma(qi, qi % 2).wait()
+        x = xl_ref[qi % 2].astype(jnp.float32)  # (tile_q + hx_l + hx, R)
         aR = ab_ref[0, :][None, :]
         bR = ab_ref[1, :][None, :]
 
@@ -205,8 +220,8 @@ def snake_aa_folded(
             (1, tile_q, R), lambda bi, qi: (bi, qi, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((tile_q + hx_l + hx, R), x.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, tile_q + hx_l + hx, R), x.dtype),  # double buffer
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )(xp, ab)
     out = out[:, :Q]

@@ -1,5 +1,7 @@
 """Corpus tool tests: manifest writer, spectral-gate denoiser, HPSS split."""
 
+import os
+
 import numpy as np
 
 from gpt_sovits_tpu.corpus.asr import write_manifest
@@ -83,3 +85,99 @@ def test_spectral_gate_improves_snr():
     snr_before = 10 * np.log10(sp_before / noise_before)
     snr_after = 10 * np.log10(sp_after / noise_after)
     assert snr_after > snr_before + 5.0, (snr_before, snr_after)
+
+
+# -- adapter paths beyond the ImportError line (fake backends, scoped) ------
+
+
+def test_funasr_adapter_full_path(monkeypatch, tmp_path):
+    """Drive transcribe_funasr/make_transcriber through a fake funasr
+    module: model built once, .list manifest written in reference format."""
+    import sys
+    import types
+
+    calls = {"built": 0}
+
+    class FakeModel:
+        def __init__(self, **kw):
+            calls["built"] += 1
+            calls["kw"] = kw
+
+        def generate(self, input):
+            return [{"text": f"text for {os.path.basename(input)}"}]
+
+    mod = types.ModuleType("funasr")
+    mod.AutoModel = FakeModel
+    monkeypatch.setitem(sys.modules, "funasr", mod)
+
+    from gpt_sovits_tpu.corpus.asr import make_transcriber, transcribe_funasr, write_manifest
+
+    entries = transcribe_funasr(["/a/x.wav", "/a/y.wav"], language="zh")
+    assert entries == [("/a/x.wav", "text for x.wav"), ("/a/y.wav", "text for y.wav")]
+    assert calls["kw"]["vad_model"] == "fsmn-vad"
+
+    tr = make_transcriber("zh")
+    n_before = calls["built"]
+    assert tr("/a/z1.wav").startswith("text for") and tr("/a/z2.wav")
+    assert calls["built"] == n_before  # model constructed once, not per slice
+
+    out = tmp_path / "out.list"
+    write_manifest(entries, str(out), speaker="spk", language="zh")
+    lines = out.read_text(encoding="utf-8").splitlines()
+    assert lines[0] == "/a/x.wav|spk|ZH|text for x.wav"
+
+
+def test_whisper_adapter_full_path(monkeypatch):
+    import sys
+    import types
+
+    class Seg:
+        def __init__(self, text):
+            self.text = text
+
+    class FakeWhisper:
+        def __init__(self, size):
+            self.size = size
+
+        def transcribe(self, path, language=None):
+            return [Seg("hello "), Seg("world")], {"language": language}
+
+    mod = types.ModuleType("faster_whisper")
+    mod.WhisperModel = FakeWhisper
+    monkeypatch.setitem(sys.modules, "faster_whisper", mod)
+
+    from gpt_sovits_tpu.corpus.asr import make_transcriber, transcribe_whisper
+
+    entries = transcribe_whisper(["/a/e.wav"], language="en")
+    assert entries == [("/a/e.wav", "hello world")]
+    assert make_transcriber("en")("/a/e2.wav") == "hello world"
+
+
+def test_modelscope_denoise_adapter(monkeypatch, tmp_path):
+    import sys
+    import types
+
+    seen = {}
+
+    def fake_pipeline(task, model):
+        seen["task"], seen["model"] = task, model
+
+        def run(wav_path, output_path):
+            seen["in"], seen["out"] = wav_path, output_path
+            open(output_path, "wb").write(b"RIFF")
+
+        return run
+
+    pk = types.ModuleType("modelscope")
+    pipes = types.ModuleType("modelscope.pipelines")
+    pipes.pipeline = fake_pipeline
+    pk.pipelines = pipes
+    monkeypatch.setitem(sys.modules, "modelscope", pk)
+    monkeypatch.setitem(sys.modules, "modelscope.pipelines", pipes)
+
+    from gpt_sovits_tpu.corpus.denoise import denoise_modelscope
+
+    out = str(tmp_path / "den.wav")
+    assert denoise_modelscope("/a/in.wav", out) == out
+    assert seen["model"] == "damo/speech_frcrn_ans_cirm_16k"  # cmd-denoise.py:38
+    assert os.path.exists(out)

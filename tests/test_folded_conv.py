@@ -179,3 +179,22 @@ def test_folded_bigvgan_matches_standard():
     got = np.asarray(bigvgan_apply(folded, mel))
     assert got.shape == ref.shape == (2, 24 * 4 * 2 * 2, 1)
     np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-5)
+
+
+def test_conv_apply_taps_matches_conv(monkeypatch):
+    """The per-tap dot_general path (TPU serving default) computes the
+    same contraction as lax.conv — forced on here via the backend gate."""
+    import numpy as np
+
+    from gpt_sovits_tpu.ops import folded_conv as fc
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 50, 16)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((7, 16, 24)).astype(np.float32) * 0.2)
+    b = jnp.asarray(rng.standard_normal((24,)).astype(np.float32))
+    for pad, dil in [((3, 3), 1), ((9, 9), 3), ((2, 4), 2)]:
+        ref = fc.conv_apply(x, w, b, pad, dil=dil)
+        monkeypatch.setattr(fc.jax, "default_backend", lambda: "tpu")
+        got = fc.conv_apply(x, w, b, pad, dil=dil)
+        monkeypatch.undo()
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-5)
