@@ -48,7 +48,10 @@ def _head_mask(d: int, h: int) -> np.ndarray:
     return m
 
 
-def _make_kernel(num_layers: int, b: int, d: int, h: int, t_pad: int, chunk: int, quant: bool = False):
+def _make_kernel(
+    num_layers: int, b: int, d: int, h: int, t_pad: int, chunk: int,
+    quant: bool = False, row_stream: bool = False,
+):
     dh = d // h
     n_chunks = t_pad // chunk
 
@@ -107,58 +110,101 @@ def _make_kernel(num_layers: int, b: int, d: int, h: int, t_pad: int, chunk: int
         q_bdh = q_bd.astype(jnp.bfloat16)
         hmj_h = hmj.astype(jnp.bfloat16)
 
-        # per-ROW double-buffered KV streaming: the scratch is
-        # (2, chunk, 2D) regardless of batch size, so the kernel serves any
-        # B within the VMEM budget (the old (2, B, chunk, 2D) scratch fell
-        # over at B=8/D=512 — the round-2 throughput cliff). The batch rows
-        # are a static python loop: same DMA volume, per-row order.
-        def _dma(bi, ci, slot):
-            return pltpu.make_async_copy(
-                kv_hbm.at[li, bi, pl.ds(ci * chunk, chunk), :], kvbuf.at[slot], sems.at[slot]
-            )
-
         # only sweep the live prefix of the cache (slots >= n_valid are
         # never attendable); keeps DMA volume proportional to context
         n_live = pl.cdiv(nvalid_ref[0], chunk)
-        m_out, s_out, c_out = [], [], []
-        for bi in range(b):
+
+        if row_stream:
+            # per-ROW double-buffered KV streaming: scratch (2, chunk, 2D)
+            # regardless of batch size — serves large B where the batched
+            # scratch would blow VMEM (the round-2 B=8 cliff). Slightly
+            # slower than the batched DMA at small B (B× smaller copies),
+            # so it's only picked when the batched scratch doesn't fit.
+            def _dma(bi, ci, slot):
+                return pltpu.make_async_copy(
+                    kv_hbm.at[li, bi, pl.ds(ci * chunk, chunk), :], kvbuf.at[slot], sems.at[slot]
+                )
+
+            m_out, s_out, c_out = [], [], []
+            for bi in range(b):
+
+                @pl.when(n_live > 0)
+                def _():
+                    _dma(bi, 0, 0).start()
+
+                def chunk_body(ci, carry, bi=bi):
+                    m_run, s_run, ctx = carry  # (H,), (H,), (D,)
+                    slot = ci % 2
+
+                    @pl.when(ci + 1 < n_live)
+                    def _():
+                        _dma(bi, ci + 1, (ci + 1) % 2).start()
+
+                    _dma(bi, ci, slot).wait()
+                    kc = kvbuf[slot, :, :d]  # (C, D) bf16, matmul native
+                    vc = kvbuf[slot, :, d:].astype(jnp.float32)
+                    sc = jnp.dot(kc, q_bdh[bi], preferred_element_type=jnp.float32)  # (C, H)
+                    msk = mask_ref[bi, pl.ds(ci * chunk, chunk)]  # (C,)
+                    sc = jnp.where(msk[:, None] > 0, sc, NEG)
+                    m_new = jnp.maximum(m_run, jnp.max(sc, axis=0))  # (H,)
+                    alpha = jnp.exp(m_run - m_new)
+                    p = jnp.exp(sc - m_new[None, :])  # (C, H)
+                    s_new = s_run * alpha + jnp.sum(p, axis=0)
+                    # probs in bf16 for the PV path — same as the flax
+                    # step's probs.astype(x.dtype) before the value einsum
+                    p_full = jnp.dot(p.astype(jnp.bfloat16), hmj_h.T, preferred_element_type=jnp.float32)
+                    ctx_new = ctx * jnp.dot(alpha[None, :], hmj.T)[0] + jnp.sum(p_full * vc, axis=0)
+                    return m_new, s_new, ctx_new
+
+                m0 = jnp.full((h,), NEG, jnp.float32)
+                s0 = jnp.zeros((h,), jnp.float32)
+                c0 = jnp.zeros((d,), jnp.float32)
+                m_b, s_b, c_b = jax.lax.fori_loop(0, n_live, chunk_body, (m0, s0, c0))
+                m_out.append(m_b)
+                s_out.append(s_b)
+                c_out.append(c_b)
+            m_run, s_run, ctx0 = jnp.stack(m_out), jnp.stack(s_out), jnp.stack(c_out)
+        else:
+            # one strided DMA per chunk covers ALL batch rows (best DMA
+            # efficiency; scratch (2, B, chunk, 2D) must fit VMEM)
+            def _dma(ci, slot):
+                return pltpu.make_async_copy(
+                    kv_hbm.at[li, :, pl.ds(ci * chunk, chunk), :], kvbuf.at[slot], sems.at[slot]
+                )
 
             @pl.when(n_live > 0)
             def _():
-                _dma(bi, 0, 0).start()
+                _dma(0, 0).start()
 
-            def chunk_body(ci, carry, bi=bi):
-                m_run, s_run, ctx = carry  # (H,), (H,), (D,)
+            def chunk_body(ci, carry):
+                m_run, s_run, ctx = carry  # (B,H), (B,H), (B,D)
                 slot = ci % 2
 
                 @pl.when(ci + 1 < n_live)
                 def _():
-                    _dma(bi, ci + 1, (ci + 1) % 2).start()
+                    _dma(ci + 1, (ci + 1) % 2).start()
 
-                _dma(bi, ci, slot).wait()
-                kc = kvbuf[slot, :, :d]  # (C, D) bf16, matmul native
-                vc = kvbuf[slot, :, d:].astype(jnp.float32)
-                sc = jnp.dot(kc, q_bdh[bi], preferred_element_type=jnp.float32)  # (C, H)
-                msk = mask_ref[bi, pl.ds(ci * chunk, chunk)]  # (C,)
-                sc = jnp.where(msk[:, None] > 0, sc, NEG)
-                m_new = jnp.maximum(m_run, jnp.max(sc, axis=0))  # (H,)
-                alpha = jnp.exp(m_run - m_new)
-                p = jnp.exp(sc - m_new[None, :])  # (C, H)
-                s_new = s_run * alpha + jnp.sum(p, axis=0)
-                # probs in bf16 for the PV path — same as the flax step's
-                # probs.astype(x.dtype) before the value einsum
-                p_full = jnp.dot(p.astype(jnp.bfloat16), hmj_h.T, preferred_element_type=jnp.float32)  # (C, D)
-                ctx_new = ctx * jnp.dot(alpha[None, :], hmj.T)[0] + jnp.sum(p_full * vc, axis=0)
-                return m_new, s_new, ctx_new
+                _dma(ci, slot).wait()
+                m_out, s_out, c_out = [], [], []
+                for bi in range(b):
+                    kc = kvbuf[slot, bi, :, :d]  # (C, D) bf16, matmul native
+                    vc = kvbuf[slot, bi, :, d:].astype(jnp.float32)
+                    sc = jnp.dot(kc, q_bdh[bi], preferred_element_type=jnp.float32)  # (C, H)
+                    msk = mask_ref[bi, pl.ds(ci * chunk, chunk)]  # (C,)
+                    sc = jnp.where(msk[:, None] > 0, sc, NEG)
+                    m_new = jnp.maximum(m_run[bi], jnp.max(sc, axis=0))  # (H,)
+                    alpha = jnp.exp(m_run[bi] - m_new)
+                    p = jnp.exp(sc - m_new[None, :])  # (C, H)
+                    s_out.append(s_run[bi] * alpha + jnp.sum(p, axis=0))
+                    p_full = jnp.dot(p.astype(jnp.bfloat16), hmj_h.T, preferred_element_type=jnp.float32)
+                    c_out.append(ctx[bi] * jnp.dot(alpha[None, :], hmj.T)[0] + jnp.sum(p_full * vc, axis=0))
+                    m_out.append(m_new)
+                return jnp.stack(m_out), jnp.stack(s_out), jnp.stack(c_out)
 
-            m0 = jnp.full((h,), NEG, jnp.float32)
-            s0 = jnp.zeros((h,), jnp.float32)
-            c0 = jnp.zeros((d,), jnp.float32)
-            m_b, s_b, c_b = jax.lax.fori_loop(0, n_live, chunk_body, (m0, s0, c0))
-            m_out.append(m_b)
-            s_out.append(s_b)
-            c_out.append(c_b)
-        m_run, s_run, ctx0 = jnp.stack(m_out), jnp.stack(s_out), jnp.stack(c_out)
+            m0 = jnp.full((b, h), NEG, jnp.float32)
+            s0 = jnp.zeros((b, h), jnp.float32)
+            c0 = jnp.zeros((b, d), jnp.float32)
+            m_run, s_run, ctx0 = jax.lax.fori_loop(0, n_live, chunk_body, (m0, s0, c0))
 
         # current token's own K/V (always attendable); per-head dot via the
         # head-mask matmul (Mosaic cannot shape-cast (D,) -> (H, dh))
@@ -234,9 +280,14 @@ def fused_decode_step(
     d = d2 // 2
     h = num_heads
     # The pipelined weight blocks already hold ~12 MB of the 16 MB scoped
-    # VMEM (qkv/wo/fc1/fc2 double-buffered), so the double-buffered
-    # (2, chunk, 2D) per-row KV scratch must stay within ~2 MB.
-    kv_row_bytes = 2 * d2 * kv_cache.dtype.itemsize
+    # VMEM (qkv/wo/fc1/fc2 double-buffered), so the double-buffered KV
+    # scratch must stay within ~2 MB. Prefer the batched-DMA layout
+    # (2, B, chunk, 2D) — one strided copy serves all rows; when that
+    # cannot fit at the minimum 128-row chunk (large B), stream per row
+    # with a batch-independent (2, chunk, 2D) scratch instead.
+    batch_row_bytes = 2 * bsz * d2 * kv_cache.dtype.itemsize
+    row_stream = 128 * batch_row_bytes > (2 << 20)
+    kv_row_bytes = (2 * d2 * kv_cache.dtype.itemsize) if row_stream else batch_row_bytes
     budget_rows = (2 << 20) // kv_row_bytes
     chunk = min(chunk, 1 << max(budget_rows.bit_length() - 1, 7))  # pow2 divides t_pad; >=128 (Mosaic lane tile)
     if chunk * kv_row_bytes > (2 << 20):
@@ -248,7 +299,7 @@ def fused_decode_step(
     f = weights["fc1"].shape[-1]
     quant = weights["wqkv"].dtype == jnp.int8
 
-    kernel = _make_kernel(L, bsz, d, h, t_pad, chunk, quant)
+    kernel = _make_kernel(L, bsz, d, h, t_pad, chunk, quant, row_stream)
 
     def lspec(shape):
         return pl.BlockSpec((1,) + shape, lambda i, *_s: (i,) + (0,) * len(shape), memory_space=pltpu.VMEM)
@@ -283,7 +334,9 @@ def fused_decode_step(
         ],
         scratch_shapes=[
             pltpu.VMEM((bsz, d), jnp.float32),
-            pltpu.VMEM((2, chunk, 2 * d), kv_cache.dtype),
+            pltpu.VMEM(
+                (2, chunk, 2 * d) if row_stream else (2, bsz, chunk, 2 * d), kv_cache.dtype
+            ),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
