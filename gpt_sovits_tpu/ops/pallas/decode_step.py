@@ -269,7 +269,7 @@ def fused_decode_step(
     mask,  # (B, T_pad) f32, 1 = attendable cache slot (EXCLUDES current token)
     write_idx,  # () int32 — slot for the new token's K/V
     *,
-    chunk: int = 256,
+    chunk: int = 512,
     num_heads: int = 16,
 ):
     """Returns (hidden (B,D), kv_cache') with the new K||V written at

@@ -48,11 +48,14 @@ def write(name, payload):
 
 def main():
     hw = "TPU v5e (1 chip, attached via tunnel)"
-    if os.path.exists("/tmp/bench_v3_fixed.log"):
-        j = last_json_line("/tmp/bench_v3_fixed.log")
+    for cand in ("/tmp/bench_v3_final.log", "/tmp/bench_v3_fixed.log"):
+        if not os.path.exists(cand):
+            continue
+        j = last_json_line(cand)
         if j:
             j.update({"hardware": hw, "date": TODAY, "command": "python scripts/bench_v3.py"})
             write("BENCH_v3_r03.json", j)
+            break
     for cand in ("/tmp/bench_train2.log", "/tmp/bench_train.log"):
         if os.path.exists(cand):
             j = last_json_line(cand)
@@ -82,8 +85,10 @@ def main():
         if j:
             j.update({"date": TODAY, "command": "python scripts/bench_ttfb.py"})
             write("BENCH_ttfb_r03.json", j)
-    if os.path.exists("/tmp/bench_throughput.log"):
-        rows = all_json_lines("/tmp/bench_throughput.log")
+    for cand in ("/tmp/bench_throughput2.log", "/tmp/bench_throughput.log"):
+        if not os.path.exists(cand):
+            continue
+        rows = all_json_lines(cand)
         if rows:
             dest = os.path.join(REPO, "benchmarks", "BENCH_throughput_v2_r03.jsonl")
             with open(dest, "w") as f:
@@ -91,6 +96,7 @@ def main():
                     r["date"] = TODAY
                     f.write(json.dumps(r) + "\n")
             print("wrote", dest)
+            break
 
 
 if __name__ == "__main__":
