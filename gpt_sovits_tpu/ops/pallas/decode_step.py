@@ -115,11 +115,12 @@ def _make_kernel(
         n_live = pl.cdiv(nvalid_ref[0], chunk)
 
         if row_stream:
-            # per-ROW double-buffered KV streaming: scratch (2, chunk, 2D)
-            # regardless of batch size — serves large B where the batched
-            # scratch would blow VMEM (the round-2 B=8 cliff). Slightly
-            # slower than the batched DMA at small B (B× smaller copies),
-            # so it's only picked when the batched scratch doesn't fit.
+            # per-ROW KV streaming: scratch (2, chunk, 2D) regardless of
+            # batch size — serves large B where the batched scratch would
+            # blow VMEM (the round-2 B=8 cliff). The (row, chunk) sequence
+            # is double-buffered as ONE flat stream (the prefetch at a
+            # row's last chunk targets the NEXT row's first chunk), so DMA
+            # latency is hidden across row boundaries too.
             def _dma(bi, ci, slot):
                 return pltpu.make_async_copy(
                     kv_hbm.at[li, bi, pl.ds(ci * chunk, chunk), :], kvbuf.at[slot], sems.at[slot]
@@ -127,18 +128,26 @@ def _make_kernel(
 
             m_out, s_out, c_out = [], [], []
             for bi in range(b):
+                if bi == 0:
 
-                @pl.when(n_live > 0)
-                def _():
-                    _dma(bi, 0, 0).start()
+                    @pl.when(n_live > 0)
+                    def _():
+                        _dma(0, 0, 0).start()
 
                 def chunk_body(ci, carry, bi=bi):
                     m_run, s_run, ctx = carry  # (H,), (H,), (D,)
-                    slot = ci % 2
+                    flat = bi * n_live + ci
+                    slot = jax.lax.rem(flat, 2)
 
-                    @pl.when(ci + 1 < n_live)
+                    nxt = flat + 1
+
+                    @pl.when(nxt < b * n_live)
                     def _():
-                        _dma(bi, ci + 1, (ci + 1) % 2).start()
+                        _dma(
+                            jax.lax.div(nxt, n_live),
+                            jax.lax.rem(nxt, n_live),
+                            jax.lax.rem(nxt, 2),
+                        ).start()
 
                     _dma(bi, ci, slot).wait()
                     kc = kvbuf[slot, :, :d]  # (C, D) bf16, matmul native
