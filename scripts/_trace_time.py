@@ -22,14 +22,19 @@ def _device_ms(trace_dir: str) -> float:
     ev = tr["traceEvents"]
     pids = {e["pid"]: e["args"].get("name", "") for e in ev
             if e.get("ph") == "M" and e.get("name") == "process_name"}
-    tot = 0.0
+    # use the top-level module spans (jit_*): summing leaf events double
+    # counts when control flow is present (a `while` op's span contains
+    # its body's events)
+    parents = 0.0
+    leaves = 0.0
     for e in ev:
         if e.get("ph") == "X" and "TPU" in pids.get(e["pid"], ""):
             n = e.get("name", "")
-            if n.startswith("jit_") or n.startswith("jit("):  # parent spans
-                continue
-            tot += e.get("dur", 0)
-    return tot / 1e3
+            if n.startswith("jit_") or n.startswith("jit("):
+                parents += e.get("dur", 0)
+            else:
+                leaves += e.get("dur", 0)
+    return (parents if parents > 0 else leaves) / 1e3
 
 
 def device_time(fn, *args, n=3):

@@ -56,7 +56,7 @@ def main():
             j.update({"hardware": hw, "date": TODAY, "command": "python scripts/bench_v3.py"})
             write("BENCH_v3_r03.json", j)
             break
-    for cand in ("/tmp/bench_train2.log", "/tmp/bench_train.log"):
+    for cand in ("/tmp/bench_train3.log", "/tmp/bench_train2.log", "/tmp/bench_train.log"):
         if os.path.exists(cand):
             j = last_json_line(cand)
             if j:

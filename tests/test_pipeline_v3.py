@@ -92,9 +92,11 @@ def _build_v3_pipeline(half=False):
     )
 
 
-def test_v3_run_end_to_end_half_int8():
-    """half=True drives the bf16 vocoder + int8 QDense CFM serving path
-    (GSVT_DIT_QUANT default) end to end on CPU."""
+def test_v3_run_end_to_end_half_int8(monkeypatch):
+    """half=True + GSVT_DIT_QUANT=int8 drives the bf16 vocoder + int8
+    QDense CFM serving path end to end on CPU (int8 is opt-in: measured
+    ~1.0x bf16 throughput on v5e, benchmarks/BENCH_v3_r03.json)."""
+    monkeypatch.setenv("GSVT_DIT_QUANT", "int8")
     pipe = _build_v3_pipeline(half=True)
     rng = np.random.default_rng(3)
     wav = (rng.standard_normal(8000) * 0.1).astype(np.float32)
