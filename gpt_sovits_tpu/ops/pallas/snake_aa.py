@@ -194,7 +194,9 @@ def snake_aa_folded(
         return _xla_compose(xu.astype(jnp.float32), a, b).astype(x.dtype).reshape(B, Q, R)
 
     if tile_q is None:
-        tile_q = 256 if R <= 512 else 128
+        # VMEM per tile ~ (2 in-buffers + 4 f32 streams + out) * tile * R;
+        # 512 rows at R=384 stays ~5 MB and halves the grid-step count
+        tile_q = 512 if R <= 384 else (256 if R <= 512 else 128)
     tile_q = min(tile_q, -(-Q // 8) * 8)
     q_pad = -Q % tile_q
     # DMA slice row counts must be 8-aligned (Mosaic sublane tiling):
