@@ -83,9 +83,9 @@ def _next_bucket(n: int, buckets=(32, 64, 128, 256, 512)) -> int:
 
 # chunk-batch buckets for the batched v3/v4 CFM+vocoder path. CFM cost is
 # linear in the batch, so pow2 bucketing wasted up to 60% (bs=5 -> 8); this
-# set caps pad waste at <=33% (typically <=20%) while keeping the compile
-# cache bounded at 10 shapes
-_BS_BUCKETS = (1, 2, 3, 4, 6, 8, 12, 16, 24, 32)
+# set caps pad waste at <=33% (typically <=20%, and 0 for the common ~20 s
+# utterance at bs=5) while keeping the compile cache bounded at 11 shapes
+_BS_BUCKETS = (1, 2, 3, 4, 5, 6, 8, 12, 16, 24, 32)
 
 
 def _next_bs_bucket(n: int) -> int:
