@@ -311,8 +311,12 @@ class DiTBlock(nn.Module):
         mod = nn.Dense(6 * c.dim, name="ada_linear")(nn.silu(t_emb))  # (B, 6D)
         shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = jnp.split(mod, 6, axis=-1)
 
+        # cast the norm back to the working dtype: flax LayerNorm promotes
+        # to f32, which otherwise silently runs every downstream matmul,
+        # flash call, and transpose copy in f32 (measured: the whole DiT
+        # mid-section was f32 under bf16 serving — half the MXU rate)
         norm = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6, name="attn_norm")(x)
-        norm = norm * (1 + scale_msa[:, None]) + shift_msa[:, None]
+        norm = norm.astype(x.dtype) * (1 + scale_msa[:, None]) + shift_msa[:, None]
 
         b, tl, _ = x.shape
         q8 = c.quant == "int8"
@@ -368,7 +372,7 @@ class DiTBlock(nn.Module):
         x = x + gate_msa[:, None] * attn
 
         norm2 = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6, name="ff_norm")(x)
-        norm2 = norm2 * (1 + scale_mlp[:, None]) + shift_mlp[:, None]
+        norm2 = norm2.astype(x.dtype) * (1 + scale_mlp[:, None]) + shift_mlp[:, None]
         ff = QDense(c.dim * c.ff_mult, quant=q8, name="ff1")(norm2)
         ff = nn.gelu(ff, approximate=True)
         ff = QDense(c.dim, quant=q8, name="ff2")(ff)
@@ -414,6 +418,6 @@ class DiT(nn.Module):
         mod = nn.Dense(2 * c.dim, name="norm_out_linear")(nn.silu(t_emb))
         scale, shift = jnp.split(mod, 2, axis=-1)
         h = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6, name="norm_out")(h)
-        h = h * (1 + scale[:, None]) + shift[:, None]
+        h = h.astype(x.dtype) * (1 + scale[:, None]) + shift[:, None]
         out = nn.Dense(c.mel_dim, name="proj_out")(h)
         return out, text_embed
