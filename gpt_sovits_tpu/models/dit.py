@@ -410,9 +410,15 @@ class DiT(nn.Module):
             text_embed = TextEmbedding(c.text_dim, c.conv_layers, c.max_pos, name="text_embed")(
                 text, drop_text=drop_text, mask=mask
             )
+        # the ConvNeXt text stack's LayerNorms emit f32; cast before the
+        # input concat or the ENTIRE residual stream (and with it every
+        # block matmul + flash call) silently promotes to f32 under bf16
+        # serving — the norm-output casts in DiTBlock are no-ops if x is
+        # already f32 here
+        text_embed = text_embed.astype(x.dtype)
         h = InputEmbedding(c.dim, name="input_embed")(
             x, cond, text_embed, drop_audio_cond=drop_audio_cond, mask=mask
-        )
+        ).astype(x.dtype)
         for i in range(c.depth):
             h = DiTBlock(c, name=f"block_{i}")(h, t_emb, mask)
         mod = nn.Dense(2 * c.dim, name="norm_out_linear")(nn.silu(t_emb))

@@ -48,7 +48,7 @@ def write(name, payload):
 
 def main():
     hw = "TPU v5e (1 chip, attached via tunnel)"
-    for cand in ("/tmp/bench_v3_final.log", "/tmp/bench_v3_fixed.log"):
+    for cand in ("/tmp/bench_v3_final2.log", "/tmp/bench_v3_final.log", "/tmp/bench_v3_fixed.log"):
         if not os.path.exists(cand):
             continue
         j = last_json_line(cand)

@@ -29,10 +29,12 @@ def main():
     folded = fold_generator_params(params["params"]["dec"], cfg, dtype=jnp.bfloat16)
     z = (jax.random.normal(key, (b, t, cfg.inter_channels)) * 0.3).astype(jnp.bfloat16)
     ge = (jax.random.normal(key, (b, 1, cfg.gin_channels)) * 0.3).astype(jnp.bfloat16)
+    static = {k: v for k, v in folded.items() if k != "arrays"}
     for mode in ("conv", "taps"):
         os.environ["GSVT_VOC_CONV"] = mode
-        f = jax.jit(lambda fo, z, g, _m=mode: generator_apply(fo, z, g))
-        dt = device_time(f, folded, z, ge, n=5)
+        # pads are STATIC conv metadata — pass only the arrays as jit args
+        f = jax.jit(lambda arrs, z, g, _m=mode: generator_apply({"arrays": arrs, **static}, z, g))
+        dt = device_time(f, folded["arrays"], z, ge, n=5)
         print(f"v2 folded generator b{b} T{t}: {mode} {dt*1e3:.1f} ms", flush=True)
 
 if __name__ == "__main__":
