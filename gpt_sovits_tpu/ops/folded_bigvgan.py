@@ -167,7 +167,7 @@ def bigvgan_apply(folded: dict, mel: jnp.ndarray) -> jnp.ndarray:
     plan, rks, rds = meta["plan"], meta["rks"], meta["rds"]
     logscale = meta["logscale"]
 
-    from gpt_sovits_tpu.ops.folded_conv import conv_apply as conv  # taps-vs-conv policy lives there
+    from gpt_sovits_tpu.ops.folded_conv import conv_apply_taps as conv  # per-tap matmuls win for BigVGAN's folded weights
 
     x = conv(mel, a["conv_pre_w"], a["conv_pre_b"], 3)
     B = x.shape[0]

@@ -52,16 +52,20 @@ def fold_conv_weight(w: np.ndarray, dilation: int, pad: int, r: int):
     return wf, (-tmin, tmax)
 
 
-def conv_apply(x, w, b, pad, dil: int = 1):
-    """Folded/plain 1D conv. On TPU defaults to a per-tap dot_general
-    accumulation: XLA's conv lowering reaches only ~20-38% MXU on these
-    (k, C, C) weights while plain matmuls run far closer to peak (round-3
-    trace); identical contraction, f32-accumulated. GSVT_VOC_CONV=conv
-    restores lax.conv."""
+def conv_apply(x, w, b, pad, dil: int = 1, default_impl: str = "conv"):
+    """Folded/plain 1D conv with a per-call lowering policy.
+
+    "taps": per-tap dot_general accumulation — wins for the folded BigVGAN
+    (small fold tap counts; XLA's conv lowering reached only ~20-38% MXU
+    there). "conv": lax.conv — wins for the v2/v4 folded HiFiGAN (large
+    folded tap counts make per-tap accumulation re-materialize the output
+    kq times; measured 4x slower than conv at b4/T1000). GSVT_VOC_CONV
+    overrides both call sites."""
     import os
 
     pl_, pr_ = pad if isinstance(pad, tuple) else (pad, pad)
-    if jax.default_backend() != "cpu" and os.environ.get("GSVT_VOC_CONV", "taps") == "taps":
+    impl = os.environ.get("GSVT_VOC_CONV", default_impl)
+    if jax.default_backend() != "cpu" and impl == "taps":
         k = w.shape[0]
         xp = jnp.pad(x, ((0, 0), (pl_, pr_), (0, 0)))
         q_out = x.shape[1] + pl_ + pr_ - (k - 1) * dil
@@ -83,6 +87,10 @@ def conv_apply(x, w, b, pad, dil: int = 1):
 
 def folded_conv(x: jnp.ndarray, wf: jnp.ndarray, pads: tuple[int, int]) -> jnp.ndarray:
     return conv_apply(x, wf, None, pads)
+
+
+def conv_apply_taps(x, w, b, pad, dil: int = 1):
+    return conv_apply(x, w, b, pad, dil, default_impl="taps")
 
 
 def _leaky(x, slope):
