@@ -85,7 +85,7 @@ def main():
         if j:
             j.update({"date": TODAY, "command": "python scripts/bench_ttfb.py"})
             write("BENCH_ttfb_r03.json", j)
-    for cand in ("/tmp/bench_throughput2.log", "/tmp/bench_throughput.log"):
+    for cand in ("/tmp/bench_throughput3.log", "/tmp/bench_throughput2.log", "/tmp/bench_throughput.log"):
         if not os.path.exists(cand):
             continue
         rows = all_json_lines(cand)
