@@ -48,6 +48,15 @@ def write(name, payload):
 
 def main():
     hw = "TPU v5e (1 chip, attached via tunnel)"
+    for cand in ("/tmp/bench_v2_final.log", "/tmp/bench_v2.log"):
+        if not os.path.exists(cand):
+            continue
+        j = last_json_line(cand)
+        if j:
+            j.update({"hardware": hw, "date": TODAY, "command": "python bench.py",
+                      "workload": "20 s utterance: S1 AR 500 tokens (fused kernel, bf16) -> S2 VQ decode -> flow reverse -> lane-folded HiFiGAN (bf16)"})
+            write("BENCH_v2_r03.json", j)
+            break
     for cand in ("/tmp/bench_v3_final2.log", "/tmp/bench_v3_final.log", "/tmp/bench_v3_fixed.log"):
         if not os.path.exists(cand):
             continue
