@@ -354,7 +354,8 @@ class DiTBlock(nn.Module):
             # per-step overhead scales with B·H·T/block (measured: b6 CFM
             # ran slower per row than b1 at block 512)
             blk = min(int(os.environ.get("GPT_SOVITS_FLASH_BLOCK", "1024")), tl)
-            bs = BlockSizes(block_q=blk, block_k_major=blk, block_k=blk, block_b=1)
+            blk_b = min(int(os.environ.get("GPT_SOVITS_FLASH_BLOCK_B", "1")), b)
+            bs = BlockSizes(block_q=blk, block_k_major=blk, block_k=blk, block_b=blk_b)
             attn = flash_attention(
                 qh.transpose(0, 2, 1, 3), kh.transpose(0, 2, 1, 3), vh.transpose(0, 2, 1, 3),
                 segment_ids=seg, sm_scale=1.0 / float(np.sqrt(c.dim_head)), block_sizes=bs,
