@@ -281,8 +281,9 @@ def main():
                 "serial_rtf": round(rtf_serial, 5),
                 "rtf_steps8": round(rtf_steps8, 5),
                 "phases_s": phases,
-                "cfm_b6_int8_s": round(t_int8, 4),
-                "cfm_b6_bf16_s": round(t_bf16, 4),
+                "cfm_cmp_batch": bs_cmp,
+                "cfm_batched_int8_s": round(t_int8, 4),
+                "cfm_batched_bf16_s": round(t_bf16, 4),
                 "cfm_int8_speedup": round(t_bf16 / t_int8, 3),
             }
         )
