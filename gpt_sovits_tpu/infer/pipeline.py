@@ -95,6 +95,15 @@ def _next_bs_bucket(n: int) -> int:
     return -(-n // 8) * 8
 
 
+def _wav_to_i16(wav):
+    """Quantize the vocoder output to int16 ON DEVICE. Serving's wire
+    format is int16 PCM (audio_postprocess, TTS.py:1377), so converting
+    before the device->host fetch halves the transferred bytes — the fetch
+    is a measurable phase over slow host links. Clipping beats the host
+    path's wraparound on |x|>1."""
+    return (jnp.clip(wav, -1.0, 1.0).astype(jnp.float32) * 32767.0).astype(jnp.int16)
+
+
 @functools.partial(jax.jit, static_argnames=("bs", "bs_pad", "overlap", "chunk_len"))
 def _v3_assemble_chunks(feats, fea_ref0, *, bs, bs_pad, overlap, chunk_len):
     """Front-pad the conditioning stream by the SOLA overlap, slice `bs`
@@ -278,9 +287,9 @@ class TTSPipeline:
                 _voc_static = {k: v for k, v in _folded_voc.items() if k != "arrays"}
                 self._voc_call_params = _folded_voc["arrays"]
                 self._vocoder_fwd = jax.jit(
-                    lambda arrs, mel: generator_apply(
-                        {"arrays": arrs, **_voc_static}, mel.astype(_voc_dtype)
-                    ).astype(jnp.float32)
+                    lambda arrs, mel: _wav_to_i16(
+                        generator_apply({"arrays": arrs, **_voc_static}, mel.astype(_voc_dtype))
+                    )
                 )
             else:
                 from gpt_sovits_tpu.models.bigvgan import BigVGAN as _BigVGAN
@@ -296,13 +305,15 @@ class TTSPipeline:
                     _bv_static = {k: v for k, v in _folded_bv.items() if k != "arrays"}
                     self._voc_call_params = _folded_bv["arrays"]
                     self._vocoder_fwd = jax.jit(
-                        lambda arrs, mel: bigvgan_apply(
-                            {"arrays": arrs, **_bv_static}, mel.astype(_voc_dtype)
-                        ).astype(jnp.float32)
+                        lambda arrs, mel: _wav_to_i16(
+                            bigvgan_apply({"arrays": arrs, **_bv_static}, mel.astype(_voc_dtype))
+                        )
                     )
                 else:
                     self._voc_call_params = v3_bundle.vocoder_params
-                    self._vocoder_fwd = jax.jit(v3_bundle.vocoder.apply)
+                    self._vocoder_fwd = jax.jit(
+                        lambda p, mel: _wav_to_i16(v3_bundle.vocoder.apply(p, mel))
+                    )
 
             from gpt_sovits_tpu.models.dit import DiT, quantize_dit_params
             from gpt_sovits_tpu.models.v3 import cfm_inference
@@ -850,6 +861,7 @@ class TTSPipeline:
             if t_pad:
                 mel_full = jnp.pad(mel_full, ((0, 0), (0, t_pad), (0, 0)), mode="edge")
             wav = np.asarray(self._vocoder_fwd(self._voc_call_params, mel_full))[0, :, 0]
+            wav = wav.astype(np.float32) / 32767.0  # device fetch is int16 (_wav_to_i16)
             wav = wav[: total * upsample]
             if v3.sr_model is not None and v3.sr_params is not None and super_sampling is not False:
                 from gpt_sovits_tpu.models.apbwe import super_resolve
@@ -933,6 +945,7 @@ class TTSPipeline:
         if bs_pad > bs:
             mel_long = jnp.pad(mel_long, ((0, 0), (0, (bs_pad - bs) * chunk_len), (0, 0)), mode="edge")
         wav = np.asarray(self._vocoder_fwd(self._voc_call_params, denorm_spec(mel_long)))[0, :, 0]
+        wav = wav.astype(np.float32) / 32767.0  # device fetch is int16 (_wav_to_i16)
         wav = wav[: bs * chunk_len * upsample]
 
         frag_len = chunk_len * upsample

@@ -195,15 +195,35 @@ def build_v3_bundle(s2_path: str, vocoder_path: Optional[str], version: str = "v
 
     model, params, version = load_s2(s2_path, version)
     voc, voc_params = load_vocoder(vocoder_path, version)
+    t_chunk = _serving_t_chunk(934 if version == "v3" else 1000)
     if version == "v3":
         return V3Bundle(
             model=model, params=params, vocoder=voc, vocoder_params=voc_params,
-            mel_cfg=MEL_V3, t_ref=468, t_chunk=934, out_sr=24000, sample_steps=sample_steps,
+            mel_cfg=MEL_V3, t_ref=468, t_chunk=t_chunk, out_sr=24000, sample_steps=sample_steps,
         )
     return V3Bundle(
         model=model, params=params, vocoder=voc, vocoder_params=voc_params,
-        mel_cfg=MEL_V4, t_ref=500, t_chunk=1000, out_sr=48000, sample_steps=sample_steps,
+        mel_cfg=MEL_V4, t_ref=500, t_chunk=t_chunk, out_sr=48000, sample_steps=sample_steps,
     )
+
+
+def _serving_t_chunk(ref_value: int) -> int:
+    """CFM window length for serving. The reference uses 934 (v3) /
+    1000 (v4) (TTS.py:619,654) — but on TPU the DiT pads every chunk to
+    the next 512-multiple anyway (flash-attention block + MXU tiling,
+    models/v3.py cfm_inference), so a 934-frame chunk COSTS 1024 frames
+    while only yielding 466 new frames. Serving therefore uses the full
+    tile: t_chunk=1024 gives +19% coverage per chunk at identical
+    per-chunk cost -> fewer CFM chunks per utterance. The DiT is
+    length-agnostic (RoPE + convs) and the reference itself runs the same
+    architecture at 1000 frames for v4. CPU keeps the reference values
+    (no tile padding there). Override with GSVT_T_CHUNK."""
+    env = os.environ.get("GSVT_T_CHUNK")
+    if env:
+        return int(env)
+    if jax.default_backend() == "cpu":
+        return ref_value
+    return 1024
 
 
 def build_pipeline(

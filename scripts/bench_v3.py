@@ -2,8 +2,9 @@
 
 Mirrors the serving pipeline's v3 path end-to-end for a 20 s utterance:
 S1 AR decode (500 tokens, fused kernel) -> decode_encp -> chunked CFM
-(t_chunk 934, rolling t_ref 468 reference window, 32 Euler steps, bf16)
--> lane-folded BigVGAN (bf16). Prints one JSON line like bench.py.
+(tile-aligned t_chunk 1024, rolling t_ref 468 reference window, 32 Euler
+steps, bf16) -> lane-folded BigVGAN (bf16). Prints one JSON line like
+bench.py.
 """
 
 import functools
@@ -28,7 +29,7 @@ N_NEW_TOKENS = 500  # 20 s @ 25 Hz
 PROMPT_TOKENS = 125
 TEXT_LEN = 120
 AUDIO_SECONDS = N_NEW_TOKENS / 25.0
-T_REF, T_CHUNK = 468, 934
+T_REF, T_CHUNK = 468, 1024  # serving's tile-aligned chunk (loaders._serving_t_chunk)
 SAMPLE_STEPS = 32
 
 
@@ -106,8 +107,13 @@ def main():
     bv_params = jax.jit(bv.init)(key, jnp.zeros((b, 64, 100)))
     folded = fold_bigvgan_params(bv_params["params"], bv_cfg, dtype=dtype)
     voc_static = {k: v for k, v in folded.items() if k != "arrays"}
+    # int16 on device before the fetch — serving's wire format
+    # (pipeline._wav_to_i16); halves device->host bytes
+    def _to_i16(w):
+        return (jnp.clip(w, -1.0, 1.0).astype(jnp.float32) * 32767.0).astype(jnp.int16)
+
     voc = jax.jit(
-        lambda arrs, mel: bigvgan_apply({"arrays": arrs, **voc_static}, mel.astype(dtype)).astype(jnp.float32)
+        lambda arrs, mel: _to_i16(bigvgan_apply({"arrays": arrs, **voc_static}, mel.astype(dtype)))
     )
 
     # one utterance, mirroring pipeline._synthesize_v3_batch: the S1 codes
@@ -148,7 +154,8 @@ def main():
         t_pad = -mel_full.shape[1] % 256  # serving's vocoder time bucket
         if t_pad:
             mel_full = jnp.pad(mel_full, ((0, 0), (0, t_pad), (0, 0)), mode="edge")
-        return np.asarray(voc(folded["arrays"], mel_full))[:, : total * upsample]
+        w = np.asarray(voc(folded["arrays"], mel_full)).astype(np.float32) / 32767.0
+        return w[:, : total * upsample]
 
     # ---- batched parallel path (reference parallel_infer default,
     # TTS.py:1496-1635): overlapped chunks -> ONE batched CFM call ->
@@ -183,7 +190,7 @@ def main():
         mel_long = mel_out[:bs, T_REF:].reshape(1, bs * chunk_len, -1)
         if bs_pad > bs:
             mel_long = jnp.pad(mel_long, ((0, 0), (0, (bs_pad - bs) * chunk_len), (0, 0)), mode="edge")
-        return bigvgan_apply({"arrays": arrs, **voc_static}, mel_long.astype(dtype)).astype(jnp.float32)
+        return _to_i16(bigvgan_apply({"arrays": arrs, **voc_static}, mel_long.astype(dtype)))
 
     def synth_parallel(k, timing=None, n_steps=SAMPLE_STEPS):
         t0 = time.perf_counter()
@@ -214,7 +221,7 @@ def main():
         # device->host fetch is timed separately: over the attached-TPU
         # tunnel it costs hundreds of ms for ~1.4 MB and would be ~0.5 ms
         # over local PCIe — it is a harness artifact, not serving compute
-        wav = np.asarray(wav_dev)[0, :, 0]
+        wav = np.asarray(wav_dev)[0, :, 0].astype(np.float32) / 32767.0
         t4b = time.perf_counter()
         frag = chunk_len * upsample
         fragments = [wav[i * frag : (i + 1) * frag] for i in range(bs)]
