@@ -43,14 +43,14 @@ def cmd_slice(args):
 
 
 def cmd_denoise(args):
-    from gpt_sovits_tpu.corpus.denoise import spectral_gate
+    from gpt_sovits_tpu.corpus.denoise import denoise
     from gpt_sovits_tpu.dsp.audio_io import load_wav, save_wav
 
     os.makedirs(args.out_dir, exist_ok=True)
     names = [f for f in os.listdir(args.in_dir) if f.lower().endswith(".wav")]
     for name in names:
         wav, sr = load_wav(os.path.join(args.in_dir, name))
-        save_wav(os.path.join(args.out_dir, name), spectral_gate(wav, sr), sr)
+        save_wav(os.path.join(args.out_dir, name), denoise(wav, sr, args.ckpt), sr)
     print(f"denoised {len(names)} files -> {args.out_dir}")
 
 
@@ -211,6 +211,9 @@ def cmd_download(args):
     if args.asr:
         print(dl.download_asr(os.path.join(args.dest, "asr_models"), languages=tuple(args.asr)))
         did = True
+    if args.frcrn:
+        print(dl.download_frcrn(args.dest))
+        did = True
     if not did:
         dl.download_all(args.dest)
 
@@ -291,6 +294,7 @@ def main(argv=None):
     s = sub.add_parser("denoise")
     s.add_argument("--in-dir", required=True)
     s.add_argument("--out-dir", required=True)
+    s.add_argument("--ckpt", default=None, help="FRCRN pytorch_model.bin (default: $GSVT_FRCRN_CKPT, else spectral gate)")
     s.set_defaults(fn=cmd_denoise)
 
     s = sub.add_parser("prepare")
@@ -412,6 +416,7 @@ def main(argv=None):
     s.add_argument("--g2pw", action="store_true", help="G2PWModel bundle for zh polyphone g2p")
     s.add_argument("--uvr5", action="store_true", help="UVR5 separation weights bundle")
     s.add_argument("--asr", nargs="*", metavar="LANG", help="prefetch funasr models (e.g. --asr zh)")
+    s.add_argument("--frcrn", action="store_true", help="FRCRN denoiser checkpoint (cli denoise --ckpt)")
     s.set_defaults(fn=cmd_download)
 
     s = sub.add_parser("separate", help="UVR5 vocal separation (roformer/vr/mdx/hpss)")

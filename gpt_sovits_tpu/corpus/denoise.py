@@ -1,12 +1,20 @@
 """Denoising for corpus preparation.
 
-Counterpart of tools/cmd-denoise.py (modelscope FRCRN pipeline). The
-modelscope model is optional; `spectral_gate` is a self-contained
-noise-profile spectral-subtraction denoiser that covers the common case
-(steady background noise) without external weights.
+Counterpart of tools/cmd-denoise.py (modelscope FRCRN pipeline). Three
+tiers, best available wins (`denoise` dispatches):
+  1. native FRCRN (models/frcrn.py, flax) when a checkpoint is present —
+     the same model family the reference downloads via modelscope
+     (damo/speech_frcrn_ans_cirm_16k), no modelscope required;
+  2. the modelscope pipeline itself when installed (`denoise_modelscope`);
+  3. `spectral_gate`, a self-contained noise-profile spectral-subtraction
+     denoiser that covers the common case (steady background noise)
+     without any external weights.
 """
 
 from __future__ import annotations
+
+import os
+from typing import Optional
 
 import numpy as np
 
@@ -57,6 +65,38 @@ def spectral_gate(
         wsum[s : s + n_fft] += win * win
     out = out / np.maximum(wsum, 1e-8)
     return out[pad : pad + len(wav)]
+
+
+_FRCRN_CACHE: dict = {}
+
+
+def denoise_frcrn(wav: np.ndarray, sr: int, ckpt_path: str) -> np.ndarray:
+    """Denoise with the native FRCRN (models/frcrn.py). Resamples to the
+    model's 16 kHz, runs the complex-mask network, resamples back."""
+    import jax.numpy as jnp
+
+    from gpt_sovits_tpu.dsp.audio_io import resample
+
+    if ckpt_path not in _FRCRN_CACHE:
+        from gpt_sovits_tpu.models.frcrn import load_frcrn
+
+        _FRCRN_CACHE.clear()  # one model at a time: corpus tools are batch jobs
+        _FRCRN_CACHE[ckpt_path] = load_frcrn(ckpt_path)
+    model, params = _FRCRN_CACHE[ckpt_path]
+    wav = np.asarray(wav, np.float32)
+    x = resample(wav, sr, 16000) if sr != 16000 else wav
+    out, _ = model.apply(params, jnp.asarray(x[None]))
+    out = np.asarray(out)[0]
+    return resample(out, 16000, sr)[: len(wav)] if sr != 16000 else out
+
+
+def denoise(wav: np.ndarray, sr: int, ckpt_path: Optional[str] = None) -> np.ndarray:
+    """Best-available denoise: FRCRN when a checkpoint is given (or found
+    at $GSVT_FRCRN_CKPT), spectral gate otherwise."""
+    ckpt_path = ckpt_path or os.environ.get("GSVT_FRCRN_CKPT")
+    if ckpt_path and os.path.exists(ckpt_path):
+        return denoise_frcrn(wav, sr, ckpt_path)
+    return spectral_gate(wav, sr)
 
 
 def denoise_modelscope(wav_path: str, out_path: str) -> str:

@@ -198,9 +198,9 @@ class TrainingService:
             for fn in sorted(os.listdir(raw_dir)):
                 wav, sr = load_wav(os.path.join(raw_dir, fn))
                 if denoise:
-                    from gpt_sovits_tpu.corpus.denoise import spectral_gate
+                    from gpt_sovits_tpu.corpus.denoise import denoise as _denoise
 
-                    wav = spectral_gate(wav, sr)
+                    wav = _denoise(wav, sr)
                 chunks = Slicer(sr, threshold=-34.0, min_length=4000, min_interval=300, hop_size=10, max_sil_kept=500).slice(wav)
                 base = os.path.splitext(fn)[0]
                 for i, c in enumerate(chunks):

@@ -77,6 +77,10 @@ G2PW_URL = "https://www.modelscope.cn/models/kamiorinn/g2pw/resolve/master/G2PWM
 # --download-uvr5 in the reference
 UVR5_URL = "https://huggingface.co/XXXXRT/GPT-SoVITS-Pretrained/resolve/main/uvr5_weights.zip"
 
+# FRCRN denoiser checkpoint (tools/cmd-denoise.py's model, fetched by the
+# reference via modelscope) — consumed by models/frcrn.py:load_frcrn
+FRCRN_URL = "https://www.modelscope.cn/models/damo/speech_frcrn_ans_cirm_16k/resolve/master/pytorch_model.bin"
+
 # funasr ASR models resolve by modelscope id at runtime
 # (tools/asr/funasr_asr.py:25-50); listed here so `download --asr` can
 # prefetch them when modelscope is installed
@@ -123,6 +127,18 @@ def download_g2pw(dest_dir: str = "pretrained_models", *, progress: bool = True)
 def download_uvr5(dest_dir: str = "uvr5_weights", *, progress: bool = True) -> str:
     """Fetch + extract the UVR5 separation weights bundle."""
     return _fetch_zip(UVR5_URL, dest_dir, "uvr5_weights", progress)
+
+
+def download_frcrn(dest_dir: str = "pretrained_models", *, progress: bool = True) -> str:
+    """Fetch the FRCRN denoiser checkpoint; returns the .bin path to pass
+    to `cli denoise --ckpt` (or export as GSVT_FRCRN_CKPT)."""
+    os.makedirs(dest_dir, exist_ok=True)
+    path = os.path.join(dest_dir, "speech_frcrn_ans_cirm_16k.bin")
+    if not os.path.exists(path):
+        urllib.request.urlretrieve(FRCRN_URL, path)
+    if progress:
+        print(f"frcrn: done -> {path}")
+    return path
 
 
 def download_asr(dest_dir: str = "asr_models", languages=("zh",), *, progress: bool = True) -> dict[str, str]:
