@@ -167,10 +167,132 @@ def _make_folded_kernel(tile_q: int, R: int, ch: int, hx_l: int, hx: int, hu: in
                 u_o = u_o + (2.0 * float(f[2 * j])) * sh
         s_e = _snake(u_e, aR, bR)
         s_o = _snake(u_o, aR, bR)
+        # y-phase shift sharing: s_e's offsets are s_o's plus one ch, so
+        # pre-shift s_e by ch ONCE, then y = Σ_j shift_{j·ch}(f[2j+1]·se1
+        # + f[2j]·s_o) — 7 shifts instead of 12 (same trick as the u-phase)
+        n_z = n_u - 1
+        se1 = fsh(s_e, 0, n_z, ch)
         y = jnp.zeros((tile_q, R), jnp.float32)
         for j in range(6):
-            y = y + float(f[2 * j + 1]) * fsh(s_e, hu, tile_q, (j + 1) * ch)
-            y = y + float(f[2 * j]) * fsh(s_o, hu, tile_q, j * ch)
+            z = float(f[2 * j + 1]) * se1 + float(f[2 * j]) * s_o[:n_z]
+            y = y + fsh(z, hu, tile_q, j * ch)
+        y_ref[0] = y.astype(y_ref.dtype)
+
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# matmul (MXU) variant of the folded kernel: the shift-based kernel above is
+# VPU-compute-bound (~45 vector ops per element across 19 lane-rolls + 24
+# FIR MACs; trace-timed ~0.9 ms per snake at Q=22k, R=384 — only ~5% of the
+# HBM-bandwidth bound). Both FIR phases are linear maps with STATIC taps, so
+# they can run on the MXU instead, leaving only the sin on the VPU:
+#   r == 1  (shift = whole rows): time-direction banded Toeplitz matrices,
+#           [u_e; u_o] = A @ x_tile,  y = B @ snake([u_e; u_o])
+#   r >= 2  (shift = δ·ch lanes + row carry): per-row-offset lane-mixing
+#           matrices, [u_e | u_o] = Σ_i x[rows-i] @ Mu_i,
+#                                y = Σ_i s[rows+i] @ Md_i
+# The band matrices are mostly zeros (≤12 useful taps per output), but MXU
+# throughput is ~2 orders over the VPU, so the dense-matmul waste still wins
+# 2-4x end to end (measured per stage in scripts/profile_snake.py).
+# ---------------------------------------------------------------------------
+
+
+def _mm_mats_r1(n_u: int, rows: int, tile_q: int, hx_l: int, hu: int) -> tuple[np.ndarray, np.ndarray]:
+    """Left-multiply Toeplitz matrices for the r == 1 (shift = rows) case."""
+    f = _filter()
+    base = hx_l - hu
+    A = np.zeros((2 * n_u, rows), np.float64)
+    for q in range(n_u):
+        for j in range(1, 7):
+            A[q, base + q - j] += 2.0 * f[2 * j - 1]
+        for j in range(6):
+            A[n_u + q, base + q - j] += 2.0 * f[2 * j]
+    B = np.zeros((tile_q, 2 * n_u), np.float64)
+    for q in range(tile_q):
+        for j in range(6):
+            B[q, hu + q + j + 1] += f[2 * j + 1]
+            B[q, n_u + hu + q + j] += f[2 * j]
+    return A, B
+
+
+def _mm_mats_rn(R: int, ch: int, hu: int) -> tuple[np.ndarray, np.ndarray]:
+    """Right-multiply lane-mixing matrices for r >= 2.
+
+    Mu[i]: (R, 2R), u[q', l(+R)] += x[base+q'-i, l_src] · Mu[i][l_src, ·]
+    Md[i]: (2R, R), y[q, l] += s[hu+q+i, l_src(+R)] · Md[i][l_src, l]
+    """
+    f = _filter()
+    Mu = np.zeros((hu + 1, R, 2 * R), np.float64)
+    Md = np.zeros((hu + 1, 2 * R, R), np.float64)
+    for l in range(R):
+        for j in range(1, 7):  # u_e taps x at -j·ch
+            src = l - j * ch
+            l_src = src % R  # python %: always in [0, R)
+            i = (l_src - src) // R  # rows back from the current row
+            Mu[i, l_src, l] += 2.0 * f[2 * j - 1]
+        for j in range(6):  # u_o taps x at -j·ch
+            src = l - j * ch
+            l_src = src % R
+            i = (l_src - src) // R
+            Mu[i, l_src, R + l] += 2.0 * f[2 * j]
+        for j in range(6):  # y taps s_e at +(j+1)·ch, s_o at +j·ch
+            src = l + (j + 1) * ch
+            i, l_src = src // R, src % R
+            Md[i, l_src, l] += f[2 * j + 1]
+            src = l + j * ch
+            i, l_src = src // R, src % R
+            Md[i, R + l_src, l] += f[2 * j]
+    return Mu, Md
+
+
+def _make_folded_mm_kernel(tile_q: int, R: int, ch: int, hx_l: int, hx: int, hu: int, r: int):
+    n_u = tile_q + 2 * hu + 1
+    base = hx_l - hu
+
+    def kernel(x_hbm, ab_ref, mu_ref, md_ref, y_ref, xl_ref, sem):
+        bi = pl.program_id(0)
+        qi = pl.program_id(1)
+        nq = pl.num_programs(1)
+        rows = tile_q + hx_l + hx
+
+        def dma(q, slot):
+            return pltpu.make_async_copy(
+                x_hbm.at[bi, pl.ds(q * tile_q, rows), :], xl_ref.at[slot], sem.at[slot]
+            )
+
+        @pl.when(qi == 0)
+        def _():
+            dma(0, 0).start()
+
+        @pl.when(qi + 1 < nq)
+        def _():
+            dma(qi + 1, (qi + 1) % 2).start()
+
+        dma(qi, qi % 2).wait()
+        x = xl_ref[qi % 2]  # (rows, R), compute dtype (matmuls on MXU)
+        if r == 1:
+            # A: (2n_u, rows)  B: (tile_q, 2n_u) — time-Toeplitz
+            u = jnp.dot(mu_ref[0], x, preferred_element_type=jnp.float32)
+            a = ab_ref[0, :R][None, :]
+            b = ab_ref[1, :R][None, :]
+            s = _snake(u, a, b).astype(x.dtype)
+            y = jnp.dot(md_ref[0], s, preferred_element_type=jnp.float32)
+        else:
+            # Mu: (hu+1, R, 2R)  Md: (hu+1, 2R, R) — lane-mixing
+            u = jnp.dot(x[base - 0 : base + n_u], mu_ref[0], preferred_element_type=jnp.float32)
+            for i in range(1, hu + 1):
+                u = u + jnp.dot(
+                    x[base - i : base - i + n_u], mu_ref[i], preferred_element_type=jnp.float32
+                )
+            a = ab_ref[0][None, :]
+            b = ab_ref[1][None, :]
+            s = _snake(u, a, b).astype(x.dtype)
+            y = jnp.dot(s[hu : hu + tile_q], md_ref[0], preferred_element_type=jnp.float32)
+            for i in range(1, hu + 1):
+                y = y + jnp.dot(
+                    s[hu + i : hu + i + tile_q], md_ref[i], preferred_element_type=jnp.float32
+                )
         y_ref[0] = y.astype(y_ref.dtype)
 
     return kernel
@@ -185,6 +307,7 @@ def snake_aa_folded(
     ch: int,
     logscale: bool = True,
     tile_q: int | None = None,
+    impl: str | None = None,  # "mm" (default) | "shift"; GSVT_SNAKE_IMPL overrides
 ) -> jnp.ndarray:
     B, Q, R = x.shape
     assert R == r * ch, (R, r, ch)
@@ -200,10 +323,25 @@ def snake_aa_folded(
         xu = x.reshape(B, Q * r, ch)
         return _xla_compose(xu.astype(jnp.float32), a, b).astype(x.dtype).reshape(B, Q, R)
 
+    import os
+
+    if impl is None:
+        impl = os.environ.get("GSVT_SNAKE_IMPL", "auto")
+    if impl == "auto":
+        # measured per stage (scripts/profile_snake.py, v5e): the matmul
+        # kernel wins where its FLOP waste is low — r==1 (time-Toeplitz,
+        # dense cols ≈ 2·taps) and hu==1 (one row-offset pair) — while the
+        # shift kernel stays ahead at r=2/4 (hu 3/2 ⇒ 3-4x matmul FLOPs)
+        impl = "mm" if (r == 1 or -(-6 // r) == 1) else "shift"
     if tile_q is None:
-        # VMEM per tile ~ (2 in-buffers + 4 f32 streams + out) * tile * R;
-        # 512 rows at R=384 stays ~5 MB and halves the grid-step count
-        tile_q = 512 if R <= 384 else (256 if R <= 512 else 128)
+        if impl == "mm":
+            # matmul streams are leaner in VMEM (u/s only, no shift temps);
+            # bigger tiles amortize the per-grid-step matrix reload
+            tile_q = 512 if R <= 512 else 256
+        else:
+            # VMEM per tile ~ (2 in-buffers + 4 f32 streams + out) * tile * R;
+            # 512 rows at R=384 stays ~5 MB and halves the grid-step count
+            tile_q = 512 if R <= 384 else (256 if R <= 512 else 128)
     tile_q = min(tile_q, -(-Q // 8) * 8)
     q_pad = -Q % tile_q
     # DMA slice row counts must be 8-aligned (Mosaic sublane tiling):
@@ -217,22 +355,53 @@ def snake_aa_folded(
     xp = jnp.concatenate([first, x, last], axis=1)
     ab = jnp.stack([jnp.tile(a, r), jnp.tile(b, r)]).astype(jnp.float32)  # (2, R)
 
-    out = pl.pallas_call(
-        _make_folded_kernel(tile_q, R, ch, hx_l, hx, hu),
-        out_shape=jax.ShapeDtypeStruct((B, Q + q_pad, R), x.dtype),
-        grid=(B, (Q + q_pad) // tile_q),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # full padded x in HBM
-            pl.BlockSpec((2, R), lambda bi, qi: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, tile_q, R), lambda bi, qi: (bi, qi, 0), memory_space=pltpu.VMEM
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((2, tile_q + hx_l + hx, R), x.dtype),  # double buffer
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-    )(xp, ab)
+    if impl == "mm":
+        rows = tile_q + hx_l + hx
+        n_u = tile_q + 2 * hu + 1
+        if r == 1:
+            A, Bm = _mm_mats_r1(n_u, rows, tile_q, hx_l, hu)
+            mu = jnp.asarray(A[None], x.dtype)  # (1, 2n_u, rows)
+            md = jnp.asarray(Bm[None], x.dtype)  # (1, tile_q, 2n_u)
+        else:
+            Mu, Md = _mm_mats_rn(R, ch, hu)
+            mu = jnp.asarray(Mu, x.dtype)  # (hu+1, R, 2R)
+            md = jnp.asarray(Md, x.dtype)  # (hu+1, 2R, R)
+            ab = jnp.concatenate([ab, ab], axis=1)  # (2, 2R): [u_e | u_o]
+        out = pl.pallas_call(
+            _make_folded_mm_kernel(tile_q, R, ch, hx_l, hx, hu, r),
+            out_shape=jax.ShapeDtypeStruct((B, Q + q_pad, R), x.dtype),
+            grid=(B, (Q + q_pad) // tile_q),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),  # full padded x in HBM
+                pl.BlockSpec(ab.shape, lambda bi, qi: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(mu.shape, lambda bi, qi: (0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(md.shape, lambda bi, qi: (0, 0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, tile_q, R), lambda bi, qi: (bi, qi, 0), memory_space=pltpu.VMEM
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, rows, R), x.dtype),  # double buffer
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        )(xp, ab, mu, md)
+    else:
+        out = pl.pallas_call(
+            _make_folded_kernel(tile_q, R, ch, hx_l, hx, hu),
+            out_shape=jax.ShapeDtypeStruct((B, Q + q_pad, R), x.dtype),
+            grid=(B, (Q + q_pad) // tile_q),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),  # full padded x in HBM
+                pl.BlockSpec((2, R), lambda bi, qi: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, tile_q, R), lambda bi, qi: (bi, qi, 0), memory_space=pltpu.VMEM
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, tile_q + hx_l + hx, R), x.dtype),  # double buffer
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        )(xp, ab)
     out = out[:, :Q]
 
     # exact edge stitch: the fused interior formula extends through
