@@ -130,7 +130,7 @@ def cmd_tts(args):
         s1_path=args.s1, s2_path=args.s2, version=args.version,
         hubert_path=args.hubert, bert_path=args.bert, sv_path=args.sv,
     )
-    pipe.set_ref_audio(args.ref_audio, ref_text=args.ref_text)
+    pipe.set_ref_audio(args.ref_audio, ref_text=args.ref_text, ref_lang=args.ref_lang)
     sr, audio = pipe.run(args.text, args.lang, seed=args.seed, cut_method=args.cut)
     save_wav(args.output, audio.astype(np.float32) / 32768.0, sr)
     print(f"wrote {args.output} ({len(audio) / sr:.2f}s @ {sr} Hz)")
@@ -347,6 +347,7 @@ def main(argv=None):
     s.add_argument("--lang", default="auto")
     s.add_argument("--ref-audio", required=True)
     s.add_argument("--ref-text")
+    s.add_argument("--ref-lang", default="auto", help="prompt transcript language mode")
     s.add_argument("--output", default="output.wav")
     s.add_argument("--seed", type=int, default=0)
     s.add_argument("--cut", default="cut5")

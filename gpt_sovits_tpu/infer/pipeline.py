@@ -22,6 +22,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import os
+import re
 from typing import Any, Generator, Optional
 
 import jax
@@ -37,7 +38,7 @@ from gpt_sovits_tpu.models.t2s import T2SDecoder, generate
 from gpt_sovits_tpu.models.vits import SynthesizerTrn
 from gpt_sovits_tpu.text import cleaned_text_to_sequence
 from gpt_sovits_tpu.text.cleaner import clean_text
-from gpt_sovits_tpu.text.lang_segmenter import segment as lang_segment
+from gpt_sovits_tpu.text.lang_segmenter import runs_for_language
 from gpt_sovits_tpu.text.segmentation import get_method, split_big_text
 from gpt_sovits_tpu.utils.config import InferenceConfig, MelConfig
 
@@ -391,12 +392,15 @@ class TTSPipeline:
             sv_emb = np.asarray(self.sv.apply(self.sv_params, feat))[0]
         return spec.astype(np.float32), sv_emb
 
-    def set_ref_audio(self, wav, sr: Optional[int] = None, ref_text: Optional[str] = None, aux_wavs=None):
+    def set_ref_audio(self, wav, sr: Optional[int] = None, ref_text: Optional[str] = None, aux_wavs=None, ref_lang: str = "auto"):
         """wav: path or float array. Extracts and caches prompt features.
 
         aux_wavs: optional list of paths or (wav, sr) pairs — auxiliary
         references for multi-speaker tone fusion (aux_ref_audio_paths,
-        TTS.py:1098-1109); missing paths are skipped like the reference."""
+        TTS.py:1098-1109); missing paths are skipped like the reference.
+        ref_lang: language mode for the prompt transcript (the reference
+        runs prompt text through the same get_phones_and_bert with
+        prompt_lang, TTS.py:1120-1127)."""
         if isinstance(wav, str):
             wav, sr = load_wav(wav)
         assert sr is not None, "sr required for array input"
@@ -458,7 +462,7 @@ class TTSPipeline:
             ge=ge,
         )
         if ref_text:
-            phones, _, norm = self._g2p_segment(ref_text, "auto")
+            phones, _, norm = self._g2p_segment(ref_text, ref_lang)
             self.ref.prompt_phones = phones
             self.ref.prompt_norm_text = norm
         return self.ref
@@ -468,11 +472,15 @@ class TTSPipeline:
     # ------------------------------------------------------------------
 
     def _g2p_segment(self, text: str, language: str):
-        """One text segment -> (phone ids, bert features (T,1024), norm)."""
-        if language in ("auto", "auto_yue"):
-            runs = lang_segment(text)
-        else:
-            runs = [{"lang": language.replace("all_", ""), "text": text}]
+        """One text segment -> (phone ids, bert features (T,1024), norm).
+
+        Language-mode routing follows the reference exactly
+        (TextPreprocessor.py:122-170): named CJK modes mean *mixed with
+        English* (latin runs peel out to the en g2p, CJK runs take the
+        user-declared language), ``all_*`` modes still peel latin, and
+        ``en`` sends the whole text through English g2p."""
+        text = re.sub(r" {2,}", " ", text)
+        runs = runs_for_language(text, language)
         phones_all: list[int] = []
         bert_chunks: list[np.ndarray] = []
         norm_all: list[str] = []

@@ -115,6 +115,7 @@ class TTSService:
     def __init__(self, pipeline, *, weight_loader: Optional[Callable] = None):
         self.pipeline = pipeline
         self.weight_loader = weight_loader
+        self._ref_key = None  # (path, aux, prompt_text, prompt_lang) prompt-cache key
         self._ref_path = None
         self._aux_paths: tuple = ()
         # legacy api.py default reference (DefaultRefer, api.py:177)
@@ -169,7 +170,8 @@ class TTSService:
                 self.weight_loader("gpt", entry["gpt_weights"])
             if entry["sovits_weights"]:
                 self.weight_loader("sovits", entry["sovits_weights"])
-            self._ref_path = None  # prompt cache belongs to the old weights
+            self._ref_key = None  # prompt cache belongs to the old weights
+            self._ref_path = None
             self._aux_paths = ()
             self.current_speaker = spk
         if entry["refer_wav_path"]:
@@ -274,10 +276,14 @@ class TTSService:
         if isinstance(aux, str):
             aux = [p for p in aux.split(",") if p]
         aux = tuple(aux)
-        if ref_path != self._ref_path or aux != getattr(self, "_aux_paths", ()):
+        ptext = req.get("prompt_text") or None
+        plang = (req.get("prompt_lang") or "auto").lower()
+        key = (ref_path, aux, ptext, plang)
+        if key != getattr(self, "_ref_key", None):
             self.pipeline.set_ref_audio(
-                ref_path, ref_text=req.get("prompt_text") or None, aux_wavs=list(aux) or None
+                ref_path, ref_text=ptext, aux_wavs=list(aux) or None, ref_lang=plang
             )
+            self._ref_key = key
             self._ref_path = ref_path
             self._aux_paths = aux
 
@@ -335,6 +341,7 @@ class TTSService:
                 return 400, json.dumps({"message": str(e)}).encode(), "application/json"
             except Exception as e:  # TTS.py:1352-1363 — recover and report
                 self.pipeline.recover()
+                self._ref_key = None
                 self._ref_path = None
                 self._aux_paths = ()
                 return 500, json.dumps({"message": f"internal error (recovered): {e}"}).encode(), "application/json"
@@ -353,6 +360,7 @@ class TTSService:
         try:
             with self.lock:
                 self.pipeline.set_ref_audio(path)
+                self._ref_key = (path, (), None, "auto")
                 self._ref_path = path
                 self._aux_paths = ()
             return 200, json.dumps({"message": "success"}).encode(), "application/json"
@@ -369,6 +377,7 @@ class TTSService:
                 # spk=<current> request must re-swap, and the prompt cache
                 # belongs to the old weights
                 self.current_speaker = None
+                self._ref_key = None
                 self._ref_path = None
                 self._aux_paths = ()
             return 200, json.dumps({"message": "success"}).encode(), "application/json"

@@ -212,7 +212,7 @@ def tool_tts(p: dict, log) -> None:
                                   hubert_path=p.get("hubert"), bert_path=p.get("bert"), sv_path=p.get("sv"))
             _TTS_CACHE.clear()
             _TTS_CACHE[key] = pipe
-        pipe.set_ref_audio(p["ref_audio"], ref_text=p.get("ref_text"))
+        pipe.set_ref_audio(p["ref_audio"], ref_text=p.get("ref_text"), ref_lang=p.get("ref_lang", "auto"))
         sr, audio = pipe.run(p["text"], p.get("lang", "auto"), seed=int(p.get("seed", 0)),
                              cut_method=p.get("cut", "cut5"))
     out = p.get("output") or os.path.join(os.path.dirname(p["ref_audio"]), "webui_tts.wav")

@@ -264,3 +264,33 @@ def test_speaker_weight_swap(server, tmp_path):
     code, body, _ = _get(base + "/tts?" + q)
     assert code == 200, body
     assert len(swaps) == n_swaps
+
+
+def test_tts_mixed_language_zh_mode(server, monkeypatch):
+    """text_lang=zh on text with embedded English must route latin runs to
+    the en g2p (reference get_phones_and_bert, TextPreprocessor.py:158-169)
+    and still produce audio over the full api_v2 contract."""
+    import urllib.parse
+
+    from gpt_sovits_tpu.infer import pipeline as pl
+
+    seen = []
+    orig = pl.runs_for_language
+
+    def spy(text, language):
+        runs = orig(text, language)
+        seen.append((language, runs))
+        return runs
+
+    monkeypatch.setattr(pl, "runs_for_language", spy)
+    base, ref, _ = server
+    q = urllib.parse.urlencode(
+        {"text": "我在用iPhone工作", "text_lang": "zh", "ref_audio_path": ref, "seed": 3, "max_sec": 2}
+    )
+    code, body, ctype = _get(base + "/tts?" + q)
+    assert code == 200, body
+    assert ctype == "audio/wav" and body[:4] == b"RIFF"
+    zh_calls = [runs for lang, runs in seen if lang == "zh"]
+    assert zh_calls, f"no zh-mode segmentation observed: {seen}"
+    langs = [r["lang"] for r in zh_calls[0]]
+    assert "en" in langs and "zh" in langs, langs
