@@ -1,34 +1,37 @@
 """Benchmark: zero-shot synthesis throughput on one TPU chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
-Measures the full v2 zero-shot compute path with production-size models
+Headline metric is **v2ProPlus** RTF — the config behind the reference's
+published numbers (README.md:46-47: RTF 0.028 on RTX 4060 Ti, 0.014 on
+RTX 4090), so vs_baseline is apples-to-apples. The same line carries v2
+and v2Pro RTF for continuity with earlier rounds.
+
+Measures the full zero-shot compute path with production-size models
 (S1: 24L/512d AR decode with KV cache + on-device sampling; S2: VQ decode
--> TextEncoder/MRTE -> flow reverse -> MRF HiFiGAN x640 upsample), and
-reports RTF (seconds of compute per second of audio synthesized).
-
-Baseline: reference v2ProPlus RTF 0.028 on RTX 4060 Ti (README.md:46-47;
-BASELINE.md). vs_baseline = baseline_rtf / our_rtf (>1 means faster than
-the reference's published number).
+-> TextEncoder/MRTE -> flow reverse -> MRF HiFiGAN upsample; Pro versions
+add the 20480-d sv_emb fuse, models.py:895-911). The S1 stage is shared
+across S2 versions, timed once, and summed into each version's RTF.
 
 Weights are random (no pretrained checkpoints in this environment) — the
 compute graph, shapes and dtypes match the real model, which is what
 determines throughput.
 """
 
+import functools
 import json
 import time
 
 import jax
 import jax.numpy as jnp
 
-# Persistent compilation cache: first-ever bench pays ~6 min of XLA compile
-# for the S2 graph; subsequent runs (including the driver's) load from cache.
+# Persistent compilation cache: first-ever bench pays XLA compile for the
+# S2 graphs; subsequent runs (including the driver's) load from cache.
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
-BASELINE_RTF = 0.028
+BASELINE_RTF = 0.028  # reference v2ProPlus, RTX 4060 Ti (README.md:46-47)
 
 # benchmark scenario: 20 s of speech (500 semantic tokens @ 25 Hz)
 N_NEW_TOKENS = 500
@@ -40,9 +43,8 @@ AUDIO_SECONDS = N_NEW_TOKENS / 25.0
 def main():
     from gpt_sovits_tpu.models.t2s import T2SDecoder, generate
     from gpt_sovits_tpu.models.vits import SynthesizerTrn
+    from gpt_sovits_tpu.ops.folded_conv import fold_generator_params, generator_apply
     from gpt_sovits_tpu.utils.config import S1Config, s2_config_for_version
-
-    import functools
 
     dtype = jnp.bfloat16
     s1_cfg = S1Config()
@@ -50,22 +52,13 @@ def main():
     key = jax.random.PRNGKey(0)
     s1_params = jax.jit(functools.partial(s1.init, method=T2SDecoder.init_all))(key)
 
-    s2_cfg = s2_config_for_version("v2")
-    s2 = SynthesizerTrn(s2_cfg)
     b = 1
     text = jnp.zeros((b, TEXT_LEN), jnp.int32)
     text_lengths = jnp.full((b,), TEXT_LEN, jnp.int32)
-    refer_spec = jax.random.normal(key, (b, 250, s2_cfg.spec_channels)) * 0.3 + 1.0
-    refer_lengths = jnp.full((b,), 250, jnp.int32)
-    s2_params = jax.jit(functools.partial(s2.init, method=SynthesizerTrn.init_all))(
-        {"params": key, "noise": key, "slice": key},
-        jnp.zeros((b, 100, s2_cfg.ssl_dim)),
-        refer_spec, refer_lengths, text, text_lengths,
-    )
-
     phones = jnp.zeros((b, TEXT_LEN), jnp.int32)
     bert = jnp.zeros((b, TEXT_LEN, s1_cfg.bert_dim), dtype)
     prompt = jnp.zeros((b, PROMPT_TOKENS), jnp.int32)
+    codes_lengths = jnp.full((b,), N_NEW_TOKENS, jnp.int32)
 
     def s1_step(k):
         return generate(
@@ -78,49 +71,79 @@ def main():
             use_fused_kernel=True,  # Pallas fused decode step
         )
 
-    codes = jnp.zeros((b, N_NEW_TOKENS), jnp.int32)
-    codes_lengths = jnp.full((b,), N_NEW_TOKENS, jnp.int32)
-
-    from gpt_sovits_tpu.ops.folded_conv import fold_generator_params, generator_apply
-
-    # bf16 vocoder — the serving default (pipeline half=True, mirroring the
-    # reference's is_half fp16 default)
-    folded_dec = fold_generator_params(s2_params["params"]["dec"], s2_cfg, dtype=dtype)
-
-    # params ride as jit ARGUMENTS (closure arrays serialize into the HLO)
-    @jax.jit
-    def s2_step(params, dec_arrays, codes):
-        z, ge = s2.apply(
-            params, codes, codes_lengths, text, text_lengths,
-            refer_spec, refer_lengths, method=SynthesizerTrn.decode_latent,
+    def build_version(version: str):
+        s2_cfg = s2_config_for_version(version)
+        s2 = SynthesizerTrn(s2_cfg)
+        refer_spec = jax.random.normal(key, (b, 250, s2_cfg.spec_channels)) * 0.3 + 1.0
+        refer_lengths = jnp.full((b,), 250, jnp.int32)
+        sv_emb = (
+            jax.random.normal(key, (b, 20480), jnp.float32) if s2_cfg.is_pro else None
         )
-        dec = {"arrays": dec_arrays, **{k: v for k, v in folded_dec.items() if k != "arrays"}}
-        return generator_apply(dec, z.astype(dtype), ge.astype(dtype)).astype(jnp.float32)
+        init_args = [
+            jnp.zeros((b, 100, s2_cfg.ssl_dim)), refer_spec, refer_lengths,
+            text, text_lengths,
+        ]
+        s2_params = jax.jit(
+            functools.partial(s2.init, method=SynthesizerTrn.init_all)
+        )({"params": key, "noise": key, "slice": key}, *init_args, sv_emb=sv_emb)
 
-    # warmup / compile
-    wav = s2_step(s2_params, folded_dec["arrays"], s1_step(jax.random.PRNGKey(1)).tokens[:, :N_NEW_TOKENS])
-    jax.block_until_ready(wav)
+        folded_dec = fold_generator_params(s2_params["params"]["dec"], s2_cfg, dtype=dtype)
+        dec_static = {k: v for k, v in folded_dec.items() if k != "arrays"}
 
-    # Each utterance blocks before the next is submitted: a single trailing
+        @jax.jit
+        def s2_step(params, dec_arrays, codes):
+            z, ge = s2.apply(
+                params, codes, codes_lengths, text, text_lengths,
+                refer_spec, refer_lengths, sv_emb=sv_emb,
+                method=SynthesizerTrn.decode_latent,
+            )
+            dec = {"arrays": dec_arrays, **dec_static}
+            return generator_apply(dec, z.astype(dtype), ge.astype(dtype)).astype(jnp.float32)
+
+        return s2_params, folded_dec, s2_step
+
+    versions = ("v2", "v2Pro", "v2ProPlus")
+    built = {v: build_version(v) for v in versions}
+
+    codes0 = s1_step(jax.random.PRNGKey(1)).tokens[:, :N_NEW_TOKENS]
+    jax.block_until_ready(codes0)
+    for v in versions:  # warmup / compile
+        s2_params, folded_dec, s2_step = built[v]
+        jax.block_until_ready(s2_step(s2_params, folded_dec["arrays"], codes0))
+
+    # Each stage blocks before the next is submitted: a single trailing
     # sync under-reports on the tunnel-attached device (queued work escapes
-    # accounting). The final-array sync excludes the host transfer, so this
-    # is per-utterance device latency.
+    # accounting). Final-array syncs exclude host transfer, so this is
+    # per-utterance device latency.
     n_iter = 8
     t0 = time.perf_counter()
     for i in range(n_iter):
         out = s1_step(jax.random.PRNGKey(2 + i))
-        wav = s2_step(s2_params, folded_dec["arrays"], out.tokens[:, :N_NEW_TOKENS])
-        jax.block_until_ready(wav)
-    dt = (time.perf_counter() - t0) / n_iter
+        jax.block_until_ready(out.tokens)
+    t_s1 = (time.perf_counter() - t0) / n_iter
 
-    rtf = dt / AUDIO_SECONDS
+    t_s2 = {}
+    for v in versions:
+        s2_params, folded_dec, s2_step = built[v]
+        t0 = time.perf_counter()
+        for _ in range(n_iter):
+            wav = s2_step(s2_params, folded_dec["arrays"], codes0)
+            jax.block_until_ready(wav)
+        t_s2[v] = (time.perf_counter() - t0) / n_iter
+
+    rtf = {v: (t_s1 + t_s2[v]) / AUDIO_SECONDS for v in versions}
     print(
         json.dumps(
             {
-                "metric": "zero_shot_rtf_v2_1chip",
-                "value": round(rtf, 5),
+                "metric": "zero_shot_rtf_v2proplus_1chip",
+                "value": round(rtf["v2ProPlus"], 5),
                 "unit": "s_compute_per_s_audio",
-                "vs_baseline": round(BASELINE_RTF / rtf, 3),
+                "vs_baseline": round(BASELINE_RTF / rtf["v2ProPlus"], 3),
+                "rtf_v2": round(rtf["v2"], 5),
+                "rtf_v2pro": round(rtf["v2Pro"], 5),
+                "s1_s": round(t_s1, 4),
+                "s2_s": {v: round(t_s2[v], 4) for v in versions},
+                "baseline": "reference v2ProPlus RTF 0.028 on RTX 4060 Ti (README.md:46-47)",
             }
         )
     )

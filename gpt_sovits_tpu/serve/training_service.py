@@ -192,6 +192,7 @@ class TrainingService:
 
         p = self.store.path(name)
         raw_dir, ds = os.path.join(p, "raw"), os.path.join(p, "dataset")
+        self.invalidate(name, "audio reprocessed")  # dataset is about to change
         self.store.set_status(name, audio_state="processing")
         n_slices = 0
         try:
@@ -219,7 +220,134 @@ class TrainingService:
         return {"slices": n_slices}
 
     # -- artifact validation / cleanup (ref check_training_status_from_files,
-    #    /training/clean) ----------------------------------------------------
+    #    /training/clean, _clean_training_artifacts, invalidate_processing_status)
+
+    def _dataset_signature(self, name: str) -> str:
+        """Content signature of the training inputs (manifest + dataset
+        wavs: names, sizes, mtimes). A change invalidates downstream step
+        artifacts — the reference's invalidate_processing_status
+        (training_service.py:855-885) driven by data instead of events."""
+        import hashlib
+
+        ds = os.path.join(self.store.path(name), "dataset")
+        h = hashlib.sha1()
+        if os.path.isdir(ds):
+            for fn in sorted(os.listdir(ds)):
+                st = os.stat(os.path.join(ds, fn))
+                h.update(f"{fn}:{st.st_size}:{st.st_mtime_ns}".encode())
+        return h.hexdigest()
+
+    def _ledger_path(self, name: str) -> str:
+        return os.path.join(self.store.path(name), "exp", "steps.json")
+
+    def _read_ledger(self, name: str) -> dict:
+        try:
+            with open(self._ledger_path(name), encoding="utf-8") as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return {}
+
+    def _mark_step_done(self, name: str, step: str, sig: str) -> None:
+        ledger = self._read_ledger(name)
+        ledger[step] = {"completed_at": time.time(), "inputs_sig": sig}
+        path = self._ledger_path(name)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp"  # atomic like the reference's my_save (tmp+move)
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(ledger, f)
+        os.replace(tmp, path)
+
+    def _step_artifacts_ok(self, name: str, step: str) -> bool:
+        """Are the step's on-disk outputs present and non-empty?"""
+        p = self.store.path(name)
+        exp, ckpt = os.path.join(p, "exp"), os.path.join(p, "ckpt")
+
+        def _nonempty(path):
+            try:
+                return os.path.getsize(path) > 0
+            except OSError:
+                return False
+
+        def _any(d, prefix, exts):
+            if not os.path.isdir(d):
+                return False
+            return any(
+                f.startswith(prefix) and f.endswith(exts) and _nonempty(os.path.join(d, f))
+                for f in os.listdir(d)
+            )
+
+        if step == "prepare":
+            return _nonempty(os.path.join(exp, "2-name2text.txt")) and _nonempty(
+                os.path.join(exp, "6-name2semantic.tsv")
+            )
+        if step == "train_s2":  # run.py:283-292 writes s2G-e*.npz/.pth
+            return _any(ckpt, "s2", (".pth", ".npz"))
+        if step == "train_s1":  # run.py:201-209 writes s1-e*.npz/.ckpt
+            return _any(ckpt, "s1", (".ckpt", ".npz"))
+        return False
+
+    def step_states(self, name: str) -> dict:
+        """Per-step artifact state: completed / stale (inputs changed since
+        the step ran) / partial (artifacts without a ledger entry — e.g. a
+        crash mid-write) / pending."""
+        sig = self._dataset_signature(name)
+        ledger = self._read_ledger(name)
+        out = {}
+        for step in TRAIN_STEPS:
+            arts = self._step_artifacts_ok(name, step)
+            entry = ledger.get(step)
+            if entry and arts:
+                out[step] = "completed" if entry.get("inputs_sig") == sig else "stale"
+            elif arts or entry:
+                out[step] = "partial"
+            else:
+                out[step] = "pending"
+        return out
+
+    def _clean_step_artifacts(self, name: str, step: str) -> None:
+        """Selectively remove one step's outputs before re-running it
+        (reference _clean_training_artifacts, training_service.py:887)."""
+        p = self.store.path(name)
+        exp, ckpt = os.path.join(p, "exp"), os.path.join(p, "ckpt")
+        if step == "prepare":
+            if os.path.isdir(exp):
+                for fn in list(os.listdir(exp)):
+                    if fn != "steps.json":
+                        fp = os.path.join(exp, fn)
+                        shutil.rmtree(fp) if os.path.isdir(fp) else os.remove(fp)
+        elif step in ("train_s2", "train_s1"):
+            prefix = "s2" if step == "train_s2" else "s1"
+            if os.path.isdir(ckpt):
+                for fn in list(os.listdir(ckpt)):
+                    if fn.startswith(prefix):
+                        fp = os.path.join(ckpt, fn)
+                        shutil.rmtree(fp) if os.path.isdir(fp) else os.remove(fp)
+        ledger = self._read_ledger(name)
+        if ledger.pop(step, None) is not None:
+            tmp = self._ledger_path(name) + ".tmp"
+            with open(tmp, "w", encoding="utf-8") as f:
+                json.dump(ledger, f)
+            os.replace(tmp, self._ledger_path(name))
+
+    def _reconcile_orphaned(self, name: str) -> dict:
+        """status.json says "training" but no live worker thread — the
+        process (or thread) died mid-step. Mark interrupted so the state
+        machine can't wedge (reference relies on filesystem checks for the
+        same reason: in-memory state dies with the process)."""
+        st = self.store.status(name)
+        if st.get("state") == "training":
+            job = self._jobs.get(name)
+            if job is None or not job.is_alive():
+                self.store.set_status(name, state="interrupted", error="training worker died mid-step")
+                st = self.store.status(name)
+        return st
+
+    def invalidate(self, name: str, reason: str) -> None:
+        """Audio/dataset changed: a previously-trained character's model no
+        longer reflects its data (reference invalidate_processing_status)."""
+        st = self.store.status(name)
+        if st.get("state") in ("trained", "interrupted"):
+            self.store.set_status(name, state="outdated", error=None, reason=reason)
 
     def check_training_status(self, name: str) -> dict:
         """Validate on-disk artifacts and reconcile status.json, like the
@@ -227,16 +355,31 @@ class TrainingService:
         from gpt_sovits_tpu.prepare.extract import check_details
 
         p = self.store.path(name)
+        st = self._reconcile_orphaned(name)
         problems = check_details(exp_dir=os.path.join(p, "exp"))
         ckpt_dir = os.path.join(p, "ckpt")
         has_ckpt = os.path.isdir(ckpt_dir) and any(os.scandir(ckpt_dir))
-        ok = not problems and has_ckpt
-        st = self.store.status(name)
-        if ok and st.get("state") != "trained":
+        steps = self.step_states(name)
+        stale = [s for s, v in steps.items() if v == "stale"]
+        bad = [s for s, v in steps.items() if v in ("stale", "partial")]
+        all_problems = (
+            problems
+            + ([] if has_ckpt else ["no checkpoints"])
+            + [f"{steps[s]} step: {s}" for s in bad]
+        )
+        ok = not all_problems
+        if ok and st.get("state") not in ("trained", "training"):
             self.store.set_status(name, state="trained")
         elif not ok and st.get("state") == "trained":
-            self.store.set_status(name, state="invalid", problems=problems + ([] if has_ckpt else ["no checkpoints"]))
-        return {"valid": ok, "problems": problems + ([] if has_ckpt else ["no checkpoints"]), "status": self.store.status(name)}
+            self.store.set_status(
+                name, state="outdated" if stale else "invalid", problems=all_problems
+            )
+        return {
+            "valid": ok,
+            "problems": all_problems,
+            "steps": steps,
+            "status": self.store.status(name),
+        }
 
     def clean_training(self, name: str) -> None:
         import shutil
@@ -272,18 +415,27 @@ class TrainingService:
 
     # -- training orchestration (ref training_steps.StepProcessor) ---------
 
-    def start_training(self, name: str) -> None:
+    def start_training(self, name: str, *, resume: bool = True) -> None:
+        """Kick off (or resume) the prepare -> S2 -> S1 chain.
+
+        resume=True (default): completed steps whose inputs are unchanged
+        are skipped; a step left partial by a crash is cleaned and re-run
+        (reference crash story: check_training_status_from_files +
+        _clean_training_artifacts, training_service.py:754,887)."""
         if not self.store.exists(name):
             raise FileNotFoundError(name)
         with self._lock:
             job = self._jobs.get(name)
             if job is not None and job.is_alive():
                 raise RuntimeError(f"training already running for {name}")
-            t = threading.Thread(target=self._run_training, args=(name,), daemon=True)
+            # status flips synchronously so a poll right after start never
+            # reads the previous terminal state
+            self.store.set_status(name, state="training", step=None, progress=0.0, error=None)
+            t = threading.Thread(target=self._run_training, args=(name, resume), daemon=True)
             self._jobs[name] = t
             t.start()
 
-    def _run_training(self, name: str) -> None:
+    def _run_training(self, name: str, resume: bool = True) -> None:
         p = self.store.path(name)
         manifest = os.path.join(p, "dataset", "files.list")
         exp_dir = os.path.join(p, "exp")
@@ -293,16 +445,23 @@ class TrainingService:
             ("train_s2", lambda: self.steps.train_s2(exp_dir, ckpt_dir)),
             ("train_s1", lambda: self.steps.train_s1(exp_dir, ckpt_dir)),
         ]
+        sig = self._dataset_signature(name)
+        states = self.step_states(name) if resume else {}
         try:
             for i, (step, fn) in enumerate(plan):
+                if resume and states.get(step) == "completed":
+                    continue  # artifacts valid and inputs unchanged
+                if states.get(step) in ("partial", "stale"):
+                    self._clean_step_artifacts(name, step)  # no half-written leftovers
                 self.store.set_status(name, state="training", step=step, progress=i / len(plan))
                 fn()
-            self.store.set_status(name, state="trained", step=None, progress=1.0)
+                self._mark_step_done(name, step, sig)
+            self.store.set_status(name, state="trained", step=None, progress=1.0, error=None)
         except Exception as e:  # persist failure like the reference
             self.store.set_status(name, state="failed", error=str(e))
 
     def training_status(self, name: str) -> dict:
-        return self.store.status(name)
+        return self._reconcile_orphaned(name)
 
     def infer(self, name: str, text: str, lang: str = "auto") -> tuple[int, np.ndarray]:
         if self.steps.synthesize is None:
@@ -415,6 +574,7 @@ def make_handler(svc: TrainingService):
                     return self._send(404, {"message": "not found"})
                 fname = urllib.parse.parse_qs(urllib.parse.urlparse(self.path).query).get("filename", ["upload.wav"])[0]
                 n = svc.store.add_audio(name, fname, self._body())
+                svc.invalidate(name, f"audio added: {fname}")
                 return self._send(200, {"slices": n})
             m = re.fullmatch(r"/api/v1/characters/([\w\-]+)/manifest", path)
             if m:
@@ -506,6 +666,8 @@ def make_handler(svc: TrainingService):
                     if os.path.exists(fp):
                         os.remove(fp)
                         deleted = True
+                if deleted:  # model no longer reflects the data (ref :832-852)
+                    svc.invalidate(name, f"audio deleted: {fname}")
                 return self._send(200 if deleted else 404, {"message": "deleted" if deleted else "not found"})
             return self._send(404, {"message": "not found"})
 

@@ -270,3 +270,183 @@ def test_synthesize_requires_trained_weights(tmp_path):
     steps = build_training_steps(ServiceConfig(asr_enabled=False))
     with pytest.raises(RuntimeError, match="no trained weights"):
         steps.synthesize(str(tmp_path), "hi", "en", str(tmp_path / "ref.wav"))
+
+
+# ---------------------------------------------------------------------------
+# hardening: artifact ledger, stale detection, crash recovery, resume
+# (reference check_training_status_from_files / _clean_training_artifacts /
+#  invalidate_processing_status, server/training_service.py:754-935)
+# ---------------------------------------------------------------------------
+
+
+def _artifact_steps(record=None, block=None, crash_in=None):
+    """Fake steps that write real artifacts, optionally blocking or raising."""
+    import os
+    import threading as _t
+
+    record = record if record is not None else []
+
+    def prepare(manifest, exp_dir):
+        record.append("prepare")
+        if crash_in == "prepare":
+            raise RuntimeError("boom in prepare")
+        os.makedirs(exp_dir, exist_ok=True)
+        with open(os.path.join(exp_dir, "2-name2text.txt"), "w") as f:
+            f.write("a\tphones\n")
+        with open(os.path.join(exp_dir, "6-name2semantic.tsv"), "w") as f:
+            f.write("a\t1 2 3\n")
+        for sub in ("4-cnhubert", "5-wav32k"):
+            os.makedirs(os.path.join(exp_dir, sub), exist_ok=True)
+            with open(os.path.join(exp_dir, sub, "a.bin"), "w") as f:
+                f.write("x")
+
+    def train_s2(exp_dir, ckpt_dir):
+        record.append("train_s2")
+        if block is not None:
+            block.wait(10)
+        if crash_in == "train_s2":
+            # simulate crash mid-write: partial artifact then death
+            os.makedirs(ckpt_dir, exist_ok=True)
+            with open(os.path.join(ckpt_dir, "s2G-e1.pth"), "w") as f:
+                f.write("partial")
+            raise RuntimeError("boom in train_s2")
+        os.makedirs(ckpt_dir, exist_ok=True)
+        with open(os.path.join(ckpt_dir, "s2G-e8.pth"), "w") as f:
+            f.write("weights")
+
+    def train_s1(exp_dir, ckpt_dir):
+        record.append("train_s1")
+        os.makedirs(ckpt_dir, exist_ok=True)
+        with open(os.path.join(ckpt_dir, "s1-e15.ckpt"), "w") as f:
+            f.write("weights")
+
+    def synth(ckpt_dir, text, lang, ref):
+        return 16000, (np.zeros(1600) + 100).astype(np.int16)
+
+    return TrainingSteps(prepare, train_s2, train_s1, synth), record
+
+
+def _mk_char(svc, tmp, name):
+    from gpt_sovits_tpu.dsp.audio_io import save_wav as _sw
+
+    svc.store.create(name)
+    rng = np.random.default_rng(0)
+    seg = (rng.standard_normal(16000 * 3) * 0.3).astype(np.float32)
+    wav = tmp / f"{name}.wav"
+    _sw(str(wav), seg, 16000)
+    svc.store.add_audio(name, "up.wav", open(wav, "rb").read())
+    svc.store.write_manifest(name, [("up_0000.wav", "en", "hello")])
+
+
+def _wait_state(svc, name, states, timeout=5.0):
+    t0 = time.time()
+    while time.time() - t0 < timeout:
+        st = svc.training_status(name)
+        if st.get("state") in states:
+            return st
+        time.sleep(0.02)
+    return svc.training_status(name)
+
+
+def test_resume_skips_completed_steps(tmp_path):
+    steps, record = _artifact_steps()
+    svc = TrainingService(str(tmp_path / "c"), steps)
+    _mk_char(svc, tmp_path, "a")
+    svc.start_training("a")
+    st = _wait_state(svc, "a", ("trained", "failed"))
+    assert st["state"] == "trained"
+    assert record == ["prepare", "train_s2", "train_s1"]
+    chk = svc.check_training_status("a")
+    assert chk["valid"] and all(v == "completed" for v in chk["steps"].values()), chk
+
+    # re-run: everything completed and inputs unchanged -> nothing re-runs
+    svc.start_training("a")
+    _wait_state(svc, "a", ("trained", "failed"))
+    assert record == ["prepare", "train_s2", "train_s1"]
+
+
+def test_crash_midstep_cleanup_and_resume(tmp_path):
+    steps, record = _artifact_steps(crash_in="train_s2")
+    svc = TrainingService(str(tmp_path / "c"), steps)
+    _mk_char(svc, tmp_path, "a")
+    svc.start_training("a")
+    st = _wait_state(svc, "a", ("trained", "failed"))
+    assert st["state"] == "failed" and "train_s2" in st["error"]
+    # partial s2 artifact exists but no ledger entry -> "partial"
+    chk = svc.check_training_status("a")
+    assert chk["steps"]["prepare"] == "completed"
+    assert chk["steps"]["train_s2"] == "partial"
+    assert not chk["valid"]
+
+    # resume with a fixed step impl: prepare skipped, s2 partial cleaned+rerun
+    good, record2 = _artifact_steps()
+    svc.steps = good
+    svc.start_training("a")
+    st = _wait_state(svc, "a", ("trained", "failed"))
+    assert st["state"] == "trained"
+    assert record2 == ["train_s2", "train_s1"], record2  # prepare NOT re-run
+    import os
+
+    ck = os.path.join(svc.store.path("a"), "ckpt")
+    assert "s2G-e1.pth" not in os.listdir(ck)  # partial artifact removed
+    assert "s2G-e8.pth" in os.listdir(ck)
+
+
+def test_orphaned_training_state_reconciled(tmp_path):
+    steps, _ = _artifact_steps()
+    svc = TrainingService(str(tmp_path / "c"), steps)
+    _mk_char(svc, tmp_path, "a")
+    # simulate a dead worker: status says training, but no live thread
+    svc.store.set_status("a", state="training", step="train_s2")
+    st = svc.training_status("a")
+    assert st["state"] == "interrupted"
+    # and a fresh start is allowed afterwards
+    svc.start_training("a")
+    st = _wait_state(svc, "a", ("trained", "failed"))
+    assert st["state"] == "trained"
+
+
+def test_dataset_change_marks_steps_stale(tmp_path):
+    steps, record = _artifact_steps()
+    svc = TrainingService(str(tmp_path / "c"), steps)
+    _mk_char(svc, tmp_path, "a")
+    svc.start_training("a")
+    assert _wait_state(svc, "a", ("trained", "failed"))["state"] == "trained"
+
+    # add another dataset file -> signature changes -> steps stale
+    import os
+
+    ds = os.path.join(svc.store.path("a"), "dataset")
+    with open(os.path.join(ds, "extra.wav"), "wb") as f:
+        f.write(b"RIFF0000WAVE")
+    chk = svc.check_training_status("a")
+    assert all(v == "stale" for v in chk["steps"].values()), chk
+    assert not chk["valid"]
+    assert svc.store.status("a")["state"] == "outdated"
+
+    # retraining re-runs everything (stale steps cleaned first)
+    svc.start_training("a")
+    assert _wait_state(svc, "a", ("trained", "failed"))["state"] == "trained"
+    assert record == ["prepare", "train_s2", "train_s1"] * 2
+
+
+def test_audio_upload_invalidates_trained(tmp_path):
+    steps, _ = _artifact_steps()
+    svc = TrainingService(str(tmp_path / "c"), steps)
+    srv = serve_training(svc, port=0)
+    host, port = srv.server_address
+    base = f"http://{host}:{port}"
+    try:
+        _mk_char(svc, tmp_path, "a")
+        svc.start_training("a")
+        assert _wait_state(svc, "a", ("trained", "failed"))["state"] == "trained"
+        from gpt_sovits_tpu.dsp.audio_io import save_wav as _sw
+
+        wav = tmp_path / "more.wav"
+        rng = np.random.default_rng(1)
+        _sw(str(wav), (rng.standard_normal(16000 * 2) * 0.3).astype(np.float32), 16000)
+        code, _, _ = _req(base + "/api/v1/characters/a/audio", "POST", open(wav, "rb").read(), "?filename=more.wav")
+        assert code == 200
+        assert svc.store.status("a")["state"] == "outdated"
+    finally:
+        srv.shutdown()
