@@ -61,6 +61,14 @@ class QDense(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         if self.quant and kernel.dtype == jnp.int8:
             sw = self.param("kernel_scale", nn.initializers.ones, (1, self.features))
+            if jax.default_backend() == "tpu" and not os.environ.get("GPT_SOVITS_NO_QMM"):
+                # fused Pallas kernel: quantize + s8 dot + rescale in one
+                # VMEM pass (the XLA formulation below leaves the row-max
+                # reduce + convert as separate HBM round trips — measured
+                # 49 ms of a 254 ms CFM call, scripts/profile_cfm.py)
+                from gpt_sovits_tpu.ops.pallas.qmatmul import qdense_int8
+
+                return qdense_int8(x, kernel, sw, bias)
             sx = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True) / 127.0
             sx = jnp.maximum(sx, 1e-8)
             xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sx), -127, 127).astype(jnp.int8)

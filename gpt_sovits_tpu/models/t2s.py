@@ -97,17 +97,26 @@ class TransformerLayer(nn.Module):
         return x, k, v
 
     def decode(self, x, k_cache, v_cache, valid_mask, write_idx):
-        """Single-token step. x: (B,1,D); caches (B,T,H,Dh); valid: (B,T)."""
+        """Single-token step. x: (B,1,D); caches (B,T,H,Dh); valid: (B,T).
+
+        write_idx: scalar (all rows at the same decode step — the batched
+        generate() case) or (B,) vector (rows at independent steps — the
+        continuous-batching case, where each slot joined at its own time)."""
         b, _, d = x.shape
         h, dh = self.num_heads, d // self.num_heads
         qkv = self.wqkv(x)
         q, k_new, v_new = jnp.split(qkv, 3, axis=-1)
-        k_cache = jax.lax.dynamic_update_slice(
-            k_cache, k_new.reshape(b, 1, h, dh).astype(k_cache.dtype), (0, write_idx, 0, 0)
-        )
-        v_cache = jax.lax.dynamic_update_slice(
-            v_cache, v_new.reshape(b, 1, h, dh).astype(v_cache.dtype), (0, write_idx, 0, 0)
-        )
+        if jnp.ndim(write_idx) == 0:
+            k_cache = jax.lax.dynamic_update_slice(
+                k_cache, k_new.reshape(b, 1, h, dh).astype(k_cache.dtype), (0, write_idx, 0, 0)
+            )
+            v_cache = jax.lax.dynamic_update_slice(
+                v_cache, v_new.reshape(b, 1, h, dh).astype(v_cache.dtype), (0, write_idx, 0, 0)
+            )
+        else:
+            rows = jnp.arange(b)
+            k_cache = k_cache.at[rows, write_idx].set(k_new.reshape(b, h, dh).astype(k_cache.dtype))
+            v_cache = v_cache.at[rows, write_idx].set(v_new.reshape(b, h, dh).astype(v_cache.dtype))
         q = q.reshape(b, h, dh)
         scale = 1.0 / np.sqrt(dh)
         scores = jnp.einsum("bhd,bkhd->bhk", q, k_cache, preferred_element_type=jnp.float32) * scale

@@ -25,7 +25,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _qmm_kernel(x_ref, w_ref, sw_ref, b_ref, o_ref):
-    x = x_ref[:].astype(jnp.float32)
+    x = x_ref[0].astype(jnp.float32)
     sx = jnp.max(jnp.abs(x), axis=-1, keepdims=True) * (1.0 / 127.0)
     sx = jnp.maximum(sx, 1e-8)
     xq = jnp.clip(jnp.round(x * pl.reciprocal(sx, approx=False)), -127, 127).astype(jnp.int8)
@@ -33,48 +33,48 @@ def _qmm_kernel(x_ref, w_ref, sw_ref, b_ref, o_ref):
         xq, w_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
     )
     y = acc.astype(jnp.float32) * sx * sw_ref[:]
-    o_ref[:] = (y + b_ref[:]).astype(o_ref.dtype)
+    o_ref[0] = (y + b_ref[:]).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("block_m",))
 def qdense_int8(x, wq, sw, bias, *, block_m: int = 512):
     """y = dequant(quant(x) @ wq) + bias, one fused kernel.
 
-    x: (..., K) float (bf16/f32); wq: (K, N) int8 (per-output-channel
-    symmetric, from quantize_dit_params); sw: (1, N) or (N,) f32 weight
-    scales; bias: (N,). Returns (..., N) in x.dtype. Per-token (row)
-    dynamic activation scales — same math as the XLA path in
-    models/dit.py QDense, fused.
-    """
-    orig_shape = x.shape
-    k = x.shape[-1]
+    x: (B, T, K) or (T, K) float (bf16/f32); wq: (K, N) int8
+    (per-output-channel symmetric, from quantize_dit_params); sw: (1, N)
+    or (N,) f32 weight scales; bias: (N,). Returns (..., N) in x.dtype.
+    Per-token (row) dynamic activation scales — same math as the XLA path
+    in models/dit.py QDense, fused into one VMEM pass. The batch dim rides
+    the grid directly (no host-side flatten: a reshape at the pallas_call
+    boundary materializes as real device copies inside the CFM scan —
+    measured +30 ms per call, scripts/profile_cfm.py)."""
+    squeeze = x.ndim == 2
+    if squeeze:
+        x = x[None]
+    b, t, k = x.shape
     n = wq.shape[1]
-    m = 1
-    for s in orig_shape[:-1]:
-        m *= s
-    x2 = x.reshape(m, k)
-    bm = min(block_m, max(32, m))
-    pad_m = -m % bm
-    if pad_m:
-        x2 = jnp.pad(x2, ((0, pad_m), (0, 0)))
-    mp = m + pad_m
+    bm = min(block_m, max(16, t))
+    pad_t = -t % bm
+    if pad_t:
+        x = jnp.pad(x, ((0, 0), (0, pad_t), (0, 0)))
+    tp = t + pad_t
     sw2 = sw.reshape(1, n).astype(jnp.float32)
     b2 = bias.reshape(1, n).astype(jnp.float32)
     out = pl.pallas_call(
         _qmm_kernel,
-        grid=(mp // bm,),
+        grid=(b, tp // bm),
         in_specs=[
-            pl.BlockSpec((bm, k), lambda i: (i, 0)),
-            pl.BlockSpec((k, n), lambda i: (0, 0)),
-            pl.BlockSpec((1, n), lambda i: (0, 0)),
-            pl.BlockSpec((1, n), lambda i: (0, 0)),
+            pl.BlockSpec((1, bm, k), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((k, n), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, n), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, n), lambda i, j: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((bm, n), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((mp, n), x.dtype),
+        out_specs=pl.BlockSpec((1, bm, n), lambda i, j: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, tp, n), x.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=("arbitrary", "arbitrary"),
         ),
-    )(x2, wq, sw2, b2)
-    if pad_m:
-        out = out[:m]
-    return out.reshape(*orig_shape[:-1], n)
+    )(x, wq, sw2, b2)
+    if pad_t:
+        out = out[:, :t]
+    return out[0] if squeeze else out

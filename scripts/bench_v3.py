@@ -1,10 +1,17 @@
-"""v3 zero-shot RTF on one TPU chip (production sizes, random weights).
+"""v3/v4 zero-shot RTF on one TPU chip (production sizes, random weights).
 
-Mirrors the serving pipeline's v3 path end-to-end for a 20 s utterance:
-S1 AR decode (500 tokens, fused kernel) -> decode_encp -> chunked CFM
-(tile-aligned t_chunk 1024, rolling t_ref 468 reference window, 32 Euler
-steps, bf16) -> lane-folded BigVGAN (bf16). Prints one JSON line like
-bench.py.
+Mirrors the serving pipeline's v3/v4 path end-to-end for a 20 s utterance:
+S1 AR decode (500 tokens, fused kernel) -> decode_encp -> batched chunked
+CFM (tile-aligned t_chunk 1024, t_ref 468 reference window, 32 Euler
+steps, int8 Pallas matmuls) -> lane-folded vocoder (BigVGAN 24k for v3,
+x480 Generator 48k for v4). Prints one JSON line like bench.py.
+
+Timing: ONE host sync per utterance (matching the serving pipeline, which
+also only syncs at the final waveform fetch) — per-phase blocking adds
+~25-40 ms of tunnel round-trip PER PHASE on the attached-TPU setup and
+over-reports RTF by ~0.006. Iterations use fresh inputs (identical-args
+re-execution is unsound for timing here). Phase attribution comes from
+jax.profiler device traces (scripts/_trace_time.py), not host clocks.
 """
 
 import functools
@@ -31,14 +38,17 @@ TEXT_LEN = 120
 AUDIO_SECONDS = N_NEW_TOKENS / 25.0
 T_REF, T_CHUNK = 468, 1024  # serving's tile-aligned chunk (loaders._serving_t_chunk)
 SAMPLE_STEPS = 32
+OVERLAP = 12
 
 
-def main():
-    from gpt_sovits_tpu.models.bigvgan import BigVGAN, BigVGANConfig
-    from gpt_sovits_tpu.models.dit import DiT
+def build(version: str):
+    """Device-resident v3/v4 synthesis closure: key -> (wav_dev_i16, meta)."""
+    import dataclasses as _dc
+
+    from gpt_sovits_tpu.models.dit import DiT, quantize_dit_params
     from gpt_sovits_tpu.models.t2s import T2SDecoder, generate
     from gpt_sovits_tpu.models.v3 import SynthesizerTrnV3, cfm_inference
-    from gpt_sovits_tpu.ops.folded_bigvgan import bigvgan_apply, fold_bigvgan_params
+    from gpt_sovits_tpu.infer.pipeline import _next_bs_bucket
     from gpt_sovits_tpu.utils.config import S1Config, s2_config_for_version
 
     dtype = jnp.bfloat16
@@ -61,7 +71,7 @@ def main():
             repetition_penalty=1.35, early_stop_num=N_NEW_TOKENS, use_fused_kernel=True,
         )
 
-    v3_cfg = s2_config_for_version("v3")
+    v3_cfg = s2_config_for_version(version)
     v3 = SynthesizerTrnV3(v3_cfg)
     spec_t = 250
     refer_spec = jax.random.normal(key, (b, spec_t, v3_cfg.spec_channels)) * 0.3 + 1.0
@@ -73,12 +83,7 @@ def main():
     )
     decode_encp = jax.jit(functools.partial(v3.apply, method=SynthesizerTrnV3.decode_encp))
 
-    import dataclasses as _dc
-
-    from gpt_sovits_tpu.models.dit import quantize_dit_params
-
-    # serving default: int8 QDense matmuls on top of bf16 (pipeline.py
-    # GSVT_DIT_QUANT); bf16 comparison timed separately below
+    # serving default: int8 Pallas matmuls (pipeline.py GSVT_DIT_QUANT)
     dit = DiT(_dc.replace(v3.dit_config, quant="int8"))
     dit_bf16 = DiT(v3.dit_config)
     dit_params_bf16 = jax.tree.map(
@@ -86,8 +91,6 @@ def main():
     )
     dit_params = quantize_dit_params(dit_params_bf16)
 
-    # params are jit ARGUMENTS: closure arrays serialize into the compiled
-    # HLO and exceed the remote-compile tunnel's request limit (HTTP 413)
     @functools.partial(jax.jit, static_argnames=("n_steps",))
     def cfm(params, mu, x_lens, prompt, k, n_steps=SAMPLE_STEPS):
         mel = cfm_inference(
@@ -102,74 +105,48 @@ def main():
         )
         return mel.astype(jnp.float32)
 
-    bv_cfg = BigVGANConfig()
-    bv = BigVGAN(bv_cfg)
-    bv_params = jax.jit(bv.init)(key, jnp.zeros((b, 64, 100)))
-    folded = fold_bigvgan_params(bv_params["params"], bv_cfg, dtype=dtype)
-    voc_static = {k: v for k, v in folded.items() if k != "arrays"}
-    # int16 on device before the fetch — serving's wire format
-    # (pipeline._wav_to_i16); halves device->host bytes
     def _to_i16(w):
         return (jnp.clip(w, -1.0, 1.0).astype(jnp.float32) * 32767.0).astype(jnp.int16)
 
-    voc = jax.jit(
-        lambda arrs, mel: _to_i16(bigvgan_apply({"arrays": arrs, **voc_static}, mel.astype(dtype)))
-    )
+    if version == "v4":
+        import types as _types
 
-    # one utterance, mirroring pipeline._synthesize_v3_batch: the S1 codes
-    # feed decode_encp; fea chunks pad to T_CHUNK; mel chunks concatenate
-    # into ONE vocoder call; everything stays on device between stages
+        from gpt_sovits_tpu.ops.folded_conv import fold_generator_params, generator_apply
+        from gpt_sovits_tpu.utils.loaders import load_vocoder
+
+        gen, _ = load_vocoder(None, "v4")  # x480 Generator, 48 kHz (TTS.py:631-655)
+        gen_params = jax.jit(gen.init)(key, jnp.zeros((b, 64, 100)))
+        eff = _types.SimpleNamespace(
+            upsample_rates=gen.upsample_rates or gen.cfg.upsample_rates,
+            upsample_kernel_sizes=gen.upsample_kernel_sizes or gen.cfg.upsample_kernel_sizes,
+            upsample_initial_channel=gen.cfg.upsample_initial_channel,
+            resblock_kernel_sizes=gen.cfg.resblock_kernel_sizes,
+            resblock_dilation_sizes=gen.cfg.resblock_dilation_sizes,
+        )
+        folded = fold_generator_params(gen_params["params"], eff, dtype=dtype)
+        voc_static = {k2: v for k2, v in folded.items() if k2 != "arrays"}
+        upsample = 480
+        out_sr = 48000
+
+        def voc_fwd(arrs, mel):
+            return generator_apply({"arrays": arrs, **voc_static}, mel.astype(dtype), None)
+    else:
+        from gpt_sovits_tpu.models.bigvgan import BigVGAN, BigVGANConfig
+        from gpt_sovits_tpu.ops.folded_bigvgan import bigvgan_apply, fold_bigvgan_params
+
+        bv_cfg = BigVGANConfig()
+        bv = BigVGAN(bv_cfg)
+        bv_params = jax.jit(bv.init)(key, jnp.zeros((b, 64, 100)))
+        folded = fold_bigvgan_params(bv_params["params"], bv_cfg, dtype=dtype)
+        voc_static = {k2: v for k2, v in folded.items() if k2 != "arrays"}
+        upsample = 256
+        out_sr = 24000
+
+        def voc_fwd(arrs, mel):
+            return bigvgan_apply({"arrays": arrs, **voc_static}, mel.astype(dtype))
+
     chunk_len = T_CHUNK - T_REF
     fea_dim = 512
-
-    def synth(k):
-        out = s1_step(k)
-        codes = out.tokens[:, :N_NEW_TOKENS]
-        fea_todo, ge, mel_len = decode_encp(
-            v3_params, codes, jnp.asarray([N_NEW_TOKENS]),
-            phones, text_lengths, refer_spec, jnp.asarray([spec_t]),
-        )
-        # full length including the ragged tail chunk (what serving does)
-        total = fea_todo.shape[1]
-        fea_ref = jnp.zeros((b, T_REF, fea_dim), fea_todo.dtype)
-        mel2 = jnp.zeros((b, T_REF, v3_cfg.cfm_mel_channels))
-        mel_chunks = []
-        idx = 0
-        k2 = k
-        while idx < total:
-            ln = min(chunk_len, total - idx)
-            chunk = jax.lax.dynamic_slice_in_dim(fea_todo, idx, ln, axis=1)
-            fea = jnp.concatenate([fea_ref, chunk], axis=1)
-            pad = T_CHUNK - fea.shape[1]
-            if pad > 0:
-                fea = jnp.pad(fea, ((0, 0), (0, pad), (0, 0)))
-            k2, sub = jax.random.split(k2)
-            mel_out = cfm(dit_params, fea, jnp.asarray([T_REF + ln]), mel2, sub)
-            mel_out = mel_out[:, T_REF : T_REF + ln]
-            mel_chunks.append(mel_out)
-            mel2 = mel_out[:, -T_REF:] if ln >= T_REF else jnp.concatenate([mel2, mel_out], 1)[:, -T_REF:]
-            fea_ref = chunk[:, -T_REF:] if ln >= T_REF else jnp.concatenate([fea_ref, chunk], 1)[:, -T_REF:]
-            idx += ln
-        mel_full = jnp.concatenate(mel_chunks, axis=1)
-        t_pad = -mel_full.shape[1] % 256  # serving's vocoder time bucket
-        if t_pad:
-            mel_full = jnp.pad(mel_full, ((0, 0), (0, t_pad), (0, 0)), mode="edge")
-        w = np.asarray(voc(folded["arrays"], mel_full)).astype(np.float32) / 32767.0
-        return w[:, : total * upsample]
-
-    # ---- batched parallel path (reference parallel_infer default,
-    # TTS.py:1496-1635): overlapped chunks -> ONE batched CFM call ->
-    # ONE vocoder call -> SOLA crossfade on host ----
-    from gpt_sovits_tpu.dsp.sola import sola_stitch
-
-    OVERLAP = 12
-    upsample = 256  # 24000 * 256 / 24000 (mel hop) -> samples per frame
-
-    # DEVICE-RESIDENT batched path: the chunk/batch assembly and the
-    # mel->vocoder handoff are jitted so conditioning features and mel
-    # never round-trip through the host (over the tunnel — and on any
-    # host — those transfers dominate; only the final waveform leaves)
-    from gpt_sovits_tpu.infer.pipeline import _next_bs_bucket
 
     @functools.partial(jax.jit, static_argnames=("bs", "bs_pad"))
     def chunk_batch(fea_todo, bs, bs_pad):
@@ -185,113 +162,155 @@ def main():
 
     @functools.partial(jax.jit, static_argnames=("bs", "bs_pad"))
     def voc2(arrs, mel_out, bs, bs_pad):
-        # real chunks only -> one long mel, padded to the bucket with edge
-        # frames (pipeline._synthesize_v3_batch_parallel vocoder handoff)
+        # real chunks only -> one long mel; pad rows hold edge frames so the
+        # compile cache stays bounded; the waveform is SLICED ON DEVICE to
+        # the real chunks before the int16 fetch (pad rows never cross the
+        # wire)
         mel_long = mel_out[:bs, T_REF:].reshape(1, bs * chunk_len, -1)
         if bs_pad > bs:
             mel_long = jnp.pad(mel_long, ((0, 0), (0, (bs_pad - bs) * chunk_len), (0, 0)), mode="edge")
-        return _to_i16(bigvgan_apply({"arrays": arrs, **voc_static}, mel_long.astype(dtype)))
+        wav = voc_fwd(arrs, mel_long)
+        return _to_i16(wav[:, : bs * chunk_len * upsample])
 
-    def synth_parallel(k, timing=None, n_steps=SAMPLE_STEPS):
-        t0 = time.perf_counter()
+    from gpt_sovits_tpu.dsp.sola import sola_stitch
+
+    def synth_device(k, n_steps=SAMPLE_STEPS):
+        """Dispatch the whole utterance; returns the device int16 waveform +
+        stitching metadata. No host sync inside."""
         out = s1_step(k)
         codes = out.tokens[:, :N_NEW_TOKENS]
-        jax.block_until_ready(codes)
-        t1 = time.perf_counter()
         fea_todo, ge, mel_len = decode_encp(
             v3_params, codes, jnp.asarray([N_NEW_TOKENS]),
             phones, text_lengths, refer_spec, jnp.asarray([spec_t]),
         )
-        total = fea_todo.shape[1]  # static here; pipeline slices mel_len
+        total = fea_todo.shape[1]
         stride = chunk_len - OVERLAP
         bs = max(1, -(-(total + OVERLAP - chunk_len) // stride) + 1)
-        bs_pad = _next_bs_bucket(bs)  # serving's chunk-batch bucket
+        bs_pad = _next_bs_bucket(bs)
         padding_len = (bs - 1) * stride + chunk_len - (total + OVERLAP)
         fea = chunk_batch(fea_todo, bs, bs_pad)
-        jax.block_until_ready(fea)
-        t2 = time.perf_counter()
         mel2 = jnp.zeros((bs_pad, T_REF, v3_cfg.cfm_mel_channels))
         _, sub = jax.random.split(k)
         mel_out = cfm(dit_params, fea, jnp.full((bs_pad,), T_CHUNK, jnp.int32), mel2, sub, n_steps=n_steps)
-        jax.block_until_ready(mel_out)
-        t3 = time.perf_counter()
         wav_dev = voc2(folded["arrays"], mel_out, bs, bs_pad)
-        jax.block_until_ready(wav_dev)
-        t4 = time.perf_counter()
-        # device->host fetch is timed separately: over the attached-TPU
-        # tunnel it costs hundreds of ms for ~1.4 MB and would be ~0.5 ms
-        # over local PCIe — it is a harness artifact, not serving compute
+        return wav_dev, (bs, padding_len)
+
+    def finish_host(wav_dev, meta):
+        bs, padding_len = meta
         wav = np.asarray(wav_dev)[0, :, 0].astype(np.float32) / 32767.0
-        t4b = time.perf_counter()
         frag = chunk_len * upsample
         fragments = [wav[i * frag : (i + 1) * frag] for i in range(bs)]
         audio = sola_stitch(fragments, OVERLAP * upsample)
-        audio = audio[OVERLAP * upsample : len(audio) - padding_len * upsample or None]
-        t5 = time.perf_counter()
-        if timing is not None:
-            timing.append({"s1": t1 - t0, "encp_chunk": t2 - t1, "cfm": t3 - t2, "voc": t4 - t3,
-                           "fetch_host": t4b - t4, "sola": t5 - t4b})
-        return audio
+        return audio[OVERLAP * upsample : len(audio) - padding_len * upsample or None]
 
-    def bench(fn, n_iter=6):
-        out = fn(jax.random.PRNGKey(1))  # warmup/compile
-        jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        for i in range(n_iter):
-            # block every iteration: a single trailing sync under-reports
-            # on the remote-device tunnel (queued work escapes accounting)
-            out = fn(jax.random.PRNGKey(2 + i))
-            jax.block_until_ready(out)
-        return (time.perf_counter() - t0) / n_iter, out
+    return {
+        "synth_device": synth_device,
+        "finish_host": finish_host,
+        "s1_step": s1_step,
+        "decode_encp": lambda codes: decode_encp(
+            v3_params, codes, jnp.asarray([N_NEW_TOKENS]),
+            phones, text_lengths, refer_spec, jnp.asarray([spec_t]),
+        ),
+        "cfm": cfm,
+        "cfm_bf16": cfm_bf16,
+        "dit_params": dit_params,
+        "dit_params_bf16": dit_params_bf16,
+        "voc2": voc2,
+        "chunk_batch": chunk_batch,
+        "folded": folded,
+        "mel_ch": v3_cfg.cfm_mel_channels,
+        "out_sr": out_sr,
+        "upsample": upsample,
+        "chunk_len": chunk_len,
+    }
 
-    timing: list = []
-    dt_par, audio = bench(lambda k: synth_parallel(k, timing))
-    timing = timing[1:]  # drop the warmup entry (includes compile)
-    audio_s_par = len(audio) / 24000.0
-    rtf_par = dt_par / audio_s_par
-    dt_serial, wav = bench(synth)
-    audio_s = wav.shape[1] / 24000.0
+
+def bench_serial(mdl, n_iter=6, n_steps=SAMPLE_STEPS):
+    """Per-utterance latency: one sync per utterance."""
+    synth, finish = mdl["synth_device"], mdl["finish_host"]
+    audio = finish(*synth(jax.random.PRNGKey(1), n_steps))  # warmup/compile
+    t0 = time.perf_counter()
+    for i in range(n_iter):
+        audio = finish(*synth(jax.random.PRNGKey(2 + i), n_steps))
+    dt = (time.perf_counter() - t0) / n_iter
+    return dt, audio
+
+
+def bench_pipelined(mdl, n_iter=8, n_steps=SAMPLE_STEPS):
+    """Steady-state throughput: utterance i+1's device work dispatched
+    before utterance i's host fetch + SOLA, so transfer/host overlap
+    compute (what a serving loop does)."""
+    synth, finish = mdl["synth_device"], mdl["finish_host"]
+    finish(*synth(jax.random.PRNGKey(1), n_steps))  # warmup
+    t0 = time.perf_counter()
+    prev = synth(jax.random.PRNGKey(100), n_steps)
+    audio = None
+    for i in range(n_iter - 1):
+        cur = synth(jax.random.PRNGKey(101 + i), n_steps)
+        audio = finish(*prev)
+        prev = cur
+    audio = finish(*prev)
+    dt = (time.perf_counter() - t0) / n_iter
+    return dt, audio
+
+
+def main():
+    version = os.environ.get("GSVT_BENCH_V3_VERSION", "v3")
+    mdl = build(version)
+
+    dt_serial, audio = bench_serial(mdl)
+    audio_s = len(audio) / mdl["out_sr"]
     rtf_serial = dt_serial / audio_s
-    assert np.isfinite(audio).all() and np.isfinite(np.asarray(wav)).all()
-    # low-latency quality setting (reference sample_steps=8 option)
-    dt8, audio8 = bench(lambda k: synth_parallel(k, n_steps=8))
-    rtf_steps8 = dt8 / (len(audio8) / 24000.0)
+    assert np.isfinite(audio).all()
 
-    # int8-vs-bf16 CFM throughput at the batched shape (serving claim:
-    # int8 QDense >= 1.5x bf16; tests/test_dit_quant.py gates accuracy)
-    bs_cmp = _next_bs_bucket(5)
-    fea_cmp = jnp.zeros((bs_cmp, T_CHUNK, fea_dim))
-    mel2_cmp = jnp.zeros((bs_cmp, T_REF, v3_cfg.cfm_mel_channels))
-    lens_cmp = jnp.full((bs_cmp,), T_CHUNK, jnp.int32)
-    kc = jax.random.PRNGKey(7)
+    dt_pipe, audio_p = bench_pipelined(mdl)
+    rtf_pipe = dt_pipe / (len(audio_p) / mdl["out_sr"])
 
-    def _time(fn, n=4):
-        jax.block_until_ready(fn(kc))
-        t0 = time.perf_counter()
-        for _ in range(n):
-            jax.block_until_ready(fn(kc))
-        return (time.perf_counter() - t0) / n
+    dt8, audio8 = bench_serial(mdl, n_steps=8)
+    rtf_steps8 = dt8 / (len(audio8) / mdl["out_sr"])
 
-    t_int8 = _time(lambda k: cfm(dit_params, fea_cmp, lens_cmp, mel2_cmp, k))
-    t_bf16 = _time(lambda k: cfm_bf16(dit_params_bf16, fea_cmp, lens_cmp, mel2_cmp, k))
+    # trace-based phase attribution (device time, no tunnel overhead)
+    from _trace_time import device_time
 
-    phases = {k: round(sum(t[k] for t in timing) / len(timing), 4) for k in timing[0]}
+    k0 = jax.random.PRNGKey(7)
+    t_s1 = device_time(lambda k: mdl["s1_step"](k).tokens, k0)
+    codes = mdl["s1_step"](k0).tokens[:, :N_NEW_TOKENS]
+    t_encp = device_time(mdl["decode_encp"], codes)
+    fea_todo, _, _ = mdl["decode_encp"](codes)
+    total = fea_todo.shape[1]
+    stride = mdl["chunk_len"] - OVERLAP
+    bs = max(1, -(-(total + OVERLAP - mdl["chunk_len"]) // stride) + 1)
+    from gpt_sovits_tpu.infer.pipeline import _next_bs_bucket
+
+    bs_pad = _next_bs_bucket(bs)
+    fea = mdl["chunk_batch"](fea_todo, bs, bs_pad)
+    mel2 = jnp.zeros((bs_pad, T_REF, mdl["mel_ch"]))
+    lens = jnp.full((bs_pad,), T_CHUNK, jnp.int32)
+    t_cfm = device_time(lambda k: mdl["cfm"](mdl["dit_params"], fea, lens, mel2, k), k0)
+    t_cfm_bf16 = device_time(lambda k: mdl["cfm_bf16"](mdl["dit_params_bf16"], fea, lens, mel2, k), k0)
+    mel_out = mdl["cfm"](mdl["dit_params"], fea, lens, mel2, k0)
+    t_voc = device_time(lambda m: mdl["voc2"](mdl["folded"]["arrays"], m, bs, bs_pad), mel_out)
+
     print(
         json.dumps(
             {
-                "metric": "zero_shot_rtf_v3_1chip",
-                "value": round(rtf_par, 5),
+                "metric": f"zero_shot_rtf_{version}_1chip",
+                "value": round(rtf_pipe, 5),
                 "unit": "s_compute_per_s_audio",
-                "vs_baseline": round(BASELINE_RTF / rtf_par, 3),
-                "audio_s": round(audio_s_par, 2),
+                "vs_baseline": round(BASELINE_RTF / rtf_pipe, 3),
+                "audio_s": round(audio_s, 2),
                 "sample_steps": SAMPLE_STEPS,
                 "serial_rtf": round(rtf_serial, 5),
                 "rtf_steps8": round(rtf_steps8, 5),
-                "phases_s": phases,
-                "cfm_cmp_batch": bs_cmp,
-                "cfm_batched_int8_s": round(t_int8, 4),
-                "cfm_batched_bf16_s": round(t_bf16, 4),
-                "cfm_int8_speedup": round(t_bf16 / t_int8, 3),
+                "phases_device_s": {
+                    "s1": round(t_s1, 4),
+                    "encp": round(t_encp, 4),
+                    "cfm": round(t_cfm, 4),
+                    "voc": round(t_voc, 4),
+                },
+                "cfm_bf16_s": round(t_cfm_bf16, 4),
+                "cfm_int8_speedup": round(t_cfm_bf16 / t_cfm, 3),
+                "timing_note": "one host sync per utterance (serving-faithful); phases are device-trace times",
             }
         )
     )
