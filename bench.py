@@ -132,6 +132,7 @@ def main():
         t_s2[v] = (time.perf_counter() - t0) / n_iter
 
     rtf = {v: (t_s1 + t_s2[v]) / AUDIO_SECONDS for v in versions}
+    contracts = run_tpu_contracts()
     print(
         json.dumps(
             {
@@ -143,10 +144,54 @@ def main():
                 "rtf_v2pro": round(rtf["v2Pro"], 5),
                 "s1_s": round(t_s1, 4),
                 "s2_s": {v: round(t_s2[v], 4) for v in versions},
+                "tpu_contracts": contracts,
                 "baseline": "reference v2ProPlus RTF 0.028 on RTX 4060 Ti (README.md:46-47)",
             }
         )
     )
+
+
+def run_tpu_contracts() -> str:
+    """Run the on-chip perf contracts (tests/test_tpu_serving_perf.py) and
+    archive the outcome to benchmarks/CONTRACTS_latest.json — so the
+    folded-vocoder parity/speed and fused-decode floors are re-checked on
+    the real chip every round instead of only when someone remembers
+    (CI is CPU-only). Cached for 6 h: the driver runs bench.py several
+    times per round. GSVT_SKIP_CONTRACTS=1 opts out."""
+    import datetime
+    import os
+    import subprocess
+    import sys
+
+    if os.environ.get("GSVT_SKIP_CONTRACTS"):
+        return "skipped"
+    repo = os.path.dirname(os.path.abspath(__file__))
+    out_path = os.path.join(repo, "benchmarks", "CONTRACTS_latest.json")
+    try:
+        if os.path.exists(out_path) and time.time() - os.path.getmtime(out_path) < 6 * 3600:
+            with open(out_path) as f:
+                return json.load(f).get("outcome", "cached") + " (cached)"
+        env = dict(os.environ, GSVT_TPU_TESTS="1")
+        env.pop("JAX_PLATFORMS", None)
+        r = subprocess.run(
+            [sys.executable, "-m", "pytest", "tests/test_tpu_serving_perf.py", "-q", "-n0", "-p", "no:cacheprovider"],
+            capture_output=True, text=True, timeout=1200, env=env, cwd=repo,
+        )
+        outcome = "passed" if r.returncode == 0 else f"failed(rc={r.returncode})"
+        with open(out_path, "w") as f:
+            json.dump(
+                {
+                    "outcome": outcome,
+                    "returncode": r.returncode,
+                    "date": datetime.date.today().isoformat(),
+                    "tail": (r.stdout + r.stderr)[-3000:],
+                },
+                f,
+                indent=1,
+            )
+        return outcome
+    except Exception as e:  # never let contract plumbing break the bench line
+        return f"error:{type(e).__name__}"
 
 
 if __name__ == "__main__":

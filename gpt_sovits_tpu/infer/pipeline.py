@@ -323,14 +323,17 @@ class TTSPipeline:
             # DiT in fp16 — TTS.py init, inference_webui); DiT matmuls hit
             # the MXU at the bf16 rate, timestep embeddings stay f32 inside
             # the model, and the sampled mel returns in f32.
-            # GSVT_DIT_QUANT=int8 serves the six big per-block matmuls
+            # GSVT_DIT_QUANT serves the six big per-block matmuls
             # weight+activation int8. Accuracy is fine (CFM mel drift
-            # ~0.2%, below bf16 rounding noise — tests/test_dit_quant) but
-            # measured THROUGHPUT on v5e via XLA's s8xs8->s32 dot is ~1.0x
-            # bf16 (benchmarks/BENCH_v3_r03.json cfm_int8_speedup), so the
-            # default stays bf16; the knob exists for chips/toolchains
-            # where the int8 MXU path engages.
-            _dit_quant = os.environ.get("GSVT_DIT_QUANT", "bf16") if half else "bf16"
+            # ~0.2%, below bf16 rounding noise — tests/test_dit_quant).
+            # Round 3 defaulted to bf16 because XLA's unfused s8xs8->s32
+            # dot ran at ~1.0x bf16; round 4's fused Pallas qdense
+            # (ops/pallas/qmatmul.py — quantize+dot+rescale in one VMEM
+            # pass) measures 260 T/s vs 175 bf16 on the DiT ff shapes and
+            # 1.12x end-to-end CFM (benchmarks/BENCH_v3_r04.json), so int8
+            # is now the TPU serving default; GSVT_DIT_QUANT=bf16 reverts.
+            _default_quant = "int8" if jax.default_backend() == "tpu" else "bf16"
+            _dit_quant = os.environ.get("GSVT_DIT_QUANT", _default_quant) if half else "bf16"
             dit_cfg = v3_bundle.model.dit_config
             if _dit_quant == "int8":
                 import dataclasses as _dc
@@ -952,9 +955,11 @@ class TTSPipeline:
         mel_long = mel_out[:bs, t_min:].reshape(1, bs * chunk_len, -1)
         if bs_pad > bs:
             mel_long = jnp.pad(mel_long, ((0, 0), (0, (bs_pad - bs) * chunk_len), (0, 0)), mode="edge")
-        wav = np.asarray(self._vocoder_fwd(self._voc_call_params, denorm_spec(mel_long)))[0, :, 0]
+        wav_dev = self._vocoder_fwd(self._voc_call_params, denorm_spec(mel_long))
+        # slice ON DEVICE to the real chunks before the int16 fetch — the
+        # bucket's pad rows never cross the wire (up to ~2x fewer bytes)
+        wav = np.asarray(wav_dev[0, : bs * chunk_len * upsample, 0])
         wav = wav.astype(np.float32) / 32767.0  # device fetch is int16 (_wav_to_i16)
-        wav = wav[: bs * chunk_len * upsample]
 
         frag_len = chunk_len * upsample
         fragments = [wav[k * frag_len : (k + 1) * frag_len] for k in range(bs)]

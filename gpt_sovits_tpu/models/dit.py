@@ -48,19 +48,31 @@ class QDense(nn.Module):
     computes y = (x_q @ w_q) · s_x·s_w + b with per-token dynamic
     activation scales and per-output-channel weight scales — both matmul
     operands int8, so the MXU runs at its doubled int8 rate. Activation
-    rounding is the only approximation (weights round once offline)."""
+    rounding is the only approximation (weights round once offline).
+
+    setup-style (in_features explicit) so the fused qkv+rope Pallas path
+    can read kernel/bias/kernel_scale off the bound submodule without
+    running this __call__."""
 
     features: int
+    in_features: int
     quant: bool = False
 
-    @nn.compact
-    def __call__(self, x):
-        kernel = self.param(
-            "kernel", nn.initializers.lecun_normal(), (jnp.shape(x)[-1], self.features)
+    def setup(self):
+        self.kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (self.in_features, self.features)
         )
-        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        self.bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        if self.quant:
+            # exists only in quantized trees (quantize_dit_params adds it);
+            # init/training always run quant=False so it is never created
+            self.kernel_scale = self.param("kernel_scale", nn.initializers.ones, (1, self.features))
+
+    def __call__(self, x):
+        kernel = self.kernel
+        bias = self.bias
         if self.quant and kernel.dtype == jnp.int8:
-            sw = self.param("kernel_scale", nn.initializers.ones, (1, self.features))
+            sw = self.kernel_scale
             if jax.default_backend() == "tpu" and not os.environ.get("GPT_SOVITS_NO_QMM"):
                 # fused Pallas kernel: quantize + s8 dot + rescale in one
                 # VMEM pass (the XLA formulation below leaves the row-max
@@ -328,14 +340,6 @@ class DiTBlock(nn.Module):
 
         b, tl, _ = x.shape
         q8 = c.quant == "int8"
-        q = QDense(inner, quant=q8, name="to_q")(norm)
-        k = QDense(inner, quant=q8, name="to_k")(norm)
-        v = QDense(inner, quant=q8, name="to_v")(norm)
-        q = rope_rotate(q, tl, c.dim_head)
-        k = rope_rotate(k, tl, c.dim_head)
-        qh = q.reshape(b, tl, c.heads, c.dim_head)
-        kh = k.reshape(b, tl, c.heads, c.dim_head)
-        vh = v.reshape(b, tl, c.heads, c.dim_head)
         use_flash = (
             # TPU only: the imported kernel is pallas.ops.tpu — on GPU it
             # fails at lowering rather than falling back to the einsum path
@@ -343,6 +347,37 @@ class DiTBlock(nn.Module):
             and tl % 512 == 0
             and not os.environ.get("GPT_SOVITS_NO_FLASH")
         )
+        to_q = QDense(inner, c.dim, quant=q8, name="to_q")
+        to_k = QDense(inner, c.dim, quant=q8, name="to_k")
+        to_v = QDense(inner, c.dim, quant=q8, name="to_v")
+        to_out = QDense(c.dim, inner, quant=q8, name="to_out")
+        fused_qkv = (
+            q8
+            and use_flash
+            and not os.environ.get("GPT_SOVITS_NO_QMM")
+            and to_q.kernel.dtype == jnp.int8
+        )
+        if fused_qkv:
+            # one Pallas pass: quantize-once 3x s8 projection + head-0 rope
+            # + flash (B,H,T,dh) layout — the separate rope pass and the
+            # q/k/v HBM transposes disappear (ops/pallas/qmatmul.py)
+            from gpt_sovits_tpu.ops.pallas.qmatmul import qkv_rope_int8
+
+            qf, kf, vf = qkv_rope_int8(
+                norm, to_q.kernel, to_k.kernel, to_v.kernel,
+                to_q.kernel_scale, to_k.kernel_scale, to_v.kernel_scale,
+                to_q.bias, to_k.bias, to_v.bias, dim_head=c.dim_head,
+            )
+            qh = kh = vh = None
+        else:
+            q = to_q(norm)
+            k = to_k(norm)
+            v = to_v(norm)
+            q = rope_rotate(q, tl, c.dim_head)
+            k = rope_rotate(k, tl, c.dim_head)
+            qh = q.reshape(b, tl, c.heads, c.dim_head)
+            kh = k.reshape(b, tl, c.heads, c.dim_head)
+            vh = v.reshape(b, tl, c.heads, c.dim_head)
         if use_flash:
             # Pallas flash attention: the einsum path materializes the
             # (B, H, T, T) score/prob tensors in HBM — at T~1k that HBM
@@ -364,27 +399,39 @@ class DiTBlock(nn.Module):
             blk = min(int(os.environ.get("GPT_SOVITS_FLASH_BLOCK", "1024")), tl)
             blk_b = min(int(os.environ.get("GPT_SOVITS_FLASH_BLOCK_B", "1")), b)
             bs = BlockSizes(block_q=blk, block_k_major=blk, block_k=blk, block_b=blk_b)
-            attn = flash_attention(
-                qh.transpose(0, 2, 1, 3), kh.transpose(0, 2, 1, 3), vh.transpose(0, 2, 1, 3),
+            if fused_qkv:
+                q_in, k_in, v_in = qf, kf, vf
+            else:
+                q_in = qh.transpose(0, 2, 1, 3)
+                k_in = kh.transpose(0, 2, 1, 3)
+                v_in = vh.transpose(0, 2, 1, 3)
+            attn_h = flash_attention(
+                q_in, k_in, v_in,
                 segment_ids=seg, sm_scale=1.0 / float(np.sqrt(c.dim_head)), block_sizes=bs,
             )
-            attn = attn.transpose(0, 2, 1, 3).reshape(b, tl, inner)
+            if fused_qkv:
+                from gpt_sovits_tpu.ops.pallas.qmatmul import qdense_out_int8
+
+                # out-projection consumes the flash layout directly: the
+                # head-merge transpose happens in VMEM inside the kernel
+                attn = qdense_out_int8(attn_h, to_out.kernel, to_out.kernel_scale, to_out.bias)
+            else:
+                attn = to_out(attn_h.transpose(0, 2, 1, 3).reshape(b, tl, inner))
         else:
             scores = jnp.einsum("bqhd,bkhd->bhqk", qh, kh, preferred_element_type=jnp.float32) / np.sqrt(c.dim_head)
             if mask is not None:
                 scores = jnp.where(mask[:, None, None, :], scores, -jnp.inf)
             probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-            attn = jnp.einsum("bhqk,bkhd->bqhd", probs, vh).reshape(b, tl, inner)
-        attn = QDense(c.dim, quant=q8, name="to_out")(attn)
+            attn = to_out(jnp.einsum("bhqk,bkhd->bqhd", probs, vh).reshape(b, tl, inner))
         if mask is not None:
             attn = jnp.where(mask[..., None], attn, 0.0)
         x = x + gate_msa[:, None] * attn
 
         norm2 = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6, name="ff_norm")(x)
         norm2 = norm2.astype(x.dtype) * (1 + scale_mlp[:, None]) + shift_mlp[:, None]
-        ff = QDense(c.dim * c.ff_mult, quant=q8, name="ff1")(norm2)
+        ff = QDense(c.dim * c.ff_mult, c.dim, quant=q8, name="ff1")(norm2)
         ff = nn.gelu(ff, approximate=True)
-        ff = QDense(c.dim, quant=q8, name="ff2")(ff)
+        ff = QDense(c.dim, c.dim * c.ff_mult, quant=q8, name="ff2")(ff)
         return x + gate_mlp[:, None] * ff
 
 

@@ -20,6 +20,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -78,3 +79,163 @@ def qdense_int8(x, wq, sw, bias, *, block_m: int = 512):
     if pad_t:
         out = out[:, :t]
     return out[0] if squeeze else out
+
+
+def _qkv_rope_kernel(dim_head: int):
+    """q/k/v projections + rope + head-split layout in one pass."""
+
+    def kernel(x_ref, wq_ref, wk_ref, wv_ref, sq_ref, sk_ref, sv_ref,
+               bq_ref, bk_ref, bv_ref, cos_ref, sin_ref,
+               q_out, k_out, v_out):
+        x = x_ref[0].astype(jnp.float32)  # (bm, K)
+        sx = jnp.max(jnp.abs(x), axis=-1, keepdims=True) * (1.0 / 127.0)
+        sx = jnp.maximum(sx, 1e-8)
+        xq = jnp.clip(jnp.round(x * pl.reciprocal(sx, approx=False)), -127, 127).astype(jnp.int8)
+
+        def proj(w_ref, s_ref, b_ref):
+            acc = jax.lax.dot_general(
+                xq, w_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+            )
+            return acc.astype(jnp.float32) * sx * s_ref[:] + b_ref[:]
+
+        q = proj(wq_ref, sq_ref, bq_ref)  # (bm, N) f32
+        k = proj(wk_ref, sk_ref, bk_ref)
+        v = proj(wv_ref, sv_ref, bv_ref)
+
+        cos = cos_ref[0]  # (bm, dim_head)
+        sin = sin_ref[0]
+
+        def rope(t):
+            # reference quirk: only the FIRST dim_head channels (head 0
+            # after the split) rotate — x_transformers interleaved pairs
+            # applied pre-split (models/dit.py rope_rotate)
+            bm = t.shape[0]
+            x_rot = t[:, :dim_head]
+            pairs = x_rot.reshape(bm, dim_head // 2, 2)
+            rot = jnp.stack([-pairs[..., 1], pairs[..., 0]], axis=-1).reshape(bm, dim_head)
+            return t.at[:, :dim_head].set(x_rot * cos + rot * sin)
+
+        q = rope(q)
+        k = rope(k)
+        bm, n = q.shape
+        h = n // dim_head
+
+        def to_heads(t):
+            return t.reshape(bm, h, dim_head).swapaxes(0, 1)  # (H, bm, dh)
+
+        q_out[0] = to_heads(q).astype(q_out.dtype)
+        k_out[0] = to_heads(k).astype(k_out.dtype)
+        v_out[0] = to_heads(v).astype(v_out.dtype)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("dim_head", "block_m"))
+def qkv_rope_int8(x, wq, wk, wv, sq, sk, sv, bq, bk, bv, *, dim_head: int, block_m: int = 512):
+    """Fused q/k/v int8 projections + rope + flash-ready head layout.
+
+    x: (B, T, K); w*: (K, N) int8; s*: (1, N) f32; b*: (N,) f32.
+    Returns (q, k, v) each (B, H, T, dim_head) in x.dtype — the layout the
+    Pallas flash kernel wants, so the (B,T,H*dh)->(B,H,T,dh) transposes
+    (measured ~20 ms of a 232 ms CFM call) never hit HBM. The activation
+    block is quantized ONCE for all three projections, and the reference's
+    head-0 rope (models/dit.py rope_rotate) applies in-register."""
+    b, t, k = x.shape
+    n = wq.shape[1]
+    h = n // dim_head
+    bm = min(block_m, max(16, t))
+    pad_t = -t % bm
+    if pad_t:
+        x = jnp.pad(x, ((0, 0), (0, pad_t), (0, 0)))
+    tp = t + pad_t
+
+    # interleaved-pair rope tables for the padded length
+    inv = 1.0 / (10000.0 ** (np.arange(0, dim_head, 2, dtype=np.float64) / dim_head))
+    pos = np.arange(tp)
+    freqs = np.repeat(np.einsum("t,f->tf", pos, inv), 2, axis=-1)
+    cos = jnp.asarray(np.cos(freqs), jnp.float32)
+    sin = jnp.asarray(np.sin(freqs), jnp.float32)
+
+    outs = pl.pallas_call(
+        _qkv_rope_kernel(dim_head),
+        grid=(b, tp // bm),
+        in_specs=[
+            pl.BlockSpec((1, bm, k), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((k, n), lambda i, j: (0, 0)),
+            pl.BlockSpec((k, n), lambda i, j: (0, 0)),
+            pl.BlockSpec((k, n), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, n), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, n), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, n), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, n), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, n), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, n), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, bm, dim_head), lambda i, j: (0, j, 0)),
+            pl.BlockSpec((1, bm, dim_head), lambda i, j: (0, j, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, h, bm, dim_head), lambda i, j: (i, 0, j, 0)),
+            pl.BlockSpec((1, h, bm, dim_head), lambda i, j: (i, 0, j, 0)),
+            pl.BlockSpec((1, h, bm, dim_head), lambda i, j: (i, 0, j, 0)),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((b, h, tp, dim_head), x.dtype)] * 3,
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary", "arbitrary")),
+    )(
+        x, wq, wk, wv,
+        sq.reshape(1, n).astype(jnp.float32), sk.reshape(1, n).astype(jnp.float32),
+        sv.reshape(1, n).astype(jnp.float32),
+        bq.reshape(1, n).astype(jnp.float32), bk.reshape(1, n).astype(jnp.float32),
+        bv.reshape(1, n).astype(jnp.float32),
+        cos[None], sin[None],
+    )
+    q, k_, v = outs
+    if pad_t:
+        q, k_, v = q[:, :, :t], k_[:, :, :t], v[:, :, :t]
+    return q, k_, v
+
+
+def _heads_in_kernel(x_ref, w_ref, sw_ref, b_ref, o_ref):
+    """(1, H, bm, dh) head-split input -> merge -> quantize -> s8 dot."""
+    xh = x_ref[0].astype(jnp.float32)  # (H, bm, dh)
+    h, bm, dh = xh.shape
+    x = xh.swapaxes(0, 1).reshape(bm, h * dh)
+    sx = jnp.max(jnp.abs(x), axis=-1, keepdims=True) * (1.0 / 127.0)
+    sx = jnp.maximum(sx, 1e-8)
+    xq = jnp.clip(jnp.round(x * pl.reciprocal(sx, approx=False)), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xq, w_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    y = acc.astype(jnp.float32) * sx * sw_ref[:]
+    o_ref[0] = (y + b_ref[:]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_m",))
+def qdense_out_int8(attn, wq, sw, bias, *, block_m: int = 512):
+    """Attention-output projection taking the flash layout directly.
+
+    attn: (B, H, T, dh) -> returns (B, T, N). The head-merge transpose
+    happens in VMEM inside the kernel instead of as an HBM copy."""
+    b, h, t, dh = attn.shape
+    k = h * dh
+    n = wq.shape[1]
+    bm = min(block_m, max(16, t))
+    pad_t = -t % bm
+    if pad_t:
+        attn = jnp.pad(attn, ((0, 0), (0, 0), (0, pad_t), (0, 0)))
+    tp = t + pad_t
+    out = pl.pallas_call(
+        _heads_in_kernel,
+        grid=(b, tp // bm),
+        in_specs=[
+            pl.BlockSpec((1, h, bm, dh), lambda i, j: (i, 0, j, 0)),
+            pl.BlockSpec((k, n), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, n), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, n), lambda i, j: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bm, n), lambda i, j: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, tp, n), attn.dtype),
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary", "arbitrary")),
+    )(attn, wq, sw.reshape(1, n).astype(jnp.float32), bias.reshape(1, n).astype(jnp.float32))
+    if pad_t:
+        out = out[:, :t]
+    return out

@@ -31,7 +31,7 @@ def test_qdense_float_path_matches_dense():
     x = jax.random.normal(key, (3, 7, 16))
     import flax.linen as nn
 
-    qd = QDense(24)
+    qd = QDense(24, 16)
     p = qd.init(key, x)
     ref = nn.Dense(24).apply(p, x)
     np.testing.assert_allclose(np.asarray(qd.apply(p, x)), np.asarray(ref), atol=1e-6)

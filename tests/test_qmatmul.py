@@ -72,3 +72,47 @@ def test_qdense_accuracy_vs_float():
     ref = np.asarray(jnp.dot(x, w) + bias)
     rel = np.abs(got - ref).mean() / (np.abs(ref).mean() + 1e-9)
     assert rel < 0.02, rel
+
+
+def test_qkv_rope_matches_unfused_composition():
+    """qkv_rope_int8 == [3x XLA W8A8 proj -> rope_rotate -> head split ->
+    (B,H,T,dh) transpose] from models/dit.py."""
+    from gpt_sovits_tpu.models.dit import rope_rotate
+    from gpt_sovits_tpu.ops.pallas.qmatmul import qkv_rope_int8
+
+    b, t, k, heads, dh = 2, 96, 128, 2, 64
+    n = heads * dh
+    x, wq_q, sq, bq = _mk(b, t, k, n, jnp.float32, seed=0)
+    _, wk_q, sk, bk = _mk(b, t, k, n, jnp.float32, seed=1)
+    _, wv_q, sv, bv = _mk(b, t, k, n, jnp.float32, seed=2)
+
+    with pltpu.force_tpu_interpret_mode():
+        qf, kf, vf = qkv_rope_int8(
+            x, wq_q, wk_q, wv_q, sq, sk, sv, bq, bk, bv, dim_head=dh, block_m=32
+        )
+
+    def unfused(wq, s, bias, rope):
+        y = _xla_w8a8(x, wq, s.reshape(1, -1) * 1.0, bias)
+        if rope:
+            y = rope_rotate(y, t, dh)
+        return y.reshape(b, t, heads, dh).transpose(0, 2, 1, 3)
+
+    np.testing.assert_allclose(np.asarray(qf), np.asarray(unfused(wq_q, sq, bq, True)), rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(kf), np.asarray(unfused(wk_q, sk, bk, True)), rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(vf), np.asarray(unfused(wv_q, sv, bv, False)), rtol=2e-2, atol=2e-2)
+    assert qf.shape == (b, heads, t, dh)
+
+
+def test_qdense_out_matches_unfused_composition():
+    from gpt_sovits_tpu.ops.pallas.qmatmul import qdense_out_int8
+
+    b, heads, t, dh, n = 2, 4, 64, 32, 96
+    k = heads * dh
+    key = jax.random.PRNGKey(9)
+    attn = jax.random.normal(key, (b, heads, t, dh), jnp.float32)
+    _, wq, s, bias = _mk(b, t, k, n, jnp.float32, seed=5)
+    with pltpu.force_tpu_interpret_mode():
+        got = qdense_out_int8(attn, wq, s, bias, block_m=32)
+    merged = attn.transpose(0, 2, 1, 3).reshape(b, t, k)
+    want = _xla_w8a8(merged, wq, s, bias)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-2, atol=2e-2)
