@@ -108,24 +108,29 @@ def _qkv_rope_kernel(dim_head: int):
         def rope(t):
             # reference quirk: only the FIRST dim_head channels (head 0
             # after the split) rotate — x_transformers interleaved pairs
-            # applied pre-split (models/dit.py rope_rotate)
-            bm = t.shape[0]
+            # applied pre-split (models/dit.py rope_rotate). The pairwise
+            # rotate_half ([-x1, x0] interleave) is expressed as lane rolls
+            # + a parity mask: Mosaic has no lowering for the (bm, dh/2, 2)
+            # reshape or scatter writes.
             x_rot = t[:, :dim_head]
-            pairs = x_rot.reshape(bm, dim_head // 2, 2)
-            rot = jnp.stack([-pairs[..., 1], pairs[..., 0]], axis=-1).reshape(bm, dim_head)
-            return t.at[:, :dim_head].set(x_rot * cos + rot * sin)
+            left = pltpu.roll(x_rot, shift=dim_head - 1, axis=1)  # x[..., i+1] (circular)
+            right = pltpu.roll(x_rot, shift=1, axis=1)  # x[..., i-1]
+            lane = jax.lax.broadcasted_iota(jnp.int32, x_rot.shape, 1)
+            rot = jnp.where(lane % 2 == 0, -left, right)
+            return jnp.concatenate([x_rot * cos + rot * sin, t[:, dim_head:]], axis=-1)
 
         q = rope(q)
         k = rope(k)
         bm, n = q.shape
         h = n // dim_head
 
-        def to_heads(t):
-            return t.reshape(bm, h, dim_head).swapaxes(0, 1)  # (H, bm, dh)
-
-        q_out[0] = to_heads(q).astype(q_out.dtype)
-        k_out[0] = to_heads(k).astype(k_out.dtype)
-        v_out[0] = to_heads(v).astype(v_out.dtype)
+        # head-split via static minor-dim slices (Mosaic has no lowering
+        # for the transpose+reshape shape cast)
+        for hh in range(h):
+            sl = slice(hh * dim_head, (hh + 1) * dim_head)
+            q_out[0, hh] = q[:, sl].astype(q_out.dtype)
+            k_out[0, hh] = k[:, sl].astype(k_out.dtype)
+            v_out[0, hh] = v[:, sl].astype(v_out.dtype)
 
     return kernel
 
@@ -195,17 +200,25 @@ def qkv_rope_int8(x, wq, wk, wv, sq, sk, sv, bq, bk, bv, *, dim_head: int, block
 
 
 def _heads_in_kernel(x_ref, w_ref, sw_ref, b_ref, o_ref):
-    """(1, H, bm, dh) head-split input -> merge -> quantize -> s8 dot."""
+    """(1, H, bm, dh) head-split input -> quantize -> s8 dot.
+
+    The head merge rides the contraction instead of a shape cast (which
+    Mosaic can't lower): w arrives reshaped (H, dh, N) and the dot batches
+    over H, summing partial products — y = sum_h x[h] @ w[h]."""
     xh = x_ref[0].astype(jnp.float32)  # (H, bm, dh)
-    h, bm, dh = xh.shape
-    x = xh.swapaxes(0, 1).reshape(bm, h * dh)
-    sx = jnp.max(jnp.abs(x), axis=-1, keepdims=True) * (1.0 / 127.0)
+    h = xh.shape[0]
+    # activation scale per ROW of the merged (bm, H*dh) matrix = max over
+    # heads of the per-head row max
+    sx = jnp.max(jnp.abs(xh), axis=(0, 2), keepdims=True) * (1.0 / 127.0)  # (1, bm, 1)
     sx = jnp.maximum(sx, 1e-8)
-    xq = jnp.clip(jnp.round(x * pl.reciprocal(sx, approx=False)), -127, 127).astype(jnp.int8)
+    xq = jnp.clip(jnp.round(xh * pl.reciprocal(sx, approx=False)), -127, 127).astype(jnp.int8)
     acc = jax.lax.dot_general(
-        xq, w_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+        xq, w_ref[:],
+        (((2,), (1,)), ((0,), (0,))),  # contract dh, batch H -> (H, bm, N)
+        preferred_element_type=jnp.int32,
     )
-    y = acc.astype(jnp.float32) * sx * sw_ref[:]
+    acc = jnp.sum(acc, axis=0)  # (bm, N)
+    y = acc.astype(jnp.float32) * sx[0] * sw_ref[:]
     o_ref[0] = (y + b_ref[:]).astype(o_ref.dtype)
 
 
@@ -228,14 +241,14 @@ def qdense_out_int8(attn, wq, sw, bias, *, block_m: int = 512):
         grid=(b, tp // bm),
         in_specs=[
             pl.BlockSpec((1, h, bm, dh), lambda i, j: (i, 0, j, 0)),
-            pl.BlockSpec((k, n), lambda i, j: (0, 0)),
+            pl.BlockSpec((h, dh, n), lambda i, j: (0, 0, 0)),
             pl.BlockSpec((1, n), lambda i, j: (0, 0)),
             pl.BlockSpec((1, n), lambda i, j: (0, 0)),
         ],
         out_specs=pl.BlockSpec((1, bm, n), lambda i, j: (i, j, 0)),
         out_shape=jax.ShapeDtypeStruct((b, tp, n), attn.dtype),
         compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary", "arbitrary")),
-    )(attn, wq, sw.reshape(1, n).astype(jnp.float32), bias.reshape(1, n).astype(jnp.float32))
+    )(attn, wq.reshape(h, dh, n), sw.reshape(1, n).astype(jnp.float32), bias.reshape(1, n).astype(jnp.float32))
     if pad_t:
         out = out[:, :t]
     return out
