@@ -131,17 +131,20 @@ def _prefill_one(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("model", "scratch", "n_steps", "max_new", "top_k", "top_p", "temperature", "repetition_penalty"),
+    static_argnames=("model", "scratch", "n_steps", "max_new", "use_fused", "top_k", "top_p", "temperature", "repetition_penalty"),
     donate_argnums=(2,),  # the KV pool updates in place across segments
 )
 def _segment(
     model: T2SDecoder,
     params,
     state: _SlotState,
+    fused_weights=None,
+    head_kernel=None,
     *,
     scratch: int,
     n_steps: int,
     max_new: int,
+    use_fused: bool = False,
     top_k: int,
     top_p: float,
     temperature: float,
@@ -149,21 +152,44 @@ def _segment(
 ) -> _SlotState:
     """Advance every active row n_steps tokens (one fori_loop; per-row
     write indices). Inactive/done rows run masked — their state is
-    untouched. Mirrors generate()'s body (models/t2s.py:448-478)."""
+    untouched. Mirrors generate()'s body (models/t2s.py:448-478).
+
+    use_fused: run the per-token transformer step as the fused Pallas
+    kernel (ops/pallas/decode_step.py) with vector write indices — the
+    XLA step at production size copies the stacked KV pool every token.
+    In fused mode state.k_caches holds the combined K||V cache
+    (L, B, T, 2D) and v_caches is empty, matching generate()."""
     cfg = model.cfg
     eos = cfg.eos_id
     b = state.valid.shape[0]
     rows = jnp.arange(b)
+
+    if use_fused:
+        from gpt_sovits_tpu.ops.pallas.decode_step import fused_decode_step
 
     def body(_, s: _SlotState):
         # token sampled g-1 steps ago lives at scratch + g - 1
         write_idx = scratch + jnp.maximum(s.gen_count - 1, 0)
         live = s.active & ~s.done
         valid = s.valid.at[rows, write_idx].set(s.valid[rows, write_idx] | live)
-        logits, k_c, v_c = model.apply(
-            params, s.tok_emb, s.k_caches, s.v_caches, valid, write_idx,
-            method=T2SDecoder.decode_step,
-        )
+        if use_fused:
+            # the kernel adds the query's own fresh K/V itself, so it gets
+            # the PRE-update mask (generate(), models/t2s.py:452-455)
+            y, k_c = fused_decode_step(
+                s.tok_emb[:, 0].astype(jnp.float32), fused_weights, s.k_caches,
+                s.valid.astype(jnp.float32), write_idx, num_heads=cfg.num_heads,
+                # smaller KV scratch chunk: inside the segment loop the
+                # kernel's outputs stay in scoped VMEM and the default 256
+                # chunk overflows the 16 MB budget by ~0.8 MB at B=8
+                chunk=128,
+            )
+            logits = y @ head_kernel
+            v_c = s.v_caches
+        else:
+            logits, k_c, v_c = model.apply(
+                params, s.tok_emb, s.k_caches, s.v_caches, valid, write_idx,
+                method=T2SDecoder.decode_step,
+            )
         logits = logits.astype(jnp.float32)
         logits = jnp.where(
             (s.gen_count < EOS_MASK_WARMUP_STEPS)[:, None], logits.at[:, eos].set(-jnp.inf), logits
@@ -186,7 +212,9 @@ def _segment(
         presence = s.presence.at[rows, tok].set(s.presence[rows, tok] | live)
         pos = jnp.clip(s.prompt_lens + s.gen_count, 0, cfg.max_len - 1)
         tok_emb = model.apply(params, tok[:, None], pos[:, None], method=T2SDecoder.embed_audio)
-        tok_emb = jnp.where(live[:, None, None], tok_emb, s.tok_emb)
+        # embed_audio promotes to f32 under a bf16 model (f32 alpha_audio);
+        # the carry dtype is pinned by the pool state
+        tok_emb = jnp.where(live[:, None, None], tok_emb.astype(s.tok_emb.dtype), s.tok_emb)
         gen_count = jnp.where(live & ~newly_done, s.gen_count + 1, s.gen_count)
         return _SlotState(
             k_c, v_c, valid, presence, tok_emb, tokens, gen_count, lengths,
@@ -194,6 +222,54 @@ def _segment(
         )
 
     return jax.lax.fori_loop(0, n_steps, body, state)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("fused",))
+def _install_row(
+    state: _SlotState,
+    slot,
+    k_row,
+    v_row,
+    valid_row,
+    presence,
+    tok0,
+    tok0_emb,
+    prompt_len,
+    key,
+    *,
+    fused: bool,
+):
+    """Write one prefilled request into pool slot `slot` — a single jitted
+    call with the pool DONATED, so the multi-hundred-MB KV cache updates in
+    place instead of being copied once per .at[].set (13 separate host-side
+    updates measured ~0.3 s per admission at production size)."""
+    s = state
+    max_new = s.tokens.shape[1]
+    if fused:
+        L, T = k_row.shape[0], k_row.shape[2]
+        d = k_row.shape[3] * k_row.shape[4]
+        kv_row = jnp.concatenate(
+            [k_row[:, 0].reshape(L, T, d), v_row[:, 0].reshape(L, T, d)], axis=-1
+        ).astype(jnp.bfloat16)
+        new_k = s.k_caches.at[:, slot].set(kv_row)
+        new_v = s.v_caches
+    else:
+        new_k = s.k_caches.at[:, slot].set(k_row[:, 0].astype(s.k_caches.dtype))
+        new_v = s.v_caches.at[:, slot].set(v_row[:, 0].astype(s.v_caches.dtype))
+    return _SlotState(
+        k_caches=new_k,
+        v_caches=new_v,
+        valid=s.valid.at[slot].set(valid_row[0]),
+        presence=s.presence.at[slot].set(presence[0]),
+        tok_emb=s.tok_emb.at[slot].set(tok0_emb[0].astype(s.tok_emb.dtype)),
+        tokens=s.tokens.at[slot].set(jnp.zeros((max_new,), jnp.int32).at[0].set(tok0[0])),
+        gen_count=s.gen_count.at[slot].set(1),
+        lengths=s.lengths.at[slot].set(1),
+        prompt_lens=s.prompt_lens.at[slot].set(prompt_len),
+        active=s.active.at[slot].set(True),
+        done=s.done.at[slot].set(False),
+        key=key,
+    )
 
 
 @dataclasses.dataclass
@@ -227,6 +303,8 @@ class ContinuousBatcher:
         temperature: float = 1.0,
         repetition_penalty: float = 1.35,
         seed: int = 0,
+        use_fused: Optional[bool] = None,
+        weight_quant: str = "bf16",
     ):
         cfg = model.cfg
         self.model, self.params = model, params
@@ -240,9 +318,25 @@ class ContinuousBatcher:
         b, L = slots, cfg.num_layers
         h, dh = cfg.num_heads, cfg.hidden_dim // cfg.num_heads
         dt = model.dtype
+        if use_fused is None:
+            from gpt_sovits_tpu.ops.pallas.decode_step import fused_decode_supported
+
+            use_fused = jax.default_backend() == "tpu" and fused_decode_supported(b, cfg.hidden_dim)
+        self.use_fused = use_fused
+        self.fused_weights = None
+        self.head_kernel = None
+        if use_fused:
+            from gpt_sovits_tpu.ops.pallas.decode_step import stack_weights_from_params
+
+            self.fused_weights = stack_weights_from_params(params, L, quant=weight_quant)
+            self.head_kernel = params["params"]["predict"]["kernel"].astype(jnp.float32)
         self.state = _SlotState(
-            k_caches=jnp.zeros((L, b, self.t_total, h, dh), dt),
-            v_caches=jnp.zeros((L, b, self.t_total, h, dh), dt),
+            k_caches=(
+                jnp.zeros((L, b, self.t_total, 2 * cfg.hidden_dim), jnp.bfloat16)
+                if use_fused
+                else jnp.zeros((L, b, self.t_total, h, dh), dt)
+            ),
+            v_caches=jnp.zeros((0,), dt) if use_fused else jnp.zeros((L, b, self.t_total, h, dh), dt),
             valid=jnp.zeros((b, self.t_total), bool),
             presence=jnp.zeros((b, cfg.vocab_size), bool),
             tok_emb=jnp.zeros((b, 1, cfg.embedding_dim), dt),
@@ -286,26 +380,16 @@ class ContinuousBatcher:
         bert[0, tx - len(req.phones):] = req.bert
         prompt = np.zeros((1, tp), np.int32)
         prompt[0, : len(req.prompt)] = req.prompt  # right-pad
-        s = self.state
-        key, sub = jax.random.split(s.key)
+        key, sub = jax.random.split(self.state.key)
         k_row, v_row, valid_row, presence, tok0, tok0_emb = _prefill_one(
             self.model, self.params, jnp.asarray(phones), jnp.asarray([len(req.phones)]),
             jnp.asarray(bert), jnp.asarray(prompt), jnp.asarray([len(req.prompt)]), sub,
             tx_max=tx, tp_max=tp, t_total=self.t_total, **self.sampling,
         )
-        self.state = _SlotState(
-            k_caches=s.k_caches.at[:, slot].set(k_row[:, 0].astype(s.k_caches.dtype)),
-            v_caches=s.v_caches.at[:, slot].set(v_row[:, 0].astype(s.v_caches.dtype)),
-            valid=s.valid.at[slot].set(valid_row[0]),
-            presence=s.presence.at[slot].set(presence[0]),
-            tok_emb=s.tok_emb.at[slot].set(tok0_emb[0].astype(s.tok_emb.dtype)),
-            tokens=s.tokens.at[slot].set(jnp.zeros((self.max_new,), jnp.int32).at[0].set(tok0[0])),
-            gen_count=s.gen_count.at[slot].set(1),
-            lengths=s.lengths.at[slot].set(1),
-            prompt_lens=s.prompt_lens.at[slot].set(len(req.prompt)),
-            active=s.active.at[slot].set(True),
-            done=s.done.at[slot].set(False),
-            key=key,
+        self.state = _install_row(
+            self.state, jnp.asarray(slot, jnp.int32), k_row, v_row, valid_row,
+            presence, tok0, tok0_emb, jnp.asarray(len(req.prompt), jnp.int32), key,
+            fused=self.use_fused,
         )
         self._slot_rid[slot] = req.rid
         self.admitted_at[req.rid] = self._segments_run
@@ -319,25 +403,30 @@ class ContinuousBatcher:
         if not any(r is not None for r in self._slot_rid):
             return {}
         self.state = _segment(
-            self.model, self.params, self.state,
-            scratch=self.scratch, n_steps=n, max_new=self.max_new, **self.sampling,
+            self.model, self.params, self.state, self.fused_weights, self.head_kernel,
+            scratch=self.scratch, n_steps=n, max_new=self.max_new,
+            use_fused=self.use_fused, **self.sampling,
         )
         self._segments_run += 1
-        done = np.asarray(self.state.done)
-        active = np.asarray(self.state.active)
+        # ONE host fetch for the scheduler flags (each np.asarray is a
+        # separate device round trip — they add up over the tunnel)
+        done, active, lengths = jax.device_get(
+            (self.state.done, self.state.active, self.state.lengths)
+        )
         out: dict[int, np.ndarray] = {}
         evicted = []
         for slot in range(self.slots):
             rid = self._slot_rid[slot]
             if rid is not None and active[slot] and done[slot]:
-                length = int(np.asarray(self.state.lengths[slot]))
-                out[rid] = np.asarray(self.state.tokens[slot, :length])
                 self.finished_at[rid] = self._segments_run
-                evicted.append(slot)
+                evicted.append((slot, rid, int(lengths[slot])))
                 self._slot_rid[slot] = None
         if evicted:
+            rows = jax.device_get(self.state.tokens[jnp.asarray([s for s, _, _ in evicted])])
+            for (slot, rid, length), toks in zip(evicted, rows):
+                out[rid] = np.asarray(toks[:length])
             s = self.state
-            idx = jnp.asarray(evicted)
+            idx = jnp.asarray([s_ for s_, _, _ in evicted])
             self.state = s._replace(
                 active=s.active.at[idx].set(False),
                 valid=s.valid.at[idx].set(False),

@@ -349,6 +349,12 @@ def fused_decode_step(
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
+    # write_idx: scalar (all rows at the same step — generate()) or (B,)
+    # vector (rows at independent steps — continuous batching). The kernel
+    # itself only needs the sweep BOUND (slots beyond it are never valid);
+    # the fresh K/V is added in-kernel and scattered into the cache here.
+    rowwise = jnp.ndim(write_idx) != 0
+    nvalid = jnp.max(write_idx) if rowwise else write_idx
     y, kv_new = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -357,7 +363,7 @@ def fused_decode_step(
             jax.ShapeDtypeStruct((L, bsz, 2 * d), kv_cache.dtype),
         ],
     )(
-        jnp.asarray(write_idx, jnp.int32).reshape(1),
+        jnp.asarray(nvalid, jnp.int32).reshape(1),
         x,
         weights["wqkv"], weights["bqkv"], weights["wo"], weights["bo"],
         weights["n1s"], weights["n1b"], weights["n2s"], weights["n2b"],
@@ -366,9 +372,21 @@ def fused_decode_step(
         kv_cache, mask, jnp.asarray(_head_mask(d, h)),
     )
 
-    kv_cache = jax.lax.dynamic_update_slice(
-        kv_cache, kv_new[:, :, None, :].astype(kv_cache.dtype), (0, 0, write_idx, 0)
-    )
+    if rowwise:
+        # per-row dynamic_update_slice instead of one scatter: scatter on
+        # the (L,B,T,2D) pool defeats XLA's in-place buffer reuse inside
+        # the decode loop (measured: the whole multi-hundred-MB cache was
+        # copied every token); B unrolled DUS ops alias in place
+        for i in range(bsz):
+            kv_cache = jax.lax.dynamic_update_slice(
+                kv_cache,
+                kv_new[:, i : i + 1, None, :].astype(kv_cache.dtype),
+                (0, i, write_idx[i], 0),
+            )
+    else:
+        kv_cache = jax.lax.dynamic_update_slice(
+            kv_cache, kv_new[:, :, None, :].astype(kv_cache.dtype), (0, 0, write_idx, 0)
+        )
     return y, kv_cache
 
 

@@ -92,6 +92,19 @@ def main():
     while cb.pending:
         cb.step(SEGMENT)
 
+    # device time of one full-pool segment (trace-based): the per-token
+    # floor without the tunnel's per-sync RTT — what a locally-attached
+    # chip would sustain
+    fill2 = [cb.submit(*mk_req()) for _ in range(SLOTS)]
+    cb.step(SEGMENT)
+    from _trace_time import device_time
+
+    t_seg = device_time(lambda _x: (cb.step(SEGMENT), cb.state.done)[1], 0, n=1)
+    while cb.pending:
+        cb.step(SEGMENT)
+    per_tok_dev = t_seg / SEGMENT
+    local_projection = SLOTS / 25.0 / per_tok_dev  # audio-s/s at ~0 RTT
+
     print(
         json.dumps(
             {
@@ -106,7 +119,10 @@ def main():
                 "segments": segs,
                 "probe_latency_s": round(probe_latency, 3),
                 "probe_admit_wait_segments": int(admit_wait_segs),
-                "note": "S1 stage only (decode dominates serving); host syncs once per segment (~25-40ms tunnel RTT each here, ~0.1ms locally)",
+                "segment_device_s": round(t_seg, 4),
+                "device_us_per_token": round(per_tok_dev * 1e6, 1),
+                "local_host_projection_audio_s_per_s": round(local_projection, 1),
+                "note": "S1 stage only (decode dominates serving); host syncs once per segment (~25-40ms tunnel RTT each here, ~0.1ms locally) — local_host_projection removes the RTT",
             }
         )
     )

@@ -107,3 +107,27 @@ def test_length_validation(model):
         cb.submit(np.ones(20, np.int32), None, np.ones(4, np.int32))
     with pytest.raises(ValueError, match="prompt length"):
         cb.submit(np.ones(4, np.int32), None, np.ones(20, np.int32))
+
+
+def test_fused_segment_matches_unfused(model):
+    """Fused-kernel continuous mode (per-row write indices through the
+    Pallas decode step, interpret mode) produces the same tokens as the
+    XLA path under argmax."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    m, params = model
+    max_new = 12
+    reqs = [_mk_request(s) for s in (21, 22)]
+
+    cb_x = ContinuousBatcher(m, params, slots=2, tx_max=16, tp_max=16, max_new=max_new,
+                             use_fused=False, **ARGMAX)
+    rids_x = [cb_x.submit(*r) for r in reqs]
+    want = cb_x.drain(n=6)
+
+    with pltpu.force_tpu_interpret_mode():
+        cb_f = ContinuousBatcher(m, params, slots=2, tx_max=16, tp_max=16, max_new=max_new,
+                                 use_fused=True, **ARGMAX)
+        rids_f = [cb_f.submit(*r) for r in reqs]
+        got = cb_f.drain(n=6)
+    for rx, rf in zip(rids_x, rids_f):
+        np.testing.assert_array_equal(got[rf], want[rx])

@@ -294,3 +294,28 @@ def test_tts_mixed_language_zh_mode(server, monkeypatch):
     assert zh_calls, f"no zh-mode segmentation observed: {seen}"
     langs = [r["lang"] for r in zh_calls[0]]
     assert "en" in langs and "zh" in langs, langs
+
+
+def test_gui_client_core(server, tmp_path):
+    """The desktop client's REST core (serve/gui_client.py TTSClient) —
+    counterpart of the reference PyQt client (inference_gui.py) — against
+    the live test server: health, weight swap, synthesis to file."""
+    from gpt_sovits_tpu.serve.gui_client import TTSClient, synthesize_to_file
+
+    base, ref, swaps = server
+    c = TTSClient(base)
+    assert c.health()
+    ok, _ = c.set_gpt_weights("/tmp/some_weights.ckpt")
+    assert ok and swaps[-1] == ("gpt", "/tmp/some_weights.ckpt")
+    out = synthesize_to_file(
+        c, str(tmp_path / "gui_out.wav"),
+        text="hello from the desktop client", text_lang="en",
+        ref_audio_path=ref, seed=3, max_sec=2,
+    )
+    with open(out, "rb") as f:
+        data = f.read()
+    assert data[:4] == b"RIFF" and len(data) > 1000
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        synthesize_to_file(c, str(tmp_path / "x.wav"), text="", text_lang="en", ref_audio_path=ref)
