@@ -185,6 +185,7 @@ class TTSPipeline:
         v3_bundle: Optional[V3Bundle] = None,
         use_fused_s1: Optional[bool] = None,  # default: True on TPU
         s1_weight_quant: str = "bf16",  # "int8": weight-only quantized decode (halves weight HBM traffic; pays off for batched serving)
+        s1_kv_quant: str = "bf16",  # "int8": quantized KV cache (halves the decode's dominant KV sweep at large batch, TRIAGE_s1_r04)
         half: Optional[bool] = None,  # bf16 vocoder (reference is_half default); None: True on TPU
         mesh=None,  # jax.sharding.Mesh: dp-shard synthesis batches over 'data'
     ):
@@ -212,6 +213,7 @@ class TTSPipeline:
         _voc_dtype = jnp.bfloat16 if half else jnp.float32
         self.use_fused_s1 = use_fused_s1
         self.s1_weight_quant = s1_weight_quant
+        self.s1_kv_quant = os.environ.get("GSVT_S1_KV_QUANT", s1_kv_quant)
         self.mesh = mesh
         from gpt_sovits_tpu.utils.metrics import ThroughputMeter
 
@@ -712,6 +714,7 @@ class TTSPipeline:
             temperature=temperature, repetition_penalty=repetition_penalty,
             use_fused_kernel=self.use_fused_s1,
             weight_quant=self.s1_weight_quant,
+            kv_cache_quant=self.s1_kv_quant,
         )
         tokens = np.asarray(out.tokens)
         lengths = np.asarray(out.lengths)
@@ -781,6 +784,7 @@ class TTSPipeline:
             temperature=temperature, repetition_penalty=repetition_penalty,
             use_fused_kernel=self.use_fused_s1,
             weight_quant=self.s1_weight_quant,
+            kv_cache_quant=self.s1_kv_quant,
         )
         return np.asarray(out.tokens), np.asarray(out.lengths)
 

@@ -305,7 +305,7 @@ class _LoopState(NamedTuple):
     jax.jit,
     static_argnames=(
         "model", "max_new_tokens", "top_k", "top_p", "temperature", "repetition_penalty",
-        "early_stop_num", "use_fused_kernel", "weight_quant",
+        "early_stop_num", "use_fused_kernel", "weight_quant", "kv_cache_quant",
     ),
 )
 def generate(
@@ -326,6 +326,7 @@ def generate(
     early_stop_num: int = -1,
     use_fused_kernel: bool = False,
     weight_quant: str = "bf16",
+    kv_cache_quant: str = "bf16",
 ) -> GenResult:
     """Batched zero/few-shot semantic token generation.
 
@@ -402,21 +403,39 @@ def generate(
             axis=-1,
         ).astype(jnp.bfloat16)
 
-        def fused_step(tok_emb, kv_c, valid_excl, write_idx):
-            y, kv_c = fused_decode_step(
-                tok_emb[:, 0].astype(jnp.float32), fused_weights, kv_c,
-                valid_excl.astype(jnp.float32), write_idx, num_heads=cfg.num_heads,
-            )
-            return y @ head_kernel, kv_c
+        kv8 = kv_cache_quant == "int8"
+        kv_scales0 = None
+        if kv8:
+            # int8 KV serving: halves the decode's dominant HBM stream
+            # (benchmarks/TRIAGE_s1_r04.json); scales ride the v slot of
+            # the loop state (unused in fused mode)
+            from gpt_sovits_tpu.ops.pallas.decode_step import quantize_kv_cache
+
+            kv_caches, kv_scales0 = quantize_kv_cache(kv_caches)
+
+        def fused_step(tok_emb, kv_c, kv_s, valid_excl, write_idx):
+            if kv8:
+                y, kv_c, kv_s = fused_decode_step(
+                    tok_emb[:, 0].astype(jnp.float32), fused_weights, kv_c,
+                    valid_excl.astype(jnp.float32), write_idx, kv_s, num_heads=cfg.num_heads,
+                )
+            else:
+                y, kv_c = fused_decode_step(
+                    tok_emb[:, 0].astype(jnp.float32), fused_weights, kv_c,
+                    valid_excl.astype(jnp.float32), write_idx, num_heads=cfg.num_heads,
+                )
+            return y @ head_kernel, kv_c, kv_s
 
         # step -1: the kernel always attends to the query's own fresh K/V, so
         # exclude the last prompt token's prefill slot (identical values)
         valid_excl = prefill_valid.at[jnp.arange(b), tx + jnp.maximum(prompt_lens - 1, 0)].set(False)
-        first_logits, kv_caches = fused_step(
-            last_emb, kv_caches, valid_excl, jnp.asarray(scratch_idx, jnp.int32)
+        first_logits, kv_caches, kv_scales0 = fused_step(
+            last_emb, kv_caches, kv_scales0, valid_excl, jnp.asarray(scratch_idx, jnp.int32)
         )
-        # the loop state carries the combined cache in the k slot; v unused
-        k_caches, v_caches = kv_caches, jnp.zeros((0,), jnp.bfloat16)
+        # the loop state carries the combined cache in the k slot; the v
+        # slot carries the kv scales (int8 mode) or stays empty
+        k_caches = kv_caches
+        v_caches = kv_scales0 if kv8 else jnp.zeros((0,), jnp.bfloat16)
     else:
         first_logits, k_caches, v_caches = model.apply(
             params, last_emb, k_caches, v_caches, prefill_valid, scratch_idx, method=T2SDecoder.decode_step
@@ -460,8 +479,9 @@ def generate(
         valid = s.valid.at[:, write_idx].set(True)
         if use_fused_kernel:
             # the kernel adds the current token itself; mask excludes it
-            logits, k_c = fused_step(s.tok_emb, s.k_caches, s.valid, write_idx)
-            v_c = s.v_caches
+            logits, k_c, v_c = fused_step(s.tok_emb, s.k_caches, s.v_caches, s.valid, write_idx)
+            if not (kv_cache_quant == "int8"):
+                v_c = s.v_caches
         else:
             logits, k_c, v_c = model.apply(
                 params, s.tok_emb, s.k_caches, s.v_caches, valid, write_idx, method=T2SDecoder.decode_step

@@ -50,7 +50,7 @@ def _head_mask(d: int, h: int) -> np.ndarray:
 
 def _make_kernel(
     num_layers: int, b: int, d: int, h: int, t_pad: int, chunk: int,
-    quant: bool = False, row_stream: bool = False,
+    quant: bool = False, row_stream: bool = False, kv_quant: bool = False,
 ):
     dh = d // h
     n_chunks = t_pad // chunk
@@ -76,12 +76,19 @@ def _make_kernel(
         # outputs: y (B,D), kvnew (1,B,2D)
         # scratch: x_scr, kvbuf, sems
     ):
+        rest = list(rest)
         if quant:
-            (wqkv_s_ref, wo_s_ref, fc1_s_ref, fc2_s_ref,
-             kv_hbm, mask_ref, hm_ref, y_ref, kvnew_ref, x_scr, kvbuf, sems) = rest
+            wqkv_s_ref, wo_s_ref, fc1_s_ref, fc2_s_ref = rest[:4]
+            rest = rest[4:]
         else:
-            (kv_hbm, mask_ref, hm_ref, y_ref, kvnew_ref, x_scr, kvbuf, sems) = rest
             wqkv_s_ref = wo_s_ref = fc1_s_ref = fc2_s_ref = None
+        kv_hbm = rest.pop(0)
+        kvs_hbm = rest.pop(0) if kv_quant else None  # (L, B, 2, T) f32 K/V scales
+        mask_ref, hm_ref, y_ref, kvnew_ref, x_scr, kvbuf = rest[:6]
+        rest = rest[6:]
+        ksbuf = rest.pop(0) if kv_quant else None
+        sems = rest.pop(0)
+        ssems = rest.pop(0) if kv_quant else None
 
         def descale(y, s_ref):
             return y * s_ref[0, 0][None, :] if s_ref is not None else y
@@ -126,13 +133,28 @@ def _make_kernel(
                     kv_hbm.at[li, bi, pl.ds(ci * chunk, chunk), :], kvbuf.at[slot], sems.at[slot]
                 )
 
+            def _sdma(bi, ci, slot):
+                return pltpu.make_async_copy(
+                    kvs_hbm.at[li, bi, :, pl.ds(ci * chunk, chunk)], ksbuf.at[slot], ssems.at[slot]
+                )
+
+            def _start(bi, ci, slot):
+                _dma(bi, ci, slot).start()
+                if kv_quant:
+                    _sdma(bi, ci, slot).start()
+
+            def _wait(bi, ci, slot):
+                _dma(bi, ci, slot).wait()
+                if kv_quant:
+                    _sdma(bi, ci, slot).wait()
+
             m_out, s_out, c_out = [], [], []
             for bi in range(b):
                 if bi == 0:
 
                     @pl.when(n_live > 0)
                     def _():
-                        _dma(0, 0, 0).start()
+                        _start(0, 0, 0)
 
                 def chunk_body(ci, carry, bi=bi):
                     m_run, s_run, ctx = carry  # (H,), (H,), (D,)
@@ -143,16 +165,23 @@ def _make_kernel(
 
                     @pl.when(nxt < b * n_live)
                     def _():
-                        _dma(
+                        _start(
                             jax.lax.div(nxt, n_live),
                             jax.lax.rem(nxt, n_live),
                             jax.lax.rem(nxt, 2),
-                        ).start()
+                        )
 
-                    _dma(bi, ci, slot).wait()
-                    kc = kvbuf[slot, :, :d]  # (C, D) bf16, matmul native
+                    _wait(bi, ci, slot)
+                    # int8 KV: dot on raw codes (bf16 lift), per-cached-token
+                    # dequant scales fold into the SCORE rows / value rows —
+                    # halves the dominant HBM stream of the decode
+                    kc = kvbuf[slot, :, :d].astype(jnp.bfloat16) if kv_quant else kvbuf[slot, :, :d]
                     vc = kvbuf[slot, :, d:].astype(jnp.float32)
+                    if kv_quant:
+                        vc = vc * ksbuf[slot, 1, :][:, None]
                     sc = jnp.dot(kc, q_bdh[bi], preferred_element_type=jnp.float32)  # (C, H)
+                    if kv_quant:
+                        sc = sc * ksbuf[slot, 0, :][:, None]
                     msk = mask_ref[bi, pl.ds(ci * chunk, chunk)]  # (C,)
                     sc = jnp.where(msk[:, None] > 0, sc, NEG)
                     m_new = jnp.maximum(m_run, jnp.max(sc, axis=0))  # (H,)
@@ -181,9 +210,19 @@ def _make_kernel(
                     kv_hbm.at[li, :, pl.ds(ci * chunk, chunk), :], kvbuf.at[slot], sems.at[slot]
                 )
 
+            def _sdma(ci, slot):
+                return pltpu.make_async_copy(
+                    kvs_hbm.at[li, :, :, pl.ds(ci * chunk, chunk)], ksbuf.at[slot], ssems.at[slot]
+                )
+
+            def _start(ci, slot):
+                _dma(ci, slot).start()
+                if kv_quant:
+                    _sdma(ci, slot).start()
+
             @pl.when(n_live > 0)
             def _():
-                _dma(0, 0).start()
+                _start(0, 0)
 
             def chunk_body(ci, carry):
                 m_run, s_run, ctx = carry  # (B,H), (B,H), (B,D)
@@ -191,14 +230,20 @@ def _make_kernel(
 
                 @pl.when(ci + 1 < n_live)
                 def _():
-                    _dma(ci + 1, (ci + 1) % 2).start()
+                    _start(ci + 1, (ci + 1) % 2)
 
                 _dma(ci, slot).wait()
+                if kv_quant:
+                    _sdma(ci, slot).wait()
                 m_out, s_out, c_out = [], [], []
                 for bi in range(b):
-                    kc = kvbuf[slot, bi, :, :d]  # (C, D) bf16, matmul native
+                    kc = kvbuf[slot, bi, :, :d].astype(jnp.bfloat16) if kv_quant else kvbuf[slot, bi, :, :d]
                     vc = kvbuf[slot, bi, :, d:].astype(jnp.float32)
+                    if kv_quant:
+                        vc = vc * ksbuf[slot, bi, 1, :][:, None]
                     sc = jnp.dot(kc, q_bdh[bi], preferred_element_type=jnp.float32)  # (C, H)
+                    if kv_quant:
+                        sc = sc * ksbuf[slot, bi, 0, :][:, None]
                     msk = mask_ref[bi, pl.ds(ci * chunk, chunk)]  # (C,)
                     sc = jnp.where(msk[:, None] > 0, sc, NEG)
                     m_new = jnp.maximum(m_run[bi], jnp.max(sc, axis=0))  # (H,)
@@ -261,6 +306,23 @@ def _make_kernel(
     return kernel
 
 
+def quantize_kv_cache(kv_cache):
+    """(L, B, T, 2D) float K||V cache -> (int8 cache, (L, B, 2, T) f32
+    scales), per-token symmetric for K and V separately. Used to convert
+    the prefill cache when serving with kv int8."""
+    L, B, T, d2 = kv_cache.shape
+    d = d2 // 2
+    kf = kv_cache[..., :d].astype(jnp.float32)
+    vf = kv_cache[..., d:].astype(jnp.float32)
+    sk = jnp.maximum(jnp.max(jnp.abs(kf), axis=-1) / 127.0, 1e-8)  # (L,B,T)
+    sv = jnp.maximum(jnp.max(jnp.abs(vf), axis=-1) / 127.0, 1e-8)
+    kq = jnp.clip(jnp.round(kf / sk[..., None]), -127, 127)
+    vq = jnp.clip(jnp.round(vf / sv[..., None]), -127, 127)
+    cache = jnp.concatenate([kq, vq], axis=-1).astype(jnp.int8)
+    scales = jnp.stack([sk, sv], axis=2)  # (L, B, 2, T)
+    return cache, scales
+
+
 def fused_decode_supported(bsz: int, d_model: int, itemsize: int = 2) -> bool:
     """True when the double-buffered per-ROW KV scratch fits next to the
     pipelined weight blocks (~12 MB of the 16 MB scoped VMEM) at the
@@ -274,20 +336,30 @@ def fused_decode_supported(bsz: int, d_model: int, itemsize: int = 2) -> bool:
 def fused_decode_step(
     x,  # (B, D) f32 — token embedding / hidden input
     weights: dict,  # stacked per-layer weights, see below
-    kv_cache,  # (L, B, T_pad, 2D) bf16 — K||V on the channel axis: one DMA
+    kv_cache,  # (L, B, T_pad, 2D) bf16 | int8 — K||V on the channel axis
     mask,  # (B, T_pad) f32, 1 = attendable cache slot (EXCLUDES current token)
     write_idx,  # () int32 — slot for the new token's K/V
+    kv_scales=None,  # (L, B, 2, T_pad) f32 — REQUIRED when kv_cache is int8
     *,
     chunk: int = 512,
     num_heads: int = 16,
 ):
-    """Returns (hidden (B,D), kv_cache') with the new K||V written at
-    write_idx. weights keys: wqkv (L,D,3D), bqkv (L,3D), wo (L,D,D),
-    bo (L,D), n1s/n1b/n2s/n2b (L,D), fc1 (L,D,F), b1 (L,F), fc2 (L,F,D),
-    b2 (L,D)."""
+    """Returns (hidden (B,D), kv_cache') — plus kv_scales' when the cache
+    is int8 — with the new K||V written at write_idx. weights keys:
+    wqkv (L,D,3D), bqkv (L,3D), wo (L,D,D), bo (L,D), n1s/n1b/n2s/n2b
+    (L,D), fc1 (L,D,F), b1 (L,F), fc2 (L,F,D), b2 (L,D).
+
+    int8 KV mode halves the decode's dominant HBM stream (the KV sweep —
+    ~470 MB/token at B=8 late in a 745-slot decode, benchmarks/
+    TRIAGE_s1_r04.json): per-token symmetric scales for K and V ride a
+    separate (L,B,2,T) array; scores/values are rescaled in-kernel.
+    Quantization of the NEW token's K/V happens here (XLA, tiny)."""
     L, bsz, t_pad, d2 = kv_cache.shape
     d = d2 // 2
     h = num_heads
+    kv_quant = kv_cache.dtype == jnp.int8
+    if kv_quant and kv_scales is None:
+        raise ValueError("int8 kv_cache requires kv_scales (L,B,2,T)")
     # The pipelined weight blocks already hold ~12 MB of the 16 MB scoped
     # VMEM (qkv/wo/fc1/fc2 double-buffered), so the double-buffered KV
     # scratch must stay within ~2 MB. Prefer the batched-DMA layout
@@ -308,7 +380,7 @@ def fused_decode_step(
     f = weights["fc1"].shape[-1]
     quant = weights["wqkv"].dtype == jnp.int8
 
-    kernel = _make_kernel(L, bsz, d, h, t_pad, chunk, quant, row_stream)
+    kernel = _make_kernel(L, bsz, d, h, t_pad, chunk, quant, row_stream, kv_quant)
 
     def lspec(shape):
         return pl.BlockSpec((1,) + shape, lambda i, *_s: (i,) + (0,) * len(shape), memory_space=pltpu.VMEM)
@@ -334,6 +406,7 @@ def fused_decode_step(
             vspec(d),
             *((vspec(3 * d), vspec(d), vspec(f), vspec(d)) if quant else ()),  # dequant scales
             pl.BlockSpec(memory_space=pltpu.ANY),  # kv_hbm
+            *((pl.BlockSpec(memory_space=pltpu.ANY),) if kv_quant else ()),  # kv scales hbm
             pl.BlockSpec(memory_space=pltpu.VMEM),  # mask
             pl.BlockSpec(memory_space=pltpu.VMEM),  # head mask
         ],
@@ -346,7 +419,9 @@ def fused_decode_step(
             pltpu.VMEM(
                 (2, chunk, 2 * d) if row_stream else (2, bsz, chunk, 2 * d), kv_cache.dtype
             ),
+            *((pltpu.VMEM((2, 2, chunk) if row_stream else (2, bsz, 2, chunk), jnp.float32),) if kv_quant else ()),
             pltpu.SemaphoreType.DMA((2,)),
+            *((pltpu.SemaphoreType.DMA((2,)),) if kv_quant else ()),
         ],
     )
     # write_idx: scalar (all rows at the same step — generate()) or (B,)
@@ -360,7 +435,9 @@ def fused_decode_step(
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((bsz, d), jnp.float32),
-            jax.ShapeDtypeStruct((L, bsz, 2 * d), kv_cache.dtype),
+            # the NEW token's K/V leaves the kernel full-precision even in
+            # int8-KV mode (quantized on the way into the cache below)
+            jax.ShapeDtypeStruct((L, bsz, 2 * d), jnp.bfloat16 if kv_quant else kv_cache.dtype),
         ],
     )(
         jnp.asarray(nvalid, jnp.int32).reshape(1),
@@ -369,8 +446,19 @@ def fused_decode_step(
         weights["n1s"], weights["n1b"], weights["n2s"], weights["n2b"],
         weights["fc1"], weights["b1"], weights["fc2"], weights["b2"],
         *((weights["wqkv_s"], weights["wo_s"], weights["fc1_s"], weights["fc2_s"]) if quant else ()),
-        kv_cache, mask, jnp.asarray(_head_mask(d, h)),
+        kv_cache, *((kv_scales,) if kv_quant else ()), mask, jnp.asarray(_head_mask(d, h)),
     )
+
+    if kv_quant:
+        # quantize the new token's K/V (per layer/row symmetric scales)
+        kf = kv_new[..., :d].astype(jnp.float32)
+        vf = kv_new[..., d:].astype(jnp.float32)
+        sk = jnp.maximum(jnp.max(jnp.abs(kf), axis=-1) / 127.0, 1e-8)  # (L,B)
+        sv = jnp.maximum(jnp.max(jnp.abs(vf), axis=-1) / 127.0, 1e-8)
+        kq = jnp.clip(jnp.round(kf / sk[..., None]), -127, 127)
+        vq = jnp.clip(jnp.round(vf / sv[..., None]), -127, 127)
+        kv_new = jnp.concatenate([kq, vq], axis=-1).astype(jnp.int8)
+        new_scales = jnp.stack([sk, sv], axis=2)  # (L, B, 2)
 
     if rowwise:
         # per-row dynamic_update_slice instead of one scatter: scatter on
@@ -383,10 +471,20 @@ def fused_decode_step(
                 kv_new[:, i : i + 1, None, :].astype(kv_cache.dtype),
                 (0, i, write_idx[i], 0),
             )
+            if kv_quant:
+                kv_scales = jax.lax.dynamic_update_slice(
+                    kv_scales, new_scales[:, i : i + 1, :, None], (0, i, 0, write_idx[i])
+                )
     else:
         kv_cache = jax.lax.dynamic_update_slice(
             kv_cache, kv_new[:, :, None, :].astype(kv_cache.dtype), (0, 0, write_idx, 0)
         )
+        if kv_quant:
+            kv_scales = jax.lax.dynamic_update_slice(
+                kv_scales, new_scales[:, :, :, None], (0, 0, 0, write_idx)
+            )
+    if kv_quant:
+        return y, kv_cache, kv_scales
     return y, kv_cache
 
 

@@ -31,7 +31,7 @@ TEXT_LEN = 120
 AUDIO_SECONDS = N_NEW_TOKENS / 25.0
 
 
-def bench_config(b: int, weight_quant: str) -> dict:
+def bench_config(b: int, weight_quant: str, kv_quant: str = "bf16") -> dict:
     import functools
 
     from gpt_sovits_tpu.models.t2s import T2SDecoder, generate
@@ -66,7 +66,7 @@ def bench_config(b: int, weight_quant: str) -> dict:
             max_new_tokens=N_NEW_TOKENS, top_k=15, top_p=1.0,
             temperature=1.0, repetition_penalty=1.35,
             early_stop_num=N_NEW_TOKENS, use_fused_kernel=True,
-            weight_quant=weight_quant,
+            weight_quant=weight_quant, kv_cache_quant=kv_quant,
         )
 
     codes_lengths = jnp.full((b,), N_NEW_TOKENS, jnp.int32)
@@ -96,6 +96,7 @@ def bench_config(b: int, weight_quant: str) -> dict:
         "metric": "serving_throughput_v2_1chip",
         "batch": b,
         "s1_weights": weight_quant,
+        "s1_kv": kv_quant,
         "audio_s_per_s": round(b * AUDIO_SECONDS / dt, 1),
         "batch_latency_s": round(dt, 4),
         "per_utt_rtf": round(dt / AUDIO_SECONDS, 5),
@@ -106,6 +107,10 @@ def main():
     for b in (1, 4, 8):
         for q in ("bf16", "int8"):
             print(json.dumps(bench_config(b, q)), flush=True)
+    # int8 KV cache on top of int8 weights: halves the KV sweep that
+    # bounds the large-batch decode (benchmarks/TRIAGE_s1_r04.json)
+    for b in (4, 8):
+        print(json.dumps(bench_config(b, "int8", kv_quant="int8")), flush=True)
 
 
 if __name__ == "__main__":

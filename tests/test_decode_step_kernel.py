@@ -142,3 +142,79 @@ def test_generate_fused_int8_close_to_bf16():
     n = min(int(out16.lengths.min()), int(out8.lengths.min()))
     match = (t16[:, :n] == t8[:, :n]).mean()
     assert match >= 0.8, (match, t16[:, :n], t8[:, :n])
+
+
+def test_fused_decode_int8_kv_close_to_bf16(b=2):
+    """int8 KV cache mode: per-token symmetric quantized K/V + in-kernel
+    rescale stays within ~2% of the full-precision attention output, and
+    the new token's K/V round-trips through the quantized writeback."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from gpt_sovits_tpu.ops.pallas.decode_step import (
+        fused_decode_step, quantize_kv_cache, stack_weights_from_params,
+    )
+
+    model = T2SDecoder(TINY)
+    params = model.init(jax.random.PRNGKey(0), method=T2SDecoder.init_all)
+    weights = stack_weights_from_params(params, TINY.num_layers)
+
+    rng = np.random.default_rng(1)
+    L, d = TINY.num_layers, TINY.hidden_dim
+    t_pad = 256
+    n_valid = 64
+    kv = jnp.asarray(rng.standard_normal((L, b, t_pad, 2 * d)).astype(np.float32) * 0.3)
+    valid = np.zeros((b, t_pad), np.float32)
+    valid[:, :n_valid] = 1.0
+    x = jnp.asarray(rng.standard_normal((b, d)).astype(np.float32) * 0.5)
+
+    with pltpu.force_tpu_interpret_mode():
+        y_ref, kv_ref = fused_decode_step(
+            x, weights, kv.astype(jnp.bfloat16), jnp.asarray(valid), n_valid, chunk=128
+        )
+        kv_q, scales = quantize_kv_cache(kv)
+        y_q, kv_q2, scales2 = fused_decode_step(
+            x, weights, kv_q, jnp.asarray(valid), n_valid, scales, chunk=128
+        )
+
+    rel = np.abs(np.asarray(y_q) - np.asarray(y_ref)).mean() / (
+        np.abs(np.asarray(y_ref)).mean() + 1e-9
+    )
+    assert rel < 0.02, rel
+    # writeback: the new slot holds int8 codes whose dequant matches the
+    # bf16 path's written K/V
+    new_q = np.asarray(kv_q2[:, :, n_valid, :], np.float32)
+    sk = np.asarray(scales2[:, :, 0, n_valid])[..., None]
+    sv = np.asarray(scales2[:, :, 1, n_valid])[..., None]
+    deq = np.concatenate([new_q[..., :d] * sk, new_q[..., d:] * sv], axis=-1)
+    ref_new = np.asarray(kv_ref[:, :, n_valid, :], np.float32)
+    np.testing.assert_allclose(deq, ref_new, rtol=0.05, atol=0.02)
+
+
+def test_generate_int8_kv_greedy_close(b=2):
+    """generate() with kv_cache_quant=int8: greedy decode stays on the
+    bf16-KV trajectory for a tiny model (interpret mode)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from gpt_sovits_tpu.models.t2s import generate
+
+    model = T2SDecoder(TINY)
+    params = model.init(jax.random.PRNGKey(0), method=T2SDecoder.init_all)
+    rng = np.random.default_rng(3)
+    tx, tp, max_new = 12, 9, 16
+    phones = jnp.asarray(rng.integers(1, TINY.phoneme_vocab_size, (b, tx)), jnp.int32)
+    bert = jnp.asarray(rng.standard_normal((b, tx, TINY.bert_dim)) * 0.1, jnp.float32)
+    prompt = jnp.asarray(rng.integers(0, TINY.vocab_size - 1, (b, tp)), jnp.int32)
+    lens = jnp.full((b,), tx, jnp.int32)
+    plens = jnp.full((b,), tp, jnp.int32)
+
+    kw = dict(max_new_tokens=max_new, early_stop_num=max_new, top_k=1, top_p=1.0,
+              temperature=1.0, repetition_penalty=1.35, use_fused_kernel=True)
+    with pltpu.force_tpu_interpret_mode():
+        ref = generate(model, params, phones, lens, bert, prompt, plens,
+                       jax.random.PRNGKey(5), **kw)
+        got = generate(model, params, phones, lens, bert, prompt, plens,
+                       jax.random.PRNGKey(5), kv_cache_quant="int8", **kw)
+    a = np.asarray(ref.tokens)
+    g = np.asarray(got.tokens)
+    agree = (a == g).mean()
+    assert agree >= 0.9, f"greedy agreement {agree} with int8 KV"
