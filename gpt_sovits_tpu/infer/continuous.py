@@ -131,7 +131,7 @@ def _prefill_one(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("model", "scratch", "n_steps", "max_new", "use_fused", "top_k", "top_p", "temperature", "repetition_penalty"),
+    static_argnames=("model", "scratch", "n_steps", "max_new", "use_fused", "kv_quant", "top_k", "top_p", "temperature", "repetition_penalty"),
     donate_argnums=(2,),  # the KV pool updates in place across segments
 )
 def _segment(
@@ -145,6 +145,7 @@ def _segment(
     n_steps: int,
     max_new: int,
     use_fused: bool = False,
+    kv_quant: bool = False,
     top_k: int,
     top_p: float,
     temperature: float,
@@ -174,17 +175,25 @@ def _segment(
         valid = s.valid.at[rows, write_idx].set(s.valid[rows, write_idx] | live)
         if use_fused:
             # the kernel adds the query's own fresh K/V itself, so it gets
-            # the PRE-update mask (generate(), models/t2s.py:452-455)
-            y, k_c = fused_decode_step(
-                s.tok_emb[:, 0].astype(jnp.float32), fused_weights, s.k_caches,
-                s.valid.astype(jnp.float32), write_idx, num_heads=cfg.num_heads,
-                # smaller KV scratch chunk: inside the segment loop the
-                # kernel's outputs stay in scoped VMEM and the default 256
-                # chunk overflows the 16 MB budget by ~0.8 MB at B=8
-                chunk=128,
-            )
+            # the PRE-update mask (generate(), models/t2s.py:452-455).
+            # smaller KV scratch chunk: inside the segment loop the
+            # kernel's outputs stay in scoped VMEM and the default 256
+            # chunk overflows the 16 MB budget by ~0.8 MB at B=8
+            if kv_quant:
+                # v slot carries the (L,B,2,T) dequant scales
+                y, k_c, v_c = fused_decode_step(
+                    s.tok_emb[:, 0].astype(jnp.float32), fused_weights, s.k_caches,
+                    s.valid.astype(jnp.float32), write_idx, s.v_caches,
+                    num_heads=cfg.num_heads, chunk=128,
+                )
+            else:
+                y, k_c = fused_decode_step(
+                    s.tok_emb[:, 0].astype(jnp.float32), fused_weights, s.k_caches,
+                    s.valid.astype(jnp.float32), write_idx, num_heads=cfg.num_heads,
+                    chunk=128,
+                )
+                v_c = s.v_caches
             logits = y @ head_kernel
-            v_c = s.v_caches
         else:
             logits, k_c, v_c = model.apply(
                 params, s.tok_emb, s.k_caches, s.v_caches, valid, write_idx,
@@ -224,7 +233,7 @@ def _segment(
     return jax.lax.fori_loop(0, n_steps, body, state)
 
 
-@functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("fused",))
+@functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("fused", "kv_quant"))
 def _install_row(
     state: _SlotState,
     slot,
@@ -238,6 +247,7 @@ def _install_row(
     key,
     *,
     fused: bool,
+    kv_quant: bool = False,
 ):
     """Write one prefilled request into pool slot `slot` — a single jitted
     call with the pool DONATED, so the multi-hundred-MB KV cache updates in
@@ -250,9 +260,16 @@ def _install_row(
         d = k_row.shape[3] * k_row.shape[4]
         kv_row = jnp.concatenate(
             [k_row[:, 0].reshape(L, T, d), v_row[:, 0].reshape(L, T, d)], axis=-1
-        ).astype(jnp.bfloat16)
-        new_k = s.k_caches.at[:, slot].set(kv_row)
-        new_v = s.v_caches
+        )
+        if kv_quant:
+            from gpt_sovits_tpu.ops.pallas.decode_step import quantize_kv_cache
+
+            kv_q, scales = quantize_kv_cache(kv_row[:, None])  # (L,1,T,2D)
+            new_k = s.k_caches.at[:, slot].set(kv_q[:, 0])
+            new_v = s.v_caches.at[:, slot].set(scales[:, 0])
+        else:
+            new_k = s.k_caches.at[:, slot].set(kv_row.astype(jnp.bfloat16))
+            new_v = s.v_caches
     else:
         new_k = s.k_caches.at[:, slot].set(k_row[:, 0].astype(s.k_caches.dtype))
         new_v = s.v_caches.at[:, slot].set(v_row[:, 0].astype(s.v_caches.dtype))
@@ -305,6 +322,7 @@ class ContinuousBatcher:
         seed: int = 0,
         use_fused: Optional[bool] = None,
         weight_quant: str = "bf16",
+        kv_quant: str = "bf16",
     ):
         cfg = model.cfg
         self.model, self.params = model, params
@@ -323,6 +341,7 @@ class ContinuousBatcher:
 
             use_fused = jax.default_backend() == "tpu" and fused_decode_supported(b, cfg.hidden_dim)
         self.use_fused = use_fused
+        self.kv_quant = use_fused and kv_quant == "int8"
         self.fused_weights = None
         self.head_kernel = None
         if use_fused:
@@ -332,11 +351,19 @@ class ContinuousBatcher:
             self.head_kernel = params["params"]["predict"]["kernel"].astype(jnp.float32)
         self.state = _SlotState(
             k_caches=(
-                jnp.zeros((L, b, self.t_total, 2 * cfg.hidden_dim), jnp.bfloat16)
+                jnp.zeros(
+                    (L, b, self.t_total, 2 * cfg.hidden_dim),
+                    jnp.int8 if self.kv_quant else jnp.bfloat16,
+                )
                 if use_fused
                 else jnp.zeros((L, b, self.t_total, h, dh), dt)
             ),
-            v_caches=jnp.zeros((0,), dt) if use_fused else jnp.zeros((L, b, self.t_total, h, dh), dt),
+            # fused: the v slot carries the KV dequant scales (int8 mode)
+            v_caches=(
+                (jnp.zeros((L, b, 2, self.t_total), jnp.float32) if self.kv_quant else jnp.zeros((0,), dt))
+                if use_fused
+                else jnp.zeros((L, b, self.t_total, h, dh), dt)
+            ),
             valid=jnp.zeros((b, self.t_total), bool),
             presence=jnp.zeros((b, cfg.vocab_size), bool),
             tok_emb=jnp.zeros((b, 1, cfg.embedding_dim), dt),
@@ -389,7 +416,7 @@ class ContinuousBatcher:
         self.state = _install_row(
             self.state, jnp.asarray(slot, jnp.int32), k_row, v_row, valid_row,
             presence, tok0, tok0_emb, jnp.asarray(len(req.prompt), jnp.int32), key,
-            fused=self.use_fused,
+            fused=self.use_fused, kv_quant=self.kv_quant,
         )
         self._slot_rid[slot] = req.rid
         self.admitted_at[req.rid] = self._segments_run
@@ -405,7 +432,7 @@ class ContinuousBatcher:
         self.state = _segment(
             self.model, self.params, self.state, self.fused_weights, self.head_kernel,
             scratch=self.scratch, n_steps=n, max_new=self.max_new,
-            use_fused=self.use_fused, **self.sampling,
+            use_fused=self.use_fused, kv_quant=self.kv_quant, **self.sampling,
         )
         self._segments_run += 1
         # ONE host fetch for the scheduler flags (each np.asarray is a

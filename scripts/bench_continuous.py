@@ -56,6 +56,8 @@ def main():
     cb = ContinuousBatcher(
         model, params, slots=SLOTS, tx_max=TX, tp_max=TP, max_new=N_NEW,
         top_k=15, top_p=1.0, temperature=1.0, repetition_penalty=1.35,
+        weight_quant=os.environ.get("GSVT_CB_WQ", "int8"),
+        kv_quant=os.environ.get("GSVT_CB_KVQ", "int8"),
     )
 
     # warmup / compile: one request through prefill + segment
@@ -122,6 +124,8 @@ def main():
                 "segment_device_s": round(t_seg, 4),
                 "device_us_per_token": round(per_tok_dev * 1e6, 1),
                 "local_host_projection_audio_s_per_s": round(local_projection, 1),
+                "weights": cb.fused_weights["wqkv"].dtype.name if cb.fused_weights else "bf16",
+                "kv": "int8" if cb.kv_quant else "bf16",
                 "note": "S1 stage only (decode dominates serving); host syncs once per segment (~25-40ms tunnel RTT each here, ~0.1ms locally) — local_host_projection removes the RTT",
             }
         )

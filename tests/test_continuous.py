@@ -131,3 +131,32 @@ def test_fused_segment_matches_unfused(model):
         got = cb_f.drain(n=6)
     for rx, rf in zip(rids_x, rids_f):
         np.testing.assert_array_equal(got[rf], want[rx])
+
+
+def test_fused_kv_int8_close(model):
+    """Continuous fused mode with int8 KV pool: greedy tokens stay on the
+    bf16-KV trajectory (interpret mode)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    m, params = model
+    max_new = 12
+    reqs = [_mk_request(s) for s in (31, 32)]
+
+    cb_ref = ContinuousBatcher(m, params, slots=2, tx_max=16, tp_max=16, max_new=max_new,
+                               use_fused=False, **ARGMAX)
+    want = {}
+    rids_ref = [cb_ref.submit(*r) for r in reqs]
+    want = cb_ref.drain(n=6)
+
+    with pltpu.force_tpu_interpret_mode():
+        cb = ContinuousBatcher(m, params, slots=2, tx_max=16, tp_max=16, max_new=max_new,
+                               use_fused=True, kv_quant="int8", **ARGMAX)
+        rids = [cb.submit(*r) for r in reqs]
+        got = cb.drain(n=6)
+    total = agree = 0
+    for rr, rq in zip(rids_ref, rids):
+        a, g = want[rr], got[rq]
+        n = min(len(a), len(g))
+        total += n
+        agree += (a[:n] == g[:n]).sum()
+    assert agree / max(total, 1) >= 0.8, (agree, total)
