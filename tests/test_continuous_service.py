@@ -1,0 +1,77 @@
+"""Continuous serving mode (serve/continuous_service.py): concurrent
+requests share the S1 slot pool; output matches the batch path under
+argmax decoding."""
+
+import threading
+
+import numpy as np
+import pytest
+
+from test_pipeline import pipeline  # tiny-model fixture  # noqa: F401
+
+
+@pytest.fixture()
+def service(pipeline):  # noqa: F811
+    import dataclasses
+
+    from gpt_sovits_tpu.serve.continuous_service import ContinuousTTSService
+
+    # argmax sampling so the continuous path is comparable to run()
+    pipeline.cfg = dataclasses.replace(pipeline.cfg, top_k=1)
+    rng = np.random.default_rng(0)
+    wav = (rng.standard_normal(8000) * 0.1).astype(np.float32)
+    pipeline.set_ref_audio(wav, sr=8000)
+    svc = ContinuousTTSService(pipeline, slots=2, segment=8, tx_max=64, tp_max=576, max_new=50)
+    yield svc, pipeline
+    svc.close()
+
+
+def test_single_request_matches_batch_path(service):
+    svc, pipe = service
+    text = "hello there world"
+    sr_c, audio_c = svc.synthesize(text, "en")
+    sr_b, audio_b = pipe.run(text, "en", seed=0, max_sec=2)
+    assert sr_c == sr_b
+    # argmax S1 + deterministic S2 -> same waveform
+    n = min(len(audio_c), len(audio_b))
+    assert n > 0
+    np.testing.assert_array_equal(audio_c[:n], audio_b[:n])
+    assert abs(len(audio_c) - len(audio_b)) <= 1
+
+
+def test_concurrent_requests_share_pool(service):
+    svc, _ = service
+    texts = ["hello there world", "general kenobi speaks", "a third request arrives"]
+    results = {}
+    errors = []
+
+    def worker(t):
+        try:
+            results[t] = svc.synthesize(t, "en")
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(t,)) for t in texts]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=120)
+    assert not errors, errors
+    assert set(results) == set(texts)
+    for sr, audio in results.values():
+        assert audio.dtype == np.int16 and len(audio) > 0
+        assert np.isfinite(audio.astype(np.float64)).all()
+
+
+def test_requires_reference(pipeline):  # noqa: F811
+    from gpt_sovits_tpu.serve.continuous_service import ContinuousTTSService
+
+    svc = ContinuousTTSService(pipeline, slots=1, segment=4, tx_max=64, tp_max=64, max_new=32)
+    try:
+        pipe_ref = pipeline.ref
+        pipeline.ref = None
+        with pytest.raises(AssertionError):
+            svc.synthesize("hi there", "en")
+    finally:
+        pipeline.ref = pipe_ref
+        svc.close()
