@@ -144,7 +144,12 @@ def cmd_serve(args):
         s1_path=args.s1, s2_path=args.s2, version=args.version,
         hubert_path=args.hubert, bert_path=args.bert, sv_path=args.sv,
     )
-    service = TTSService(pipe)
+    continuous = None
+    if args.continuous:
+        from gpt_sovits_tpu.serve.continuous_service import ContinuousTTSService
+
+        continuous = ContinuousTTSService(pipe, slots=args.slots)
+    service = TTSService(pipe, continuous=continuous)
     server = serve(service, host=args.host, port=args.port)
     print(f"serving on {args.host}:{args.port}")
     try:
@@ -368,6 +373,9 @@ def main(argv=None):
     s.add_argument("--hubert")
     s.add_argument("--bert")
     s.add_argument("--sv")
+    s.add_argument("--continuous", action="store_true",
+                   help="continuous batching: concurrent /tts requests share the S1 slot pool")
+    s.add_argument("--slots", type=int, default=8, help="continuous-mode slot count")
     s.set_defaults(fn=cmd_serve)
 
     s = sub.add_parser("export")

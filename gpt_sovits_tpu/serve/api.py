@@ -112,9 +112,13 @@ class TTSService:
 
     LANGS = ("auto", "zh", "en", "ja", "ko", "yue", "all_zh", "all_ja", "all_ko", "all_yue")
 
-    def __init__(self, pipeline, *, weight_loader: Optional[Callable] = None):
+    def __init__(self, pipeline, *, weight_loader: Optional[Callable] = None, continuous=None):
         self.pipeline = pipeline
         self.weight_loader = weight_loader
+        # optional ContinuousTTSService (serve/continuous_service.py):
+        # default-sampling /tts requests share the S1 slot pool and run
+        # concurrently; explicit sampling params fall back to run()
+        self.continuous = continuous
         self._ref_key = None  # (path, aux, prompt_text, prompt_lang) prompt-cache key
         self._ref_path = None
         self._aux_paths: tuple = ()
@@ -302,7 +306,40 @@ class TTSService:
             for sr, frag in gen:
                 yield sr, frag.astype("<i2").tobytes()
 
+    # request keys whose presence forces the batch path (pool-level
+    # sampling is compiled into the continuous segment step)
+    _CONTINUOUS_INCOMPATIBLE = (
+        "top_k", "top_p", "temperature", "repetition_penalty", "seed",
+        "sample_steps", "super_sampling", "batch_size", "fragment_interval",
+    )
+
     def tts(self, req: dict) -> tuple[int, bytes, str]:
+        # Continuous serving mode: default-sampling requests go through the
+        # shared S1 slot pool and synthesize CONCURRENTLY (the lock only
+        # covers speaker swap + prompt-cache setup). Requests with explicit
+        # sampling overrides fall through to the batch path below.
+        if self.continuous is not None and not any(k in req for k in self._CONTINUOUS_INCOMPATIBLE):
+            with self.lock:
+                try:
+                    self._apply_speaker(req)
+                except ValueError as e:
+                    return 400, json.dumps({"message": str(e)}).encode(), "application/json"
+                err = self.validate(req)
+                if err:
+                    return err[0], json.dumps({"message": err[1]}).encode(), "application/json"
+                try:
+                    self._ensure_ref(req)
+                except (ValueError, FileNotFoundError) as e:
+                    return 400, json.dumps({"message": str(e)}).encode(), "application/json"
+            try:
+                sr, audio = self.continuous.synthesize(
+                    req["text"], req["text_lang"].lower(),
+                    speed=float(req.get("speed_factor", 1.0)),
+                )
+            except (ValueError, TimeoutError) as e:
+                return 400, json.dumps({"message": str(e)}).encode(), "application/json"
+            return self._pack_audio(req, sr, audio)
+
         # ONE lock acquisition across speaker swap + validate + synthesis:
         # releasing between them lets a concurrent request hot-swap to
         # another speaker's weights before this one synthesizes
@@ -345,6 +382,9 @@ class TTSService:
                 self._ref_path = None
                 self._aux_paths = ()
                 return 500, json.dumps({"message": f"internal error (recovered): {e}"}).encode(), "application/json"
+        return self._pack_audio(req, sr, audio)
+
+    def _pack_audio(self, req: dict, sr: int, audio) -> tuple[int, bytes, str]:
         media = req.get("media_type", "wav")
         if media == "raw":
             return 200, audio.astype("<i2").tobytes(), "audio/raw"

@@ -75,3 +75,36 @@ def test_requires_reference(pipeline):  # noqa: F811
     finally:
         pipeline.ref = pipe_ref
         svc.close()
+
+
+def test_http_continuous_mode(service, tmp_path):
+    """api_v2 /tts over a real socket with continuous mode: default-
+    sampling requests route through the pool; explicit-sampling requests
+    fall back to the batch path."""
+    import json as _json
+    import urllib.parse
+    import urllib.request
+
+    from gpt_sovits_tpu.dsp.audio_io import save_wav
+    from gpt_sovits_tpu.serve.api import TTSService, serve
+
+    svc, pipe = service
+    rng = np.random.default_rng(0)
+    ref = tmp_path / "ref.wav"
+    save_wav(str(ref), (rng.standard_normal(8000) * 0.1).astype(np.float32), 8000)
+    http = TTSService(pipe, continuous=svc)
+    srv = serve(http, port=0)
+    host, port = srv.server_address
+    try:
+        q = urllib.parse.urlencode({"text": "hello over the pool", "text_lang": "en",
+                                    "ref_audio_path": str(ref)})
+        with urllib.request.urlopen(f"http://{host}:{port}/tts?" + q) as r:
+            body = r.read()
+            assert r.status == 200 and body[:4] == b"RIFF" and len(body) > 1000
+        # explicit sampling -> batch path still works
+        q = urllib.parse.urlencode({"text": "hello with a seed", "text_lang": "en",
+                                    "ref_audio_path": str(ref), "seed": 3, "max_sec": 2})
+        with urllib.request.urlopen(f"http://{host}:{port}/tts?" + q) as r:
+            assert r.status == 200 and r.read()[:4] == b"RIFF"
+    finally:
+        srv.shutdown()
