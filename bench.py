@@ -20,6 +20,7 @@ determines throughput.
 
 import functools
 import json
+import os
 import time
 
 import jax
@@ -111,27 +112,38 @@ def main():
         s2_params, folded_dec, s2_step = built[v]
         jax.block_until_ready(s2_step(s2_params, folded_dec["arrays"], codes0))
 
-    # Each stage blocks before the next is submitted: a single trailing
-    # sync under-reports on the tunnel-attached device (queued work escapes
-    # accounting). Final-array syncs exclude host transfer, so this is
-    # per-utterance device latency.
+    # ONE host sync per utterance (S1 -> S2 chained, block on the final
+    # waveform) — exactly how the serving pipeline runs. Per-stage blocking
+    # pays the tunnel's ~25-40 ms round trip per sync and over-reports RTF.
+    # Fresh keys per iteration: identical-args re-execution is unsound for
+    # timing on this setup.
     n_iter = 8
-    t0 = time.perf_counter()
-    for i in range(n_iter):
-        out = s1_step(jax.random.PRNGKey(2 + i))
-        jax.block_until_ready(out.tokens)
-    t_s1 = (time.perf_counter() - t0) / n_iter
 
+    def time_version(v):
+        s2_params, folded_dec, s2_step = built[v]
+        t0 = time.perf_counter()
+        for i in range(n_iter):
+            out = s1_step(jax.random.PRNGKey(2 + i))
+            wav = s2_step(s2_params, folded_dec["arrays"], out.tokens[:, :N_NEW_TOKENS])
+            jax.block_until_ready(wav)
+        return (time.perf_counter() - t0) / n_iter
+
+    t_utt = {v: time_version(v) for v in versions}
+
+    # phase attribution via device traces (host clocks can't split chained
+    # async stages) — scripts/_trace_time.py
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"))
+    from _trace_time import device_time
+
+    t_s1 = device_time(lambda k: s1_step(k).tokens, jax.random.PRNGKey(77))
     t_s2 = {}
     for v in versions:
         s2_params, folded_dec, s2_step = built[v]
-        t0 = time.perf_counter()
-        for _ in range(n_iter):
-            wav = s2_step(s2_params, folded_dec["arrays"], codes0)
-            jax.block_until_ready(wav)
-        t_s2[v] = (time.perf_counter() - t0) / n_iter
+        t_s2[v] = device_time(lambda c: s2_step(s2_params, folded_dec["arrays"], c), codes0)
 
-    rtf = {v: (t_s1 + t_s2[v]) / AUDIO_SECONDS for v in versions}
+    rtf = {v: t_utt[v] / AUDIO_SECONDS for v in versions}
     contracts = run_tpu_contracts()
     print(
         json.dumps(
@@ -142,8 +154,9 @@ def main():
                 "vs_baseline": round(BASELINE_RTF / rtf["v2ProPlus"], 3),
                 "rtf_v2": round(rtf["v2"], 5),
                 "rtf_v2pro": round(rtf["v2Pro"], 5),
-                "s1_s": round(t_s1, 4),
-                "s2_s": {v: round(t_s2[v], 4) for v in versions},
+                "utterance_s": {v: round(t_utt[v], 4) for v in versions},
+                "device_s1_s": round(t_s1, 4),
+                "device_s2_s": {v: round(t_s2[v], 4) for v in versions},
                 "tpu_contracts": contracts,
                 "baseline": "reference v2ProPlus RTF 0.028 on RTX 4060 Ti (README.md:46-47)",
             }
