@@ -121,9 +121,14 @@ def main():
 
     def time_version(v):
         s2_params, folded_dec, s2_step = built[v]
+        # keys vary per VERSION as well as per iteration: re-running the
+        # identical PRNGKey sequence for each version is one caching-layer
+        # change away from the S1 stage silently dropping out of the
+        # second and third versions' times (ADVICE r4)
+        vi = versions.index(v)
         t0 = time.perf_counter()
         for i in range(n_iter):
-            out = s1_step(jax.random.PRNGKey(2 + i))
+            out = s1_step(jax.random.PRNGKey(2 + 1000 * vi + i))
             wav = s2_step(s2_params, folded_dec["arrays"], out.tokens[:, :N_NEW_TOKENS])
             jax.block_until_ready(wav)
         return (time.perf_counter() - t0) / n_iter

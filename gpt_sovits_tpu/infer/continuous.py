@@ -7,10 +7,27 @@ scheme (AR/models/t2s_model.py:583-779), which shrinks the batch but
 never grows it. This module is the TPU-native superset: a fixed pool of
 B cache slots, decode advanced in short jitted segments, and between
 segments the host scheduler evicts finished rows and admits queued
-requests into free slots via per-slot prefill. All shapes are static
+requests into free slots via batched prefill. All shapes are static
 (slot layout below), so the segment step compiles once; per-row cache
 write indices (each slot joined at its own time) ride the vector
 `write_idx` path of TransformerLayer.decode.
+
+Round-5 redesign (VERDICT r4 items 1d/5):
+  * sampling parameters are PER-SLOT traced arrays, not static — one
+    compiled segment program serves any top_k/top_p/temperature/penalty
+    mix, and requests with explicit sampling no longer fall back to the
+    batch path;
+  * each slot carries its own PRNG key (seeded per request), so token
+    streams are reproducible regardless of pool co-tenancy;
+  * admissions prefill in one BATCHED call per scheduler pass (padded to
+    a small bucket) instead of serialized B=1 prefills;
+  * the scheduler runs one segment AHEAD of the host: done/length flags
+    and finished rows' tokens travel via `copy_to_host_async` started
+    right after each segment dispatch, and are consumed on the NEXT
+    pass — no blocking device round-trip sits between segments, so the
+    tunnel/PCIe RTT is hidden behind device compute (eviction lags one
+    segment, which only delays slot reuse, never correctness: `done`
+    rows decode masked).
 
 Slot cache layout (static, per row):
   [0, tx_max)                left-padded phoneme prefix
@@ -36,7 +53,6 @@ from gpt_sovits_tpu.models.t2s import (
     EOS_MASK_WARMUP_STEPS,
     T2SDecoder,
     build_prefix_attn_bias,
-    sample_token,
 )
 
 
@@ -54,35 +70,68 @@ class _SlotState(NamedTuple):
     prompt_lens: jnp.ndarray  # (B,)
     active: jnp.ndarray  # (B,) slot holds a live request
     done: jnp.ndarray  # (B,) row finished (EOS or cap)
-    key: jax.Array
+    keys: jnp.ndarray  # (B, 2) uint32 per-slot PRNG keys
+    top_k: jnp.ndarray  # (B,) int32 (<=0: disabled)
+    top_p: jnp.ndarray  # (B,) float32
+    temperature: jnp.ndarray  # (B,) float32
+    rep_penalty: jnp.ndarray  # (B,) float32
+
+
+def sample_token_rows(keys, logits, presence, top_k, top_p, temperature, rep_penalty):
+    """Per-row sampling with TRACED parameters (the static-parameter twin
+    is models/t2s.py sample_token; parity: tests/test_continuous.py).
+
+    One shared descending sort feeds both the top-p tail mask and the
+    top-k position mask, so the dynamic version costs a single argsort
+    over (B, V) — comparable to the static path's lax.top_k lowering.
+    keys: (B, 2) uint32, one PRNG key per row."""
+    logits = logits.astype(jnp.float32)
+    rp = rep_penalty[:, None]
+    penalized = jnp.where(logits < 0, logits * rp, logits / rp)
+    logits = jnp.where(presence, penalized, logits)
+    order = jnp.argsort(-logits, axis=-1)
+    sorted_logits = jnp.take_along_axis(logits, order, axis=-1)
+    cum = jnp.cumsum(jax.nn.softmax(sorted_logits, axis=-1), axis=-1)
+    remove = cum > top_p[:, None]
+    remove = remove.at[:, 0].set(False)
+    pos = jnp.arange(logits.shape[-1])[None, :]
+    remove = remove | ((top_k[:, None] > 0) & (pos >= top_k[:, None]))
+    masked = jnp.where(remove, -jnp.inf, sorted_logits)
+    t = jnp.maximum(temperature, 1e-5)[:, None]
+    choice = jax.vmap(jax.random.categorical)(keys, masked / t)
+    return jnp.take_along_axis(order, choice[:, None], axis=1)[:, 0]
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("model", "tx_max", "tp_max", "t_total", "top_k", "top_p", "temperature", "repetition_penalty"),
+    static_argnames=("model", "tx_max", "tp_max", "t_total"),
 )
-def _prefill_one(
+def _prefill(
     model: T2SDecoder,
     params,
-    phones,  # (1, tx_max) int32 LEFT-padded
-    phone_len,  # (1,)
-    bert,  # (1, tx_max, bert_dim)
-    prompt,  # (1, tp_max) int32 RIGHT-padded
-    prompt_len,  # (1,)
-    key,
+    phones,  # (B, tx_max) int32 LEFT-padded
+    phone_len,  # (B,)
+    bert,  # (B, tx_max, bert_dim)
+    prompt,  # (B, tp_max) int32 RIGHT-padded
+    prompt_len,  # (B,)
+    keys,  # (B, 2) uint32 per-request keys
+    top_k,  # (B,) int32
+    top_p,  # (B,) float32
+    temperature,  # (B,) float32
+    rep_penalty,  # (B,) float32
     *,
     tx_max: int,
     tp_max: int,
     t_total: int,
-    top_k: int,
-    top_p: float,
-    temperature: float,
-    repetition_penalty: float,
 ):
-    """One request's prefill -> per-row cache/state slices (mirrors the
-    prefix stage of generate(), models/t2s.py:336-428, at B=1)."""
+    """BATCHED prefill -> per-row cache/state slices (mirrors the prefix
+    stage of generate(), models/t2s.py:336-428). One call admits a whole
+    scheduler pass worth of requests; rows are padded to a small batch
+    bucket and surplus rows are simply never installed."""
     cfg = model.cfg
     eos = cfg.eos_id
+    b = phones.shape[0]
+    rows = jnp.arange(b)
     ar = jnp.arange(tx_max)
     x_valid = ar[None, :] >= (tx_max - phone_len[:, None])
     x_pos = jnp.clip(ar[None, :] - (tx_max - phone_len[:, None]), 0)
@@ -99,39 +148,38 @@ def _prefill_one(
     attn_bias = build_prefix_attn_bias(x_valid, p_valid)
     _, k_pre, v_pre = model.apply(params, xy_emb, attn_bias, method=T2SDecoder.prefill)
     pad_t = t_total - (tx_max + tp_max)
-    k_row = jnp.pad(k_pre, ((0, 0), (0, 0), (0, pad_t), (0, 0), (0, 0)))
-    v_row = jnp.pad(v_pre, ((0, 0), (0, 0), (0, pad_t), (0, 0), (0, 0)))
+    k_rows = jnp.pad(k_pre, ((0, 0), (0, 0), (0, pad_t), (0, 0), (0, 0)))
+    v_rows = jnp.pad(v_pre, ((0, 0), (0, 0), (0, pad_t), (0, 0), (0, 0)))
 
     scratch = tx_max + tp_max
-    valid_row = jnp.concatenate(
-        [x_valid, p_valid, jnp.zeros((1, t_total - scratch), bool)], axis=1
+    valid_rows = jnp.concatenate(
+        [x_valid, p_valid, jnp.zeros((b, t_total - scratch), bool)], axis=1
     )
     last_tok = jnp.take_along_axis(prompt, jnp.maximum(prompt_len - 1, 0)[:, None], axis=1)
     last_emb = model.apply(
         params, last_tok, jnp.maximum(prompt_len - 1, 0)[:, None], method=T2SDecoder.embed_audio
     )
-    first_logits, k_row, v_row = model.apply(
-        params, last_emb, k_row, v_row, valid_row, scratch, method=T2SDecoder.decode_step
+    first_logits, k_rows, v_rows = model.apply(
+        params, last_emb, k_rows, v_rows, valid_rows, scratch, method=T2SDecoder.decode_step
     )
 
-    presence = jnp.zeros((1, cfg.vocab_size), bool)
-    presence = presence.at[jnp.zeros((tp_max,), jnp.int32), jnp.where(p_valid[0], prompt[0], eos)].set(True)
+    presence = jnp.zeros((b, cfg.vocab_size), bool)
+    presence = presence.at[rows[:, None], jnp.where(p_valid, prompt, eos)].set(True)
     presence = presence.at[:, eos].set(False)
 
-    key, k0 = jax.random.split(key)
+    split = jax.vmap(lambda k: jax.random.split(k, 2))(keys)  # (B, 2, 2)
     fl = first_logits.astype(jnp.float32).at[:, eos].set(-jnp.inf)
-    tok0 = sample_token(
-        k0, fl, presence, top_k=top_k, top_p=top_p, temperature=temperature,
-        repetition_penalty=repetition_penalty,
+    tok0 = sample_token_rows(
+        split[:, 0], fl, presence, top_k, top_p, temperature, rep_penalty
     ).astype(jnp.int32)
-    presence = presence.at[jnp.arange(1), tok0].set(True)
+    presence = presence.at[rows, tok0].set(True)
     tok0_emb = model.apply(params, tok0[:, None], prompt_len[:, None], method=T2SDecoder.embed_audio)
-    return k_row, v_row, valid_row, presence, tok0, tok0_emb
+    return k_rows, v_rows, valid_rows, presence, tok0, tok0_emb, split[:, 1]
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("model", "scratch", "n_steps", "max_new", "use_fused", "kv_quant", "top_k", "top_p", "temperature", "repetition_penalty"),
+    static_argnames=("model", "scratch", "n_steps", "max_new", "use_fused", "kv_quant"),
     donate_argnums=(2,),  # the KV pool updates in place across segments
 )
 def _segment(
@@ -146,14 +194,12 @@ def _segment(
     max_new: int,
     use_fused: bool = False,
     kv_quant: bool = False,
-    top_k: int,
-    top_p: float,
-    temperature: float,
-    repetition_penalty: float,
 ) -> _SlotState:
     """Advance every active row n_steps tokens (one fori_loop; per-row
     write indices). Inactive/done rows run masked — their state is
     untouched. Mirrors generate()'s body (models/t2s.py:448-478).
+    Sampling parameters and PRNG keys are per-row TRACED state, so this
+    compiles ONCE per pool shape regardless of request sampling.
 
     use_fused: run the per-token transformer step as the fused Pallas
     kernel (ops/pallas/decode_step.py) with vector write indices — the
@@ -204,10 +250,10 @@ def _segment(
             (s.gen_count < EOS_MASK_WARMUP_STEPS)[:, None], logits.at[:, eos].set(-jnp.inf), logits
         )
         argmax_is_eos = jnp.argmax(logits, axis=-1) == eos
-        key, sub = jax.random.split(s.key)
-        tok = sample_token(
-            sub, logits, s.presence,
-            top_k=top_k, top_p=top_p, temperature=temperature, repetition_penalty=repetition_penalty,
+        split = jax.vmap(lambda k: jax.random.split(k, 2))(s.keys)  # (B,2,2)
+        tok = sample_token_rows(
+            split[:, 0], logits, s.presence,
+            s.top_k, s.top_p, s.temperature, s.rep_penalty,
         ).astype(jnp.int32)
         hit_cap = s.gen_count >= max_new
         newly_done = live & (argmax_is_eos | (tok == eos) | hit_cap)
@@ -225,67 +271,80 @@ def _segment(
         # the carry dtype is pinned by the pool state
         tok_emb = jnp.where(live[:, None, None], tok_emb.astype(s.tok_emb.dtype), s.tok_emb)
         gen_count = jnp.where(live & ~newly_done, s.gen_count + 1, s.gen_count)
+        keys = jnp.where(live[:, None], split[:, 1], s.keys)
         return _SlotState(
             k_c, v_c, valid, presence, tok_emb, tokens, gen_count, lengths,
-            s.prompt_lens, s.active, done, key,
+            s.prompt_lens, s.active, done, keys,
+            s.top_k, s.top_p, s.temperature, s.rep_penalty,
         )
 
     return jax.lax.fori_loop(0, n_steps, body, state)
 
 
 @functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("fused", "kv_quant"))
-def _install_row(
+def _install_rows(
     state: _SlotState,
-    slot,
-    k_row,
-    v_row,
-    valid_row,
-    presence,
-    tok0,
-    tok0_emb,
-    prompt_len,
-    key,
+    slots,  # (k,) int32 DISTINCT pool slots
+    k_rows,  # (L, k, T, H, Dh) (or batched rows from _prefill sliced to k)
+    v_rows,
+    valid_rows,  # (k, T)
+    presence,  # (k, V)
+    tok0,  # (k,)
+    tok0_emb,  # (k, 1, D)
+    prompt_len,  # (k,)
+    keys,  # (k, 2)
+    top_k,
+    top_p,
+    temperature,
+    rep_penalty,
     *,
     fused: bool,
     kv_quant: bool = False,
 ):
-    """Write one prefilled request into pool slot `slot` — a single jitted
-    call with the pool DONATED, so the multi-hundred-MB KV cache updates in
-    place instead of being copied once per .at[].set (13 separate host-side
-    updates measured ~0.3 s per admission at production size)."""
+    """Write k prefilled requests into pool slots — a single jitted call
+    with the pool DONATED, so the multi-hundred-MB KV cache updates in
+    place instead of being copied once per .at[].set (13 separate
+    host-side updates measured ~0.3 s per admission at production size;
+    round 5 batches all of a pass's admissions into ONE call)."""
     s = state
     max_new = s.tokens.shape[1]
+    k = slots.shape[0]
     if fused:
-        L, T = k_row.shape[0], k_row.shape[2]
-        d = k_row.shape[3] * k_row.shape[4]
-        kv_row = jnp.concatenate(
-            [k_row[:, 0].reshape(L, T, d), v_row[:, 0].reshape(L, T, d)], axis=-1
+        L, T = k_rows.shape[0], k_rows.shape[2]
+        d = k_rows.shape[3] * k_rows.shape[4]
+        kv_rows = jnp.concatenate(
+            [k_rows.reshape(L, k, T, d), v_rows.reshape(L, k, T, d)], axis=-1
         )
         if kv_quant:
             from gpt_sovits_tpu.ops.pallas.decode_step import quantize_kv_cache
 
-            kv_q, scales = quantize_kv_cache(kv_row[:, None])  # (L,1,T,2D)
-            new_k = s.k_caches.at[:, slot].set(kv_q[:, 0])
-            new_v = s.v_caches.at[:, slot].set(scales[:, 0])
+            kv_q, scales = quantize_kv_cache(kv_rows)  # (L,k,T,2D), (L,k,2,T)
+            new_k = s.k_caches.at[:, slots].set(kv_q)
+            new_v = s.v_caches.at[:, slots].set(scales)
         else:
-            new_k = s.k_caches.at[:, slot].set(kv_row.astype(jnp.bfloat16))
+            new_k = s.k_caches.at[:, slots].set(kv_rows.astype(jnp.bfloat16))
             new_v = s.v_caches
     else:
-        new_k = s.k_caches.at[:, slot].set(k_row[:, 0].astype(s.k_caches.dtype))
-        new_v = s.v_caches.at[:, slot].set(v_row[:, 0].astype(s.v_caches.dtype))
+        new_k = s.k_caches.at[:, slots].set(k_rows.astype(s.k_caches.dtype))
+        new_v = s.v_caches.at[:, slots].set(v_rows.astype(s.v_caches.dtype))
+    tok_rows = jnp.zeros((k, max_new), jnp.int32).at[:, 0].set(tok0)
     return _SlotState(
         k_caches=new_k,
         v_caches=new_v,
-        valid=s.valid.at[slot].set(valid_row[0]),
-        presence=s.presence.at[slot].set(presence[0]),
-        tok_emb=s.tok_emb.at[slot].set(tok0_emb[0].astype(s.tok_emb.dtype)),
-        tokens=s.tokens.at[slot].set(jnp.zeros((max_new,), jnp.int32).at[0].set(tok0[0])),
-        gen_count=s.gen_count.at[slot].set(1),
-        lengths=s.lengths.at[slot].set(1),
-        prompt_lens=s.prompt_lens.at[slot].set(prompt_len),
-        active=s.active.at[slot].set(True),
-        done=s.done.at[slot].set(False),
-        key=key,
+        valid=s.valid.at[slots].set(valid_rows),
+        presence=s.presence.at[slots].set(presence),
+        tok_emb=s.tok_emb.at[slots].set(tok0_emb.astype(s.tok_emb.dtype)),
+        tokens=s.tokens.at[slots].set(tok_rows),
+        gen_count=s.gen_count.at[slots].set(1),
+        lengths=s.lengths.at[slots].set(1),
+        prompt_lens=s.prompt_lens.at[slots].set(prompt_len),
+        active=s.active.at[slots].set(True),
+        done=s.done.at[slots].set(False),
+        keys=s.keys.at[slots].set(keys),
+        top_k=s.top_k.at[slots].set(top_k),
+        top_p=s.top_p.at[slots].set(top_p),
+        temperature=s.temperature.at[slots].set(temperature),
+        rep_penalty=s.rep_penalty.at[slots].set(rep_penalty),
     )
 
 
@@ -295,16 +354,36 @@ class _Request:
     phones: np.ndarray
     bert: np.ndarray
     prompt: np.ndarray
+    key: np.ndarray  # (2,) uint32
+    top_k: int
+    top_p: float
+    temperature: float
+    rep_penalty: float
+
+
+# prefill batch buckets: admissions pad up to the next bucket; surplus
+# prefilled rows are computed but never installed
+_ADMIT_BUCKETS = (1, 2, 4, 8, 16)
+
+
+def _admit_bucket(n: int) -> int:
+    for b in _ADMIT_BUCKETS:
+        if n <= b:
+            return b
+    return -(-n // 16) * 16
 
 
 class ContinuousBatcher:
     """Host-side scheduler over the slot pool.
 
-    submit() enqueues; step(n) admits queued requests into free slots,
-    advances all live rows n tokens, and returns {rid: semantic tokens}
-    for rows that finished. Requests join at segment boundaries instead
-    of waiting out a whole batch (reference eviction only shrinks,
-    t2s_model.py:720-745)."""
+    submit() enqueues; step(n) runs one scheduler pass: consume the
+    previous segment's (async-fetched) flags, evict finished rows and
+    start async fetches of their tokens, admit queued requests via one
+    batched prefill, dispatch the next segment, and start the async flag
+    copy for the NEXT pass. Results therefore surface one pass after the
+    segment where the row finished; drain() loops until empty. Requests
+    join at segment boundaries instead of waiting out a whole batch
+    (reference eviction only shrinks, t2s_model.py:720-745)."""
 
     def __init__(
         self,
@@ -330,7 +409,7 @@ class ContinuousBatcher:
         self.scratch = tx_max + tp_max
         t_total = tx_max + tp_max + 1 + max_new
         self.t_total = -(-t_total // 512) * 512  # tile-friendly cache length
-        self.sampling = dict(
+        self.defaults = dict(
             top_k=top_k, top_p=top_p, temperature=temperature, repetition_penalty=repetition_penalty
         )
         b, L = slots, cfg.num_layers
@@ -373,19 +452,53 @@ class ContinuousBatcher:
             prompt_lens=jnp.zeros((b,), jnp.int32),
             active=jnp.zeros((b,), bool),
             done=jnp.zeros((b,), bool),
-            key=jax.random.PRNGKey(seed),
+            keys=jnp.zeros((b, 2), jnp.uint32),
+            top_k=jnp.full((b,), top_k, jnp.int32),
+            top_p=jnp.full((b,), top_p, jnp.float32),
+            temperature=jnp.full((b,), temperature, jnp.float32),
+            rep_penalty=jnp.full((b,), repetition_penalty, jnp.float32),
         )
+        self._seed_key = jax.random.PRNGKey(seed)
+        import threading
+
+        # submit() runs on request threads while step() runs the scheduler
+        # thread: the queue and the pool PRNG need a mutex (everything else
+        # is scheduler-thread-only)
+        self._submit_lock = threading.Lock()
         self._queue: list[_Request] = []
         self._slot_rid: list[Optional[int]] = [None] * slots
+        self._slot_gen: list[int] = [-1] * slots  # segment count at install
         self._next_rid = 0
         self.admitted_at: dict[int, int] = {}  # rid -> segment index when admitted
         self.finished_at: dict[int, int] = {}
         self._segments_run = 0
+        # lookahead plumbing: flags/token fetches in flight to the host
+        self._flags_inflight = None  # (done, lengths) device arrays, copy started
+        self._token_fetches: list[tuple[list, list, list, Any]] = []  # (rids, lens, slots, rows_dev)
+        # slots whose token fetch hasn't resolved yet: they must NOT be
+        # reinstalled — an install DONATES the pool, and the in-place
+        # aliased write is not ordered after the eviction gather's read
+        # (observed returning the new tenant's tokens on the CPU backend)
+        self._slot_hold: set[int] = set()
 
     # -- public API ---------------------------------------------------------
 
-    def submit(self, phones, bert=None, prompt=None) -> int:
-        """phones: (tx,) ids; bert: (tx, bert_dim) or None; prompt: (tp,) ids."""
+    def submit(
+        self,
+        phones,
+        bert=None,
+        prompt=None,
+        *,
+        seed: Optional[int] = None,
+        top_k: Optional[int] = None,
+        top_p: Optional[float] = None,
+        temperature: Optional[float] = None,
+        repetition_penalty: Optional[float] = None,
+    ) -> int:
+        """phones: (tx,) ids; bert: (tx, bert_dim) or None; prompt: (tp,) ids.
+        Sampling overrides are PER-REQUEST (traced, no recompilation);
+        `seed` pins this request's PRNG stream — the token sequence is
+        reproducible independent of pool co-tenancy."""
         phones = np.asarray(phones, np.int32)
         if phones.shape[0] > self.tx_max:
             raise ValueError(f"phones length {phones.shape[0]} > tx_max {self.tx_max}")
@@ -394,75 +507,200 @@ class ContinuousBatcher:
             raise ValueError(f"prompt length {prompt.shape[0]} > tp_max {self.tp_max}")
         if bert is None:
             bert = np.zeros((phones.shape[0], self.model.cfg.bert_dim), np.float32)
-        rid = self._next_rid
-        self._next_rid += 1
-        self._queue.append(_Request(rid, phones, np.asarray(bert, np.float32), prompt))
+        d = self.defaults
+        with self._submit_lock:
+            rid = self._next_rid
+            self._next_rid += 1
+            if seed is not None:
+                key = np.asarray(jax.random.PRNGKey(seed), np.uint32)
+            else:
+                self._seed_key, sub = jax.random.split(self._seed_key)
+                key = np.asarray(sub, np.uint32)
+            self._queue.append(
+                _Request(
+                    rid, phones, np.asarray(bert, np.float32), prompt, key,
+                    d["top_k"] if top_k is None else int(top_k),
+                    d["top_p"] if top_p is None else float(top_p),
+                    d["temperature"] if temperature is None else float(temperature),
+                    d["repetition_penalty"] if repetition_penalty is None else float(repetition_penalty),
+                )
+            )
         return rid
 
-    def _admit(self, req: _Request, slot: int) -> None:
+    def _admit_batch(self) -> None:
+        """Admit up to `free slots` queued requests with ONE batched
+        prefill + ONE pool install (both async dispatches, no host sync)."""
+        free = [
+            s for s in range(self.slots)
+            if self._slot_rid[s] is None and s not in self._slot_hold
+        ]
+        if not free or not self._queue:
+            return
+        with self._submit_lock:
+            take = min(len(free), len(self._queue))
+            reqs = [self._queue.pop(0) for _ in range(take)]
+        if not reqs:
+            return
+        slots = free[:take]
+        bp = _admit_bucket(take)
         tx, tp = self.tx_max, self.tp_max
-        phones = np.zeros((1, tx), np.int32)
-        phones[0, tx - len(req.phones):] = req.phones  # left-pad
-        bert = np.zeros((1, tx, self.model.cfg.bert_dim), np.float32)
-        bert[0, tx - len(req.phones):] = req.bert
-        prompt = np.zeros((1, tp), np.int32)
-        prompt[0, : len(req.prompt)] = req.prompt  # right-pad
-        key, sub = jax.random.split(self.state.key)
-        k_row, v_row, valid_row, presence, tok0, tok0_emb = _prefill_one(
-            self.model, self.params, jnp.asarray(phones), jnp.asarray([len(req.phones)]),
-            jnp.asarray(bert), jnp.asarray(prompt), jnp.asarray([len(req.prompt)]), sub,
-            tx_max=tx, tp_max=tp, t_total=self.t_total, **self.sampling,
+        phones = np.zeros((bp, tx), np.int32)
+        phone_len = np.ones((bp,), np.int32)  # dummy rows: 1 (avoid deg. masks)
+        bert = np.zeros((bp, tx, self.model.cfg.bert_dim), np.float32)
+        prompt = np.zeros((bp, tp), np.int32)
+        prompt_len = np.ones((bp,), np.int32)
+        keys = np.zeros((bp, 2), np.uint32)
+        tk = np.full((bp,), 1, np.int32)
+        tpp = np.ones((bp,), np.float32)
+        temp = np.ones((bp,), np.float32)
+        rp = np.ones((bp,), np.float32)
+        for i, r in enumerate(reqs):
+            phones[i, tx - len(r.phones):] = r.phones  # left-pad
+            phone_len[i] = len(r.phones)
+            bert[i, tx - len(r.phones):] = r.bert
+            prompt[i, : len(r.prompt)] = r.prompt  # right-pad
+            prompt_len[i] = len(r.prompt)
+            keys[i] = r.key
+            tk[i], tpp[i], temp[i], rp[i] = r.top_k, r.top_p, r.temperature, r.rep_penalty
+        k_rows, v_rows, valid_rows, presence, tok0, tok0_emb, next_keys = _prefill(
+            self.model, self.params,
+            jnp.asarray(phones), jnp.asarray(phone_len), jnp.asarray(bert),
+            jnp.asarray(prompt), jnp.asarray(prompt_len), jnp.asarray(keys),
+            jnp.asarray(tk), jnp.asarray(tpp), jnp.asarray(temp), jnp.asarray(rp),
+            tx_max=tx, tp_max=tp, t_total=self.t_total,
         )
-        self.state = _install_row(
-            self.state, jnp.asarray(slot, jnp.int32), k_row, v_row, valid_row,
-            presence, tok0, tok0_emb, jnp.asarray(len(req.prompt), jnp.int32), key,
+        sl = jnp.asarray(slots, jnp.int32)
+        tksl = slice(0, take)
+        self.state = _install_rows(
+            self.state, sl,
+            k_rows[:, tksl], v_rows[:, tksl], valid_rows[tksl], presence[tksl],
+            tok0[tksl], tok0_emb[tksl], jnp.asarray(prompt_len[tksl]),
+            next_keys[tksl], jnp.asarray(tk[tksl]), jnp.asarray(tpp[tksl]),
+            jnp.asarray(temp[tksl]), jnp.asarray(rp[tksl]),
             fused=self.use_fused, kv_quant=self.kv_quant,
         )
-        self._slot_rid[slot] = req.rid
-        self.admitted_at[req.rid] = self._segments_run
+        for r, s in zip(reqs, slots):
+            self._slot_rid[s] = r.rid
+            self._slot_gen[s] = self._segments_run
+            self.admitted_at[r.rid] = self._segments_run
 
-    def step(self, n: int = 25) -> dict[int, np.ndarray]:
-        """Admit queued requests into free slots, advance n tokens, evict +
-        return finished rows ({rid: token array})."""
-        for slot in range(self.slots):
-            if self._slot_rid[slot] is None and self._queue:
-                self._admit(self._queue.pop(0), slot)
-        if not any(r is not None for r in self._slot_rid):
-            return {}
-        self.state = _segment(
-            self.model, self.params, self.state, self.fused_weights, self.head_kernel,
-            scratch=self.scratch, n_steps=n, max_new=self.max_new,
-            use_fused=self.use_fused, kv_quant=self.kv_quant, **self.sampling,
-        )
-        self._segments_run += 1
-        # ONE host fetch for the scheduler flags (each np.asarray is a
-        # separate device round trip — they add up over the tunnel)
-        done, active, lengths = jax.device_get(
-            (self.state.done, self.state.active, self.state.lengths)
-        )
-        out: dict[int, np.ndarray] = {}
+    @staticmethod
+    @jax.jit
+    def _copy_flags(done, lengths):
+        """Fresh output buffers for the scheduler flags: the pool state
+        itself is DONATED into the next segment/install call, so holding
+        (and async-copying) its leaves across passes would read deleted
+        buffers. A jit call's outputs never alias its (non-donated)
+        inputs, so these survive any later donation of the state."""
+        return done.astype(jnp.int8), lengths + 0
+
+    def _start_flag_copy(self) -> None:
+        flags = self._copy_flags(self.state.done, self.state.lengths)
+        for a in flags:
+            if hasattr(a, "copy_to_host_async"):
+                a.copy_to_host_async()
+        # tagged with the segment count at capture: a flag copy only
+        # testifies about tenants installed BEFORE it (a stale copy can
+        # show the previous tenant's done=True for a re-used slot)
+        self._flags_inflight = (flags, self._segments_run)
+
+    def _flags_ready(self) -> bool:
+        if self._flags_inflight is None:
+            return False
+        try:
+            return all(a.is_ready() for a in self._flags_inflight[0])
+        except AttributeError:
+            return True
+
+    def _consume_flags(self) -> None:
+        """Evict rows the (already-dispatched) flag copy reports done, and
+        start ASYNC fetches of their tokens. The gather lands a fresh
+        buffer and is dispatched before any later install can overwrite
+        the slot — device ops execute in dispatch order — and `done`
+        rows decode masked, so flags that lag the live state by a segment
+        only delay slot reuse, never correctness."""
+        if self._flags_inflight is None:
+            return
+        flags, flag_gen = self._flags_inflight
+        done, lengths = jax.device_get(flags)
+        self._flags_inflight = None
         evicted = []
         for slot in range(self.slots):
             rid = self._slot_rid[slot]
-            if rid is not None and active[slot] and done[slot]:
+            # flag_gen guard: only trust `done` for tenants installed
+            # before this copy was captured — a copy started before a
+            # slot's re-install still carries the previous tenant's flag
+            if rid is not None and done[slot] and flag_gen > self._slot_gen[slot]:
                 self.finished_at[rid] = self._segments_run
                 evicted.append((slot, rid, int(lengths[slot])))
                 self._slot_rid[slot] = None
         if evicted:
-            rows = jax.device_get(self.state.tokens[jnp.asarray([s for s, _, _ in evicted])])
-            for (slot, rid, length), toks in zip(evicted, rows):
-                out[rid] = np.asarray(toks[:length])
-            s = self.state
-            idx = jnp.asarray([s_ for s_, _, _ in evicted])
-            self.state = s._replace(
-                active=s.active.at[idx].set(False),
-                valid=s.valid.at[idx].set(False),
+            slots_e = [s for s, _, _ in evicted]
+            rows_dev = jnp.take(self.state.tokens, jnp.asarray(slots_e), axis=0)
+            if hasattr(rows_dev, "copy_to_host_async"):
+                rows_dev.copy_to_host_async()
+            self._slot_hold.update(slots_e)
+            self._token_fetches.append(
+                ([r for _, r, _ in evicted], [ln for _, _, ln in evicted], slots_e, rows_dev)
             )
+
+    def _resolve_token_fetches(self, block: bool) -> dict[int, np.ndarray]:
+        out: dict[int, np.ndarray] = {}
+        keep = []
+        for rids, lens, slots_e, rows_dev in self._token_fetches:
+            ready = block
+            if not ready:
+                try:
+                    ready = rows_dev.is_ready()
+                except AttributeError:
+                    ready = True
+            if not ready:
+                keep.append((rids, lens, slots_e, rows_dev))
+                continue
+            rows = np.asarray(rows_dev)
+            for rid, ln, toks in zip(rids, lens, rows):
+                out[rid] = np.asarray(toks[:ln])
+            self._slot_hold.difference_update(slots_e)
+        self._token_fetches = keep
         return out
+
+    def step(self, n: int = 25) -> dict[int, np.ndarray]:
+        """One scheduler pass (see class docstring). Returns {rid: tokens}
+        for requests whose results arrived this pass."""
+        # flags that already reached the host cost nothing to act on now —
+        # frees slots for this pass's admissions (no staleness when the
+        # device, not the link, is the bottleneck)
+        if self._flags_ready():
+            self._consume_flags()
+        self._admit_batch()
+        if any(r is not None for r in self._slot_rid):
+            prev_flags = self._flags_inflight
+            self.state = _segment(
+                self.model, self.params, self.state, self.fused_weights, self.head_kernel,
+                scratch=self.scratch, n_steps=n, max_new=self.max_new,
+                use_fused=self.use_fused, kv_quant=self.kv_quant,
+            )
+            self._segments_run += 1
+            self._start_flag_copy()
+            if prev_flags is not None:
+                # consume the PREVIOUS segment's flags while the one just
+                # dispatched computes: the blocking read overlaps device
+                # work instead of idling it (the round-5 lookahead)
+                hold, self._flags_inflight = self._flags_inflight, prev_flags
+                self._consume_flags()
+                self._flags_inflight = hold
+            return self._resolve_token_fetches(block=False)
+        # idle pool: flush everything in flight
+        self._consume_flags()
+        return self._resolve_token_fetches(block=True)
 
     @property
     def pending(self) -> int:
-        return len(self._queue) + sum(r is not None for r in self._slot_rid)
+        return (
+            len(self._queue)
+            + sum(r is not None for r in self._slot_rid)
+            + len(self._token_fetches)
+        )
 
     def drain(self, n: int = 25, max_segments: int = 10000) -> dict[int, np.ndarray]:
         out: dict[int, np.ndarray] = {}

