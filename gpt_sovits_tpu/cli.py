@@ -143,6 +143,7 @@ def cmd_serve(args):
     pipe = build_pipeline(
         s1_path=args.s1, s2_path=args.s2, version=args.version,
         hubert_path=args.hubert, bert_path=args.bert, sv_path=args.sv,
+        s1_weight_quant=args.s1_quant, s1_kv_quant=args.kv_quant,
     )
     continuous = None
     if args.continuous:
@@ -376,6 +377,10 @@ def main(argv=None):
     s.add_argument("--continuous", action="store_true",
                    help="continuous batching: concurrent /tts requests share the S1 slot pool")
     s.add_argument("--slots", type=int, default=8, help="continuous-mode slot count")
+    s.add_argument("--s1-quant", choices=("bf16", "int8"), default=None,
+                   help="S1 decode weight quantization (default: int8 on TPU — faster at every batch size, TRIAGE_s1_r04)")
+    s.add_argument("--kv-quant", choices=("bf16", "int8"), default=None,
+                   help="S1 KV-cache quantization (default: int8 on TPU)")
     s.set_defaults(fn=cmd_serve)
 
     s = sub.add_parser("export")

@@ -90,23 +90,42 @@ def _make_kernel(
         sems = rest.pop(0)
         ssems = rest.pop(0) if kv_quant else None
 
-        def descale(y, s_ref):
-            return y * s_ref[0, 0][None, :] if s_ref is not None else y
-
         li = pl.program_id(0)
+
+        if quant:
+            # W8A8 (round 5): the weight matrices stay int8 all the way
+            # into the MXU (s8 x s8 -> s32 runs at 2x the bf16 rate), with
+            # per-row dynamic activation scales folded back with the
+            # per-output-channel weight scales. Round 4 lifted the int8
+            # weights to bf16 in-kernel — a VPU pass over ~3.3M weight
+            # elements per layer that made the B=1 step COMPUTE-bound at
+            # 211 us/token while the int8 DMA roofline is ~94
+            # (benchmarks/TRIAGE_s1_r05.json).
+            def mm(xf, w_ref, s_ref):
+                xs = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-6) * (1.0 / 127.0)
+                xq = jnp.clip(
+                    jnp.round(xf * pl.reciprocal(xs, approx=False)), -127, 127
+                ).astype(jnp.int8)
+                acc = jax.lax.dot_general(
+                    xq, w_ref[0], (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+                )
+                return acc.astype(jnp.float32) * xs * s_ref[0, 0][None, :]
+        else:
+            # bf16 operands + f32 accumulation: f32 MXU matmuls cost
+            # several bf16 passes and made the kernel compute-bound (the
+            # flax reference computes in bf16 anyway, so this matches it)
+            def mm(xf, w_ref, s_ref):
+                return jnp.dot(
+                    xf.astype(jnp.bfloat16), w_ref[0].astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32,
+                )
 
         @pl.when(li == 0)
         def _():
             x_scr[:] = x_ref[:]
 
         x = x_scr[:]  # (B, D) f32
-        # All GEMVs run with bf16 operands + f32 accumulation: f32 MXU
-        # matmuls cost several bf16 passes and made the kernel compute-bound
-        # (the flax reference computes in bf16 anyway, so this matches it).
-        wqkv = wqkv_ref[0].astype(jnp.bfloat16)
-        qkv = descale(
-            jnp.dot(x.astype(jnp.bfloat16), wqkv, preferred_element_type=jnp.float32), wqkv_s_ref
-        ) + bqkv_ref[0, 0][None, :]
+        qkv = mm(x, wqkv_ref, wqkv_s_ref) + bqkv_ref[0, 0][None, :]
         q, k_new, v_new = qkv[:, :d], qkv[:, d : 2 * d], qkv[:, 2 * d :]
         kvnew_ref[0] = qkv[:, d:].astype(kvnew_ref.dtype)
 
@@ -271,27 +290,14 @@ def _make_kernel(
         p_self_d = jnp.dot(p_self, hmj.T)
         ctx = (ctx0 * alpha_d + p_self_d * v_new) / jnp.dot(s_fin, hmj.T)
 
-        attn_out = descale(
-            jnp.dot(ctx.astype(jnp.bfloat16), wo_ref[0].astype(jnp.bfloat16), preferred_element_type=jnp.float32),
-            wo_s_ref,
-        ) + bo_ref[0, 0][None, :]
+        attn_out = mm(ctx, wo_ref, wo_s_ref) + bo_ref[0, 0][None, :]
         xa = x + attn_out
         mu = jnp.mean(xa, axis=-1, keepdims=True)
         var = jnp.mean((xa - mu) ** 2, axis=-1, keepdims=True)
         xn = (xa - mu) * jax.lax.rsqrt(var + 1e-5) * n1s_ref[0, 0][None, :] + n1b_ref[0, 0][None, :]
 
-        hdn = jnp.maximum(
-            descale(
-                jnp.dot(xn.astype(jnp.bfloat16), fc1_ref[0].astype(jnp.bfloat16), preferred_element_type=jnp.float32),
-                fc1_s_ref,
-            )
-            + b1_ref[0, 0][None, :],
-            0.0,
-        )
-        x2 = descale(
-            jnp.dot(hdn.astype(jnp.bfloat16), fc2_ref[0].astype(jnp.bfloat16), preferred_element_type=jnp.float32),
-            fc2_s_ref,
-        ) + b2_ref[0, 0][None, :]
+        hdn = jnp.maximum(mm(xn, fc1_ref, fc1_s_ref) + b1_ref[0, 0][None, :], 0.0)
+        x2 = mm(hdn, fc2_ref, fc2_s_ref) + b2_ref[0, 0][None, :]
         xb = xn + x2
         mu2 = jnp.mean(xb, axis=-1, keepdims=True)
         var2 = jnp.mean((xb - mu2) ** 2, axis=-1, keepdims=True)

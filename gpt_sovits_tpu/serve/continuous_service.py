@@ -31,7 +31,7 @@ from gpt_sovits_tpu.infer.continuous import ContinuousBatcher
 from gpt_sovits_tpu.infer.pipeline import _next_bucket, phones_right
 
 
-@dataclass
+@dataclass(eq=False)  # identity semantics: jobs are deduped via set()
 class _Job:
     """One HTTP request: its text segments mapped to batcher rids."""
 
@@ -197,6 +197,9 @@ class ContinuousTTSService:
             try:
                 finished = self.cb.step(self.segment)
             except Exception as e:  # surface scheduler faults to all waiters
+                import traceback
+
+                traceback.print_exc()
                 with self._lock:
                     for job in set(self._jobs.values()):
                         job.error = e
@@ -249,7 +252,7 @@ class ContinuousTTSService:
             jnp.asarray([len(s["phones"]) for s in segs], jnp.int32),
             refer_spec, refer_lens, speed=job.speed, sv_emb=sv, ge=ge,
         )
-        wav = np.asarray(wav)[..., 0]
+        wav = np.asarray(wav)[..., 0].astype(np.float32) / 32767.0  # int16 on the wire
         hop_up = int(np.prod(p.s2.cfg.upsample_rates))
         sr = p.mel_cfg.sampling_rate
         silence = np.zeros(int(sr * job.fragment_interval), np.float32)

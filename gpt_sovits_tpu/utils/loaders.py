@@ -235,6 +235,8 @@ def build_pipeline(
     bert_path: Optional[str] = None,
     sv_path: Optional[str] = None,
     infer_cfg=None,
+    s1_weight_quant: Optional[str] = None,  # None: int8 on TPU (TRIAGE_s1_r04)
+    s1_kv_quant: Optional[str] = None,
 ):
     """Assemble a TTSPipeline from checkpoint paths (reference formats)."""
     from gpt_sovits_tpu.infer.pipeline import TTSPipeline, V3Bundle
@@ -262,4 +264,5 @@ def build_pipeline(
         sv_model=sv_model, sv_params=sv_params,
         mel_cfg=MelConfig(), infer_cfg=infer_cfg or InferenceConfig(version=version),
         v3_bundle=v3_bundle,
+        s1_weight_quant=s1_weight_quant, s1_kv_quant=s1_kv_quant,
     )

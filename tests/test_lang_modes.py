@@ -257,3 +257,38 @@ def test_g2p_segment_collapses_double_spaces():
     a, _, _ = p._g2p_segment("hello    world", "en")
     b, _, _ = p._g2p_segment("hello world", "en")
     assert a == b
+
+
+class TestKanjiOnlyLangID:
+    """auto-mode han-run disambiguation via the bundled statistical table
+    (scripts/build_langid_table.py) — kanji-only Japanese, which the
+    reference catches with fast_langdetect, must route to ja g2p."""
+
+    def test_kanji_only_japanese_routes_ja(self):
+        from gpt_sovits_tpu.text.lang_segmenter import getTexts
+
+        for text in ("東京駅前広場集合。", "今日天気。", "日本語能力試験。", "読書感想文提出。"):
+            runs = getTexts(text)
+            assert runs and all(r["lang"] == "ja" for r in runs), (text, runs)
+
+    def test_chinese_stays_zh(self):
+        from gpt_sovits_tpu.text.lang_segmenter import getTexts
+
+        for text in ("我们今天去北京。", "中华人民共和国。", "请把这个文件发给我。", "明天的会议改到下午三点。"):
+            runs = getTexts(text)
+            assert runs and all(r["lang"] == "zh" for r in runs), (text, runs)
+
+    def test_mixed_sentences_split_correctly(self):
+        from gpt_sovits_tpu.text.lang_segmenter import getTexts
+
+        # zh sentence then kanji-only ja sentence: per-sentence decisions
+        runs = getTexts("我们今天去北京。東京駅前広場集合。")
+        langs = [r["lang"] for r in runs]
+        assert "zh" in langs and "ja" in langs, runs
+
+    def test_named_modes_unaffected(self):
+        from gpt_sovits_tpu.text.lang_segmenter import getTexts
+
+        # all_zh-style coercion (default_lang) overrides the classifier
+        runs = getTexts("東京駅前広場集合。", default_lang="zh")
+        assert all(r["lang"] == "zh" for r in runs), runs

@@ -202,3 +202,28 @@ def test_v3_parallel_multi_chunk_sola():
     stitched = chunk_len * upsample * n_chunks - (n_chunks - 1) * overlap * upsample
     padding = n_chunks * (chunk_len - overlap) + overlap - padded
     assert stitched - overlap * upsample - padding * upsample == total * upsample
+
+
+def test_mel_len_host_formula_matches_device(v3_pipeline):
+    """_mel_len_for (host closed form used by the no-sync launch path)
+    must equal decode_encp's device mel_len expression (models/v3.py:118-128:
+    nominal frames clamped to interpolated content length) for every token
+    count / speed the serving path can produce."""
+    import jax.numpy as jnp
+
+    from gpt_sovits_tpu.infer.pipeline import snap_speed
+
+    p = v3_pipeline
+    c = p.v3.model.cfg
+    f = 3.875 if c.version == "v3" else 4
+    interp = 1.875 if c.version == "v3" else 2.0
+    for speed in (1.0, 0.5, 0.75, 1.25, 2.0, snap_speed(1.37)):
+        ns = jnp.asarray([1, 2, 7, 63, 64, 127, 250, 500, 750], jnp.int32)
+        if speed != 1.0:
+            dev = (ns * f / speed).astype(jnp.int32) + 1
+        else:
+            dev = (ns * f).astype(jnp.int32)
+        content = jnp.floor(ns * 2 * interp).astype(jnp.int32)
+        dev = np.asarray(jnp.minimum(dev, content))
+        host = [p._mel_len_for(int(n), speed) for n in np.asarray(ns)]
+        np.testing.assert_array_equal(host, dev)
