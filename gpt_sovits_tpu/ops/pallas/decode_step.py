@@ -12,12 +12,18 @@ Design notes:
     state is carried across layers in a VMEM scratch buffer.
   * per-layer weights arrive as pipelined BlockSpec blocks (the next
     layer's weights DMA while the current layer computes).
-  * the KV cache stays in HBM (ANY); attention streams it through VMEM in
-    fixed chunks with online-softmax (flash) accumulation.
-  * scores/context use MXU matmuls via a block-diagonal head expansion:
-    scores = K_chunk @ (q ⊙ head_mask)  — (C,D)@(D,H)
-    p_full = P @ head_mask^T            — (C,H)@(H,D)
-    ctx   += Σ_t V_chunk ⊙ p_full       — VPU reduction
+  * the KV cache stays in HBM (ANY); attention streams it through VMEM as
+    ONE flat double-buffered chunk stream across (layer[, row], chunk) —
+    layer i+1's first chunk DMAs during layer i's epilogue — with
+    online-softmax (flash) accumulation.
+  * the sweep runs in the (H, C)/(H, D) orientation so every chunk-sized
+    op is an MXU matmul (no (C, D) VPU passes on the critical path):
+    scores  = (q ⊙ head_mask) @ K_chunk^T   — (H,D)·(C,D) -> (H,C)
+    ctx_hd  = P @ V_chunk                   — (H,C)·(C,D) -> (H,D)
+    ctx    += Σ_h head_mask ⊙ ctx_hd        — (H,D) select, tiny
+    with int8 KV, both matmuls take the s8 x s8 MXU path (q and the probs
+    are dynamically quantized per head; K/V dequant scales fold into the
+    (H, C) score/prob matrices).
   * the new token's K/V are returned as outputs; the caller scatters them
     into the big cache with one dynamic_update_slice (avoids in-kernel
     read-modify-write aliasing).
@@ -40,17 +46,19 @@ NEG = -1e30
 
 
 def _head_mask(d: int, h: int) -> np.ndarray:
-    """(D, H) one-hot head membership."""
+    """(H, D) one-hot head membership: m[j, dd] = 1 iff channel dd belongs
+    to head j."""
     dh = d // h
-    m = np.zeros((d, h), np.float32)
+    m = np.zeros((h, d), np.float32)
     for j in range(h):
-        m[j * dh : (j + 1) * dh, j] = 1.0
+        m[j, j * dh : (j + 1) * dh] = 1.0
     return m
 
 
 def _make_kernel(
     num_layers: int, b: int, d: int, h: int, t_pad: int, chunk: int,
     quant: bool = False, row_stream: bool = False, kv_quant: bool = False,
+    n_buf: int = 2,
 ):
     dh = d // h
     n_chunks = t_pad // chunk
@@ -120,9 +128,54 @@ def _make_kernel(
                     preferred_element_type=jnp.float32,
                 )
 
+        # live-prefix sweep bound (slots >= n_valid are never attendable)
+        n_live = pl.cdiv(nvalid_ref[0], chunk)
+
+        # ---- flat cross-layer KV streaming ------------------------------
+        # ONE n_buf-deep chunk stream across the whole kernel: the flat
+        # chunk counter g runs over (layer[, row], chunk), so layer li+1's
+        # first chunks DMA during layer li's last chunks + epilogue
+        # (self-attn, MLP, norms). The round-4 per-layer schedule issued
+        # chunk 0 only after the qkv matmul of its own layer, exposing the
+        # full DMA latency once per layer (~3 us x 24, probe_decode_floor).
+        n_streams = b * n_live if row_stream else n_live
+        total_chunks = num_layers * n_streams
+
+        def _copies(g):
+            slot = jax.lax.rem(g, n_buf)
+            lj = jax.lax.div(g, n_streams)
+            ci = jax.lax.rem(g, n_live)
+            if row_stream:
+                bj = jax.lax.rem(jax.lax.div(g, n_live), b)
+                kv_src = kv_hbm.at[lj, bj, pl.ds(ci * chunk, chunk), :]
+                ks_src = kvs_hbm.at[lj, bj, :, pl.ds(ci * chunk, chunk)] if kv_quant else None
+            else:
+                kv_src = kv_hbm.at[lj, :, pl.ds(ci * chunk, chunk), :]
+                ks_src = kvs_hbm.at[lj, :, :, pl.ds(ci * chunk, chunk)] if kv_quant else None
+            cps = [pltpu.make_async_copy(kv_src, kvbuf.at[slot], sems.at[slot])]
+            if kv_quant:
+                cps.append(pltpu.make_async_copy(ks_src, ksbuf.at[slot], ssems.at[slot]))
+            return cps
+
+        def _start_g(g):
+            for c in _copies(g):
+                c.start()
+
+        def _wait_g(g):
+            for c in _copies(g):
+                c.wait()
+
         @pl.when(li == 0)
         def _():
             x_scr[:] = x_ref[:]
+
+            # prime the pipeline: n_buf - 1 chunks in flight before this
+            # layer's qkv matmul
+            for j in range(n_buf - 1):
+
+                @pl.when(j < total_chunks)
+                def _(j=j):
+                    _start_g(j)
 
         x = x_scr[:]  # (B, D) f32
         qkv = mm(x, wqkv_ref, wqkv_s_ref) + bqkv_ref[0, 0][None, :]
@@ -130,88 +183,85 @@ def _make_kernel(
         kvnew_ref[0] = qkv[:, d:].astype(kvnew_ref.dtype)
 
         scale = 1.0 / np.sqrt(dh)
-        hmj = hm_ref[:]
+        hmT = hm_ref[:]  # (H, D) one-hot head membership
 
-        q_bd = (q * scale)[:, :, None] * hmj[None]  # (B, D, H)
-        q_bdh = q_bd.astype(jnp.bfloat16)
-        hmj_h = hmj.astype(jnp.bfloat16)
+        # Per-row (H, D) head-expanded query: q_hd[h, dd] = q[dd] * hmT[h, dd]
+        # — built elementwise from the (H, D) head mask, no transposes. The
+        # whole sweep runs in the (H, C)/(H, D) orientation so every
+        # chunk-sized op is an MXU matmul; the round-4 (C, H)->(C, D)
+        # head-expansion kept (C, D)-sized f32 VPU passes (cast, dequant,
+        # P*V product, tree-reduce) on the critical path — ~1.4 us/chunk of
+        # pure VPU time that made the sweep compute-bound and int8 KV
+        # worthless (probe_decode_floor).
+        q_rows, qi_rows, qs_rows = [], [], []
+        for bi in range(b):
+            q_hd = (q[bi] * scale)[None, :] * hmT  # (H, D) f32
+            if kv_quant:
+                # int8 q -> scores ride the s8 x s8 MXU path against the
+                # raw int8 K codes (no (C, D) dequant lift); one scale per
+                # head (off-head lanes are zero so the row max is per-head)
+                qs = jnp.maximum(jnp.max(jnp.abs(q_hd), axis=1, keepdims=True), 1e-9) * (1.0 / 127.0)
+                qi_rows.append(jnp.clip(jnp.round(q_hd / qs), -127, 127).astype(jnp.int8))
+                qs_rows.append(qs)
+            q_rows.append(q_hd.astype(jnp.bfloat16))
 
-        # only sweep the live prefix of the cache (slots >= n_valid are
-        # never attendable); keeps DMA volume proportional to context
-        n_live = pl.cdiv(nvalid_ref[0], chunk)
+        def _attend(bi, g, ci, m_run, s_run, ctx):
+            """One (row, chunk) flash-attention update. Carries: (H,), (H,), (D,)."""
+            slot = jax.lax.rem(g, n_buf)
+            slab = kvbuf[slot] if row_stream else kvbuf[slot, bi]  # (C, 2D)
+            kc, vc = slab[:, :d], slab[:, d:]
+            if kv_quant:
+                ksc = ksbuf[slot] if row_stream else ksbuf[slot, bi]  # (2, C)
+                sc = jax.lax.dot_general(
+                    qi_rows[bi], kc, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                ).astype(jnp.float32)  # (H, C)
+                sc = sc * (qs_rows[bi] * ksc[0][None, :])
+            else:
+                sc = jax.lax.dot_general(
+                    q_rows[bi], kc, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (H, C)
+            msk = mask_ref[bi, pl.ds(ci * chunk, chunk)]  # (C,)
+            sc = jnp.where(msk[None, :] > 0, sc, NEG)
+            m_new = jnp.maximum(m_run, jnp.max(sc, axis=1))  # (H,)
+            alpha = jnp.exp(m_run - m_new)
+            p = jnp.exp(sc - m_new[:, None])  # (H, C) f32
+            s_new = s_run * alpha + jnp.sum(p, axis=1)
+            if kv_quant:
+                # V dequant scale folds into the (H, C) probs (NOT a
+                # (C, D) pass over V); probs then quantize per head so
+                # P @ V is s8 x s8 on the MXU as well
+                pv = p * ksc[1][None, :]
+                ps = jnp.maximum(jnp.max(pv, axis=1, keepdims=True), 1e-9) * (1.0 / 127.0)
+                pq = jnp.clip(jnp.round(pv / ps), -127, 127).astype(jnp.int8)
+                hd_ctx = jax.lax.dot_general(
+                    pq, vc, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+                ).astype(jnp.float32) * ps  # (H, D)
+            else:
+                # probs in bf16 for the PV path — same as the flax step's
+                # probs.astype(x.dtype) before the value einsum
+                hd_ctx = jax.lax.dot_general(
+                    p.astype(jnp.bfloat16), vc, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (H, D)
+            ctx_c = jnp.sum(hmT * hd_ctx, axis=0)  # own-head columns -> (D,)
+            ctx_new = ctx * jnp.dot(alpha[None, :], hmT)[0] + ctx_c
+            return m_new, s_new, ctx_new
 
         if row_stream:
-            # per-ROW KV streaming: scratch (2, chunk, 2D) regardless of
-            # batch size — serves large B where the batched scratch would
-            # blow VMEM (the round-2 B=8 cliff). The (row, chunk) sequence
-            # is double-buffered as ONE flat stream (the prefetch at a
-            # row's last chunk targets the NEXT row's first chunk), so DMA
-            # latency is hidden across row boundaries too.
-            def _dma(bi, ci, slot):
-                return pltpu.make_async_copy(
-                    kv_hbm.at[li, bi, pl.ds(ci * chunk, chunk), :], kvbuf.at[slot], sems.at[slot]
-                )
-
-            def _sdma(bi, ci, slot):
-                return pltpu.make_async_copy(
-                    kvs_hbm.at[li, bi, :, pl.ds(ci * chunk, chunk)], ksbuf.at[slot], ssems.at[slot]
-                )
-
-            def _start(bi, ci, slot):
-                _dma(bi, ci, slot).start()
-                if kv_quant:
-                    _sdma(bi, ci, slot).start()
-
-            def _wait(bi, ci, slot):
-                _dma(bi, ci, slot).wait()
-                if kv_quant:
-                    _sdma(bi, ci, slot).wait()
-
             m_out, s_out, c_out = [], [], []
             for bi in range(b):
-                if bi == 0:
-
-                    @pl.when(n_live > 0)
-                    def _():
-                        _start(0, 0, 0)
 
                 def chunk_body(ci, carry, bi=bi):
-                    m_run, s_run, ctx = carry  # (H,), (H,), (D,)
-                    flat = bi * n_live + ci
-                    slot = jax.lax.rem(flat, 2)
+                    g = (li * b + bi) * n_live + ci
 
-                    nxt = flat + 1
-
-                    @pl.when(nxt < b * n_live)
+                    @pl.when(g + n_buf - 1 < total_chunks)
                     def _():
-                        _start(
-                            jax.lax.div(nxt, n_live),
-                            jax.lax.rem(nxt, n_live),
-                            jax.lax.rem(nxt, 2),
-                        )
+                        _start_g(g + n_buf - 1)
 
-                    _wait(bi, ci, slot)
-                    # int8 KV: dot on raw codes (bf16 lift), per-cached-token
-                    # dequant scales fold into the SCORE rows / value rows —
-                    # halves the dominant HBM stream of the decode
-                    kc = kvbuf[slot, :, :d].astype(jnp.bfloat16) if kv_quant else kvbuf[slot, :, :d]
-                    vc = kvbuf[slot, :, d:].astype(jnp.float32)
-                    if kv_quant:
-                        vc = vc * ksbuf[slot, 1, :][:, None]
-                    sc = jnp.dot(kc, q_bdh[bi], preferred_element_type=jnp.float32)  # (C, H)
-                    if kv_quant:
-                        sc = sc * ksbuf[slot, 0, :][:, None]
-                    msk = mask_ref[bi, pl.ds(ci * chunk, chunk)]  # (C,)
-                    sc = jnp.where(msk[:, None] > 0, sc, NEG)
-                    m_new = jnp.maximum(m_run, jnp.max(sc, axis=0))  # (H,)
-                    alpha = jnp.exp(m_run - m_new)
-                    p = jnp.exp(sc - m_new[None, :])  # (C, H)
-                    s_new = s_run * alpha + jnp.sum(p, axis=0)
-                    # probs in bf16 for the PV path — same as the flax
-                    # step's probs.astype(x.dtype) before the value einsum
-                    p_full = jnp.dot(p.astype(jnp.bfloat16), hmj_h.T, preferred_element_type=jnp.float32)
-                    ctx_new = ctx * jnp.dot(alpha[None, :], hmj.T)[0] + jnp.sum(p_full * vc, axis=0)
-                    return m_new, s_new, ctx_new
+                    _wait_g(g)
+                    return _attend(bi, g, ci, *carry)
 
                 m0 = jnp.full((h,), NEG, jnp.float32)
                 s0 = jnp.zeros((h,), jnp.float32)
@@ -222,56 +272,22 @@ def _make_kernel(
                 c_out.append(c_b)
             m_run, s_run, ctx0 = jnp.stack(m_out), jnp.stack(s_out), jnp.stack(c_out)
         else:
-            # one strided DMA per chunk covers ALL batch rows (best DMA
-            # efficiency; scratch (2, B, chunk, 2D) must fit VMEM)
-            def _dma(ci, slot):
-                return pltpu.make_async_copy(
-                    kv_hbm.at[li, :, pl.ds(ci * chunk, chunk), :], kvbuf.at[slot], sems.at[slot]
-                )
-
-            def _sdma(ci, slot):
-                return pltpu.make_async_copy(
-                    kvs_hbm.at[li, :, :, pl.ds(ci * chunk, chunk)], ksbuf.at[slot], ssems.at[slot]
-                )
-
-            def _start(ci, slot):
-                _dma(ci, slot).start()
-                if kv_quant:
-                    _sdma(ci, slot).start()
-
-            @pl.when(n_live > 0)
-            def _():
-                _start(0, 0)
 
             def chunk_body(ci, carry):
                 m_run, s_run, ctx = carry  # (B,H), (B,H), (B,D)
-                slot = ci % 2
+                g = li * n_live + ci
 
-                @pl.when(ci + 1 < n_live)
+                @pl.when(g + n_buf - 1 < total_chunks)
                 def _():
-                    _start(ci + 1, (ci + 1) % 2)
+                    _start_g(g + n_buf - 1)
 
-                _dma(ci, slot).wait()
-                if kv_quant:
-                    _sdma(ci, slot).wait()
+                _wait_g(g)
                 m_out, s_out, c_out = [], [], []
                 for bi in range(b):
-                    kc = kvbuf[slot, bi, :, :d].astype(jnp.bfloat16) if kv_quant else kvbuf[slot, bi, :, :d]
-                    vc = kvbuf[slot, bi, :, d:].astype(jnp.float32)
-                    if kv_quant:
-                        vc = vc * ksbuf[slot, bi, 1, :][:, None]
-                    sc = jnp.dot(kc, q_bdh[bi], preferred_element_type=jnp.float32)  # (C, H)
-                    if kv_quant:
-                        sc = sc * ksbuf[slot, bi, 0, :][:, None]
-                    msk = mask_ref[bi, pl.ds(ci * chunk, chunk)]  # (C,)
-                    sc = jnp.where(msk[:, None] > 0, sc, NEG)
-                    m_new = jnp.maximum(m_run[bi], jnp.max(sc, axis=0))  # (H,)
-                    alpha = jnp.exp(m_run[bi] - m_new)
-                    p = jnp.exp(sc - m_new[None, :])  # (C, H)
-                    s_out.append(s_run[bi] * alpha + jnp.sum(p, axis=0))
-                    p_full = jnp.dot(p.astype(jnp.bfloat16), hmj_h.T, preferred_element_type=jnp.float32)
-                    c_out.append(ctx[bi] * jnp.dot(alpha[None, :], hmj.T)[0] + jnp.sum(p_full * vc, axis=0))
-                    m_out.append(m_new)
+                    m_b, s_b, c_b = _attend(bi, g, ci, m_run[bi], s_run[bi], ctx[bi])
+                    m_out.append(m_b)
+                    s_out.append(s_b)
+                    c_out.append(c_b)
                 return jnp.stack(m_out), jnp.stack(s_out), jnp.stack(c_out)
 
             m0 = jnp.full((b, h), NEG, jnp.float32)
@@ -281,14 +297,17 @@ def _make_kernel(
 
         # current token's own K/V (always attendable); per-head dot via the
         # head-mask matmul (Mosaic cannot shape-cast (D,) -> (H, dh))
-        sc_self = jnp.dot(q * scale * k_new, hmj, preferred_element_type=jnp.float32)  # (B, H)
+        sc_self = jax.lax.dot_general(
+            q * scale * k_new, hmT, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (B, H)
         m_new = jnp.maximum(m_run, sc_self)
         alpha = jnp.exp(m_run - m_new)
         p_self = jnp.exp(sc_self - m_new)  # (B, H)
         s_fin = s_run * alpha + p_self
-        alpha_d = jnp.dot(alpha, hmj.T)  # (B, D)
-        p_self_d = jnp.dot(p_self, hmj.T)
-        ctx = (ctx0 * alpha_d + p_self_d * v_new) / jnp.dot(s_fin, hmj.T)
+        alpha_d = jnp.dot(alpha, hmT)  # (B, D)
+        p_self_d = jnp.dot(p_self, hmT)
+        ctx = (ctx0 * alpha_d + p_self_d * v_new) / jnp.dot(s_fin, hmT)
 
         attn_out = mm(ctx, wo_ref, wo_s_ref) + bo_ref[0, 0][None, :]
         xa = x + attn_out
@@ -373,7 +392,10 @@ def fused_decode_step(
     # cannot fit at the minimum 128-row chunk (large B), stream per row
     # with a batch-independent (2, chunk, 2D) scratch instead.
     batch_row_bytes = 2 * bsz * d2 * kv_cache.dtype.itemsize
-    row_stream = 128 * batch_row_bytes > (2 << 20)
+    # >=: at exactly the budget boundary (B=8 int8 KV) the batched layout
+    # would be forced down to 128-row chunks — per-chunk overhead dominates;
+    # per-row 512-row slabs amortize better
+    row_stream = 128 * batch_row_bytes >= (2 << 20)
     kv_row_bytes = (2 * d2 * kv_cache.dtype.itemsize) if row_stream else batch_row_bytes
     budget_rows = (2 << 20) // kv_row_bytes
     chunk = min(chunk, 1 << max(budget_rows.bit_length() - 1, 7))  # pow2 divides t_pad; >=128 (Mosaic lane tile)
@@ -385,8 +407,15 @@ def fused_decode_step(
     assert t_pad % chunk == 0, (t_pad, chunk)
     f = weights["fc1"].shape[-1]
     quant = weights["wqkv"].dtype == jnp.int8
+    # deeper buffering when the budget allows: extra slots absorb HBM
+    # contention between the KV stream and the pipelined weight blocks
+    # (both run near peak aggregate bandwidth in int8 mode). int8 weight
+    # blocks take ~6.3 MB of scoped VMEM double-buffered vs ~12.6 bf16,
+    # freeing ~6 MB for the KV stream.
+    buf_budget = (6 << 20) if quant else (2 << 20)
+    n_buf = max(2, min(4, buf_budget // (chunk * kv_row_bytes)))
 
-    kernel = _make_kernel(L, bsz, d, h, t_pad, chunk, quant, row_stream, kv_quant)
+    kernel = _make_kernel(L, bsz, d, h, t_pad, chunk, quant, row_stream, kv_quant, n_buf)
 
     def lspec(shape):
         return pl.BlockSpec((1,) + shape, lambda i, *_s: (i,) + (0,) * len(shape), memory_space=pltpu.VMEM)
@@ -423,11 +452,11 @@ def fused_decode_step(
         scratch_shapes=[
             pltpu.VMEM((bsz, d), jnp.float32),
             pltpu.VMEM(
-                (2, chunk, 2 * d) if row_stream else (2, bsz, chunk, 2 * d), kv_cache.dtype
+                (n_buf, chunk, 2 * d) if row_stream else (n_buf, bsz, chunk, 2 * d), kv_cache.dtype
             ),
-            *((pltpu.VMEM((2, 2, chunk) if row_stream else (2, bsz, 2, chunk), jnp.float32),) if kv_quant else ()),
-            pltpu.SemaphoreType.DMA((2,)),
-            *((pltpu.SemaphoreType.DMA((2,)),) if kv_quant else ()),
+            *((pltpu.VMEM((n_buf, 2, chunk) if row_stream else (n_buf, bsz, 2, chunk), jnp.float32),) if kv_quant else ()),
+            pltpu.SemaphoreType.DMA((n_buf,)),
+            *((pltpu.SemaphoreType.DMA((n_buf,)),) if kv_quant else ()),
         ],
     )
     # write_idx: scalar (all rows at the same step — generate()) or (B,)

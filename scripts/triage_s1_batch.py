@@ -53,13 +53,13 @@ def build(b):
     folded = fold_generator_params(s2_params["params"]["dec"], s2_cfg, dtype=dtype)
     dec_static = {k: v for k, v in folded.items() if k != "arrays"}
 
-    def s1_step(k, wq):
+    def s1_step(k, wq, kvq="bf16"):
         return generate(
             s1, s1_params, phones, text_lengths, bert, prompt,
             jnp.full((b,), TP, jnp.int32), k,
             max_new_tokens=N_NEW, top_k=15, top_p=1.0, temperature=1.0,
             repetition_penalty=1.35, early_stop_num=N_NEW,
-            use_fused_kernel=True, weight_quant=wq,
+            use_fused_kernel=True, weight_quant=wq, kv_cache_quant=kvq,
         ).tokens
 
     @jax.jit
@@ -101,10 +101,11 @@ def main():
     for b in (1, 4, 8):
         s1_step, s2_step, s2_params, folded = build(b)
         row = {"batch": b}
-        for wq in ("bf16", "int8"):
-            t = device_time(lambda k: s1_step(k, wq), jax.random.PRNGKey(1))
-            row[f"s1_{wq}_s"] = round(t, 4)
-            row[f"s1_{wq}_us_per_tok"] = round(t / N_NEW * 1e6, 1)
+        for wq, kvq in (("bf16", "bf16"), ("int8", "bf16"), ("int8", "int8")):
+            tag = wq if kvq == "bf16" else f"{wq}_kv8"
+            t = device_time(lambda k: s1_step(k, wq, kvq), jax.random.PRNGKey(1))
+            row[f"s1_{tag}_s"] = round(t, 4)
+            row[f"s1_{tag}_us_per_tok"] = round(t / N_NEW * 1e6, 1)
         codes = s1_step(jax.random.PRNGKey(1), "bf16")[:, :N_NEW]
         row["s2_s"] = round(device_time(lambda c: s2_step(s2_params, folded["arrays"], c), codes), 4)
         print(json.dumps(row), flush=True)
