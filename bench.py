@@ -61,7 +61,10 @@ def main():
     prompt = jnp.zeros((b, PROMPT_TOKENS), jnp.int32)
     codes_lengths = jnp.full((b,), N_NEW_TOKENS, jnp.int32)
 
-    def s1_step(k):
+    # S1 runs the TPU serving DEFAULT: fused Pallas decode with int8
+    # weights + int8 KV (infer/pipeline.py defaults on TPU, cli serve
+    # --s1-quant/--kv-quant) — the headline measures what `serve` ships.
+    def s1_step(k, wq="int8", kvq="int8"):
         return generate(
             s1, s1_params, phones, text_lengths, bert, prompt,
             jnp.full((b,), PROMPT_TOKENS, jnp.int32), k,
@@ -70,6 +73,7 @@ def main():
             # disable EOS so the loop runs the full N_NEW_TOKENS (fixed work)
             early_stop_num=N_NEW_TOKENS,
             use_fused_kernel=True,  # Pallas fused decode step
+            weight_quant=wq, kv_cache_quant=kvq,
         )
 
     def build_version(version: str):
@@ -143,6 +147,10 @@ def main():
     from _trace_time import device_time
 
     t_s1 = device_time(lambda k: s1_step(k).tokens, jax.random.PRNGKey(77))
+    # bf16 S1 for continuity with rounds 1-4 (pre-quant serving default)
+    t_s1_bf16 = device_time(
+        lambda k: s1_step(k, "bf16", "bf16").tokens, jax.random.PRNGKey(78)
+    )
     t_s2 = {}
     for v in versions:
         s2_params, folded_dec, s2_step = built[v]
@@ -161,6 +169,8 @@ def main():
                 "rtf_v2pro": round(rtf["v2Pro"], 5),
                 "utterance_s": {v: round(t_utt[v], 4) for v in versions},
                 "device_s1_s": round(t_s1, 4),
+                "device_s1_bf16_s": round(t_s1_bf16, 4),
+                "s1_quant": "int8 weights + int8 KV (TPU serving default)",
                 "device_s2_s": {v: round(t_s2[v], 4) for v in versions},
                 "tpu_contracts": contracts,
                 "baseline": "reference v2ProPlus RTF 0.028 on RTX 4060 Ti (README.md:46-47)",
