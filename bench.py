@@ -139,6 +139,31 @@ def main():
 
     t_utt = {v: time_version(v) for v in versions}
 
+    # end-to-end variant for the flagship: ALSO fetch the int16 waveform to
+    # the host (what pipeline.run must do to return audio). The difference
+    # vs t_utt is pure link cost (int16 transfer + RTT) — ~2 ms on a local
+    # PCIe chip, tens of ms over this tunnel. pipeline.run's utterance time
+    # (scripts/bench_serving_e2e.py) should match THIS row, not t_utt.
+    def time_e2e(v):
+        import numpy as np
+
+        s2_params, folded_dec, s2_step = built[v]
+
+        @jax.jit
+        def s2_i16(params, dec_arrays, codes):
+            w = s2_step.__wrapped__(params, dec_arrays, codes)
+            return jnp.clip(w * 32767.0, -32768, 32767).astype(jnp.int16)
+
+        np.asarray(s2_i16(s2_params, folded_dec["arrays"], codes0))  # compile
+        t0 = time.perf_counter()
+        for i in range(n_iter):
+            out = s1_step(jax.random.PRNGKey(5000 + i))
+            wav = s2_i16(s2_params, folded_dec["arrays"], out.tokens[:, :N_NEW_TOKENS])
+            np.asarray(wav)
+        return (time.perf_counter() - t0) / n_iter
+
+    t_e2e_pp = time_e2e("v2ProPlus")
+
     # phase attribution via device traces (host clocks can't split chained
     # async stages) — scripts/_trace_time.py
     import sys
@@ -168,6 +193,9 @@ def main():
                 "rtf_v2": round(rtf["v2"], 5),
                 "rtf_v2pro": round(rtf["v2Pro"], 5),
                 "utterance_s": {v: round(t_utt[v], 4) for v in versions},
+                "e2e_utterance_s_v2proplus": round(t_e2e_pp, 4),
+                "e2e_rtf_v2proplus": round(t_e2e_pp / AUDIO_SECONDS, 5),
+                "e2e_note": "includes the int16 waveform device->host fetch (what pipeline.run pays); delta vs utterance_s is pure link cost (~2 ms local PCIe, tens of ms over this tunnel)",
                 "device_s1_s": round(t_s1, 4),
                 "device_s1_bf16_s": round(t_s1_bf16, 4),
                 "s1_quant": "int8 weights + int8 KV (TPU serving default)",

@@ -43,6 +43,8 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
+from collections import deque
 from typing import Any, NamedTuple, Optional
 
 import jax
@@ -77,29 +79,39 @@ class _SlotState(NamedTuple):
     rep_penalty: jnp.ndarray  # (B,) float32
 
 
+# Dynamic sampling works on a static top-SAMPLE_CAP prefix of the vocab:
+# exact for any top_k <= SAMPLE_CAP (the reference UI caps top_k at 100,
+# webui.py / inference_webui.py sliders), and for top-p the probability
+# mass past the top-128 of 1025 temperature-scaled logits is negligible.
+# top_k <= 0 ("disabled") therefore means top-SAMPLE_CAP here.
+SAMPLE_CAP = 128
+
+
 def sample_token_rows(keys, logits, presence, top_k, top_p, temperature, rep_penalty):
     """Per-row sampling with TRACED parameters (the static-parameter twin
     is models/t2s.py sample_token; parity: tests/test_continuous.py).
 
-    One shared descending sort feeds both the top-p tail mask and the
-    top-k position mask, so the dynamic version costs a single argsort
-    over (B, V) — comparable to the static path's lax.top_k lowering.
+    One static lax.top_k(SAMPLE_CAP) feeds both masks, so every dynamic
+    op downstream (softmax, cumsum, categorical) runs on (B, 128) instead
+    of (B, V) — the full-vocab version cost ~60 us/token of fusions at
+    B=8, most of the gap between the pool step and generate()'s step.
     keys: (B, 2) uint32, one PRNG key per row."""
     logits = logits.astype(jnp.float32)
     rp = rep_penalty[:, None]
     penalized = jnp.where(logits < 0, logits * rp, logits / rp)
     logits = jnp.where(presence, penalized, logits)
-    order = jnp.argsort(-logits, axis=-1)
-    sorted_logits = jnp.take_along_axis(logits, order, axis=-1)
-    cum = jnp.cumsum(jax.nn.softmax(sorted_logits, axis=-1), axis=-1)
+    cap = min(SAMPLE_CAP, logits.shape[-1])  # tiny test vocabularies
+    vals, idxs = jax.lax.top_k(logits, cap)  # (B, cap) descending
+    cum = jnp.cumsum(jax.nn.softmax(vals, axis=-1), axis=-1)
     remove = cum > top_p[:, None]
     remove = remove.at[:, 0].set(False)
-    pos = jnp.arange(logits.shape[-1])[None, :]
-    remove = remove | ((top_k[:, None] > 0) & (pos >= top_k[:, None]))
-    masked = jnp.where(remove, -jnp.inf, sorted_logits)
+    pos = jnp.arange(cap)[None, :]
+    tk = jnp.where(top_k > 0, jnp.minimum(top_k, cap), cap)
+    remove = remove | (pos >= tk[:, None])
+    masked = jnp.where(remove, -jnp.inf, vals)
     t = jnp.maximum(temperature, 1e-5)[:, None]
     choice = jax.vmap(jax.random.categorical)(keys, masked / t)
-    return jnp.take_along_axis(order, choice[:, None], axis=1)[:, 0]
+    return jnp.take_along_axis(idxs, choice[:, None], axis=1)[:, 0]
 
 
 @functools.partial(
@@ -222,21 +234,25 @@ def _segment(
         if use_fused:
             # the kernel adds the query's own fresh K/V itself, so it gets
             # the PRE-update mask (generate(), models/t2s.py:452-455).
-            # smaller KV scratch chunk: inside the segment loop the
-            # kernel's outputs stay in scoped VMEM and the default 256
-            # chunk overflows the 16 MB budget by ~0.8 MB at B=8
+            # chunk: with int8 weights the kernel's own budget picks
+            # 512-row slabs (the scoped-VMEM headroom exists — int8 weight
+            # blocks are half-size); bf16 weights keep the conservative
+            # 128 that fits next to the 12.6 MB double-buffered blocks.
+            # The round-4 hardcoded 128 cost ~150 us/token at B=8: six
+            # tiny chunks per sweep, per-chunk overhead dominated.
+            seg_chunk = 128 if fused_weights["wqkv"].dtype == jnp.bfloat16 else 512
             if kv_quant:
                 # v slot carries the (L,B,2,T) dequant scales
                 y, k_c, v_c = fused_decode_step(
                     s.tok_emb[:, 0].astype(jnp.float32), fused_weights, s.k_caches,
                     s.valid.astype(jnp.float32), write_idx, s.v_caches,
-                    num_heads=cfg.num_heads, chunk=128,
+                    num_heads=cfg.num_heads, chunk=seg_chunk,
                 )
             else:
                 y, k_c = fused_decode_step(
                     s.tok_emb[:, 0].astype(jnp.float32), fused_weights, s.k_caches,
                     s.valid.astype(jnp.float32), write_idx, num_heads=cfg.num_heads,
-                    chunk=128,
+                    chunk=seg_chunk,
                 )
                 v_c = s.v_caches
             logits = y @ head_kernel
@@ -472,8 +488,16 @@ class ContinuousBatcher:
         self.admitted_at: dict[int, int] = {}  # rid -> segment index when admitted
         self.finished_at: dict[int, int] = {}
         self._segments_run = 0
-        # lookahead plumbing: flags/token fetches in flight to the host
-        self._flags_inflight = None  # (done, lengths) device arrays, copy started
+        # lookahead plumbing: flags/token fetches in flight to the host.
+        # _flag_q holds up to `lookahead` per-segment flag copies whose
+        # host reads haven't resolved; the scheduler only BLOCKS on the
+        # oldest when the queue exceeds the depth, so the device keeps
+        # decoding ~lookahead segments while flag reads ride the link RTT
+        # (40 ms tunnel RTT vs ~17 ms device segment = a 60% idle device
+        # at depth 1). Cost: done-detection (and thus slot reuse) can lag
+        # by up to `lookahead` segments.
+        self._flag_q: deque = deque()  # (flags, gen) copies in flight
+        self.lookahead = int(os.environ.get("GSVT_CB_LOOKAHEAD", "2"))
         self._token_fetches: list[tuple[list, list, list, Any]] = []  # (rids, lens, slots, rows_dev)
         # slots whose token fetch hasn't resolved yet: they must NOT be
         # reinstalled — an install DONATES the pool, and the in-place
@@ -482,6 +506,25 @@ class ContinuousBatcher:
         self._slot_hold: set[int] = set()
 
     # -- public API ---------------------------------------------------------
+
+    def warmup(self, segment: int = 25) -> None:
+        """Compile every program the scheduler can hit — prefill + install
+        at each admit bucket, the segment step at `segment` tokens, flag
+        copy, eviction gather — so the first real requests never pay XLA
+        compiles mid-serving (observed: ~20 s of bucket-prefill compiles
+        landing inside a measured serving window). Dummy rows decode to
+        EOS/cap and are drained; the pool is left empty."""
+        cfg = self.model.cfg
+        dummy = (
+            np.ones(4, np.int32),
+            np.zeros((4, cfg.bert_dim), np.float32),
+            np.zeros(4, np.int32),
+        )
+        for k in [b for b in _ADMIT_BUCKETS if b <= self.slots] or [self.slots]:
+            for _ in range(k):
+                self.submit(*dummy)
+            self.step(segment)  # bucket-k prefill + install-k + segment
+            self.drain(segment)
 
     def submit(
         self,
@@ -602,28 +645,32 @@ class ContinuousBatcher:
         # tagged with the segment count at capture: a flag copy only
         # testifies about tenants installed BEFORE it (a stale copy can
         # show the previous tenant's done=True for a re-used slot)
-        self._flags_inflight = (flags, self._segments_run)
+        self._flag_q.append((flags, self._segments_run))
 
-    def _flags_ready(self) -> bool:
-        if self._flags_inflight is None:
-            return False
-        try:
-            return all(a.is_ready() for a in self._flags_inflight[0])
-        except AttributeError:
-            return True
+    def _consume_ready_flags(self, force_oldest: bool = False) -> None:
+        """Apply flag copies from the FRONT of the queue, in order. Ready
+        copies cost nothing; `force_oldest` blocks on the first entry
+        (used to bound the queue at `lookahead` and to drain at idle)."""
+        while self._flag_q:
+            flags, gen = self._flag_q[0]
+            if not force_oldest:
+                try:
+                    if not all(a.is_ready() for a in flags):
+                        return
+                except AttributeError:
+                    pass
+            force_oldest = False
+            self._flag_q.popleft()
+            self._apply_flags(flags, gen)
 
-    def _consume_flags(self) -> None:
+    def _apply_flags(self, flags, flag_gen) -> None:
         """Evict rows the (already-dispatched) flag copy reports done, and
         start ASYNC fetches of their tokens. The gather lands a fresh
         buffer and is dispatched before any later install can overwrite
         the slot — device ops execute in dispatch order — and `done`
         rows decode masked, so flags that lag the live state by a segment
         only delay slot reuse, never correctness."""
-        if self._flags_inflight is None:
-            return
-        flags, flag_gen = self._flags_inflight
         done, lengths = jax.device_get(flags)
-        self._flags_inflight = None
         evicted = []
         for slot in range(self.slots):
             rid = self._slot_rid[slot]
@@ -670,11 +717,9 @@ class ContinuousBatcher:
         # flags that already reached the host cost nothing to act on now —
         # frees slots for this pass's admissions (no staleness when the
         # device, not the link, is the bottleneck)
-        if self._flags_ready():
-            self._consume_flags()
+        self._consume_ready_flags()
         self._admit_batch()
         if any(r is not None for r in self._slot_rid):
-            prev_flags = self._flags_inflight
             self.state = _segment(
                 self.model, self.params, self.state, self.fused_weights, self.head_kernel,
                 scratch=self.scratch, n_steps=n, max_new=self.max_new,
@@ -682,16 +727,15 @@ class ContinuousBatcher:
             )
             self._segments_run += 1
             self._start_flag_copy()
-            if prev_flags is not None:
-                # consume the PREVIOUS segment's flags while the one just
-                # dispatched computes: the blocking read overlaps device
-                # work instead of idling it (the round-5 lookahead)
-                hold, self._flags_inflight = self._flags_inflight, prev_flags
-                self._consume_flags()
-                self._flags_inflight = hold
+            # only block once the copy queue exceeds the lookahead depth:
+            # the device keeps decoding segments while older flag reads
+            # ride the link RTT
+            if len(self._flag_q) > self.lookahead:
+                self._consume_ready_flags(force_oldest=True)
             return self._resolve_token_fetches(block=False)
         # idle pool: flush everything in flight
-        self._consume_flags()
+        while self._flag_q:
+            self._consume_ready_flags(force_oldest=True)
         return self._resolve_token_fetches(block=True)
 
     @property

@@ -642,6 +642,7 @@ class TTSPipeline:
                 key, sub = jax.random.split(key)
                 if use_staged:
                     s1 = self._s1_launch(batch, sub, **s1_kw)
+                    eager_s2 = len(groups) == 1 and os.environ.get("GSVT_S2_EAGER", "1") != "0"
                     if prev is not None:
                         pidx, pstate, pfetch = prev
                         for i, w in zip(pidx, pfetch(pstate)):
@@ -655,7 +656,7 @@ class TTSPipeline:
                         prev = (idx, state, functools.partial(
                             self._v3_fetch, super_sampling=v3_kw.get("super_sampling")))
                     else:
-                        state = self._s2_launch(batch, s1, speed=speed)
+                        state = self._s2_launch(batch, s1, speed=speed, eager=eager_s2)
                         prev = (idx, state, self._s2_fetch)
                 else:
                     wav_list = self._synthesize_v3_batch(
@@ -830,11 +831,20 @@ class TTSPipeline:
             out.lengths.copy_to_host_async()
         return out, tx_max
 
-    def _s2_launch(self, batch, s1_state, *, speed):
+    def _s2_launch(self, batch, s1_state, *, speed, eager: bool = False):
         out, tx_max = s1_state
         b = len(batch)
-        lengths = np.asarray(out.lengths)
-        tc = _next_bucket(int(lengths.max()))
+        if eager:
+            # no host read between S1 and S2: dispatch S2 at the full
+            # decode-cap width. Used when there is nothing to overlap the
+            # lengths read with (a single group) — the read would sit a
+            # whole link RTT on the latency path, which costs more than
+            # the extra padded S2 frames (bench.py chains the stages the
+            # same way). GSVT_S2_EAGER=0 restores bucketing (e.g. for a
+            # locally attached chip, where RTT ~0.1 ms).
+            tc = min(_next_bucket(out.tokens.shape[1]), out.tokens.shape[1])
+        else:
+            tc = _next_bucket(int(np.asarray(out.lengths).max()))
         codes = out.tokens[:, :tc]  # device-resident slice
         refer_spec, refer_lens, sv, ge, _ = self._ref_dev(b)
         wav_dev = self._s2_decode(
@@ -844,15 +854,16 @@ class TTSPipeline:
             refer_spec, refer_lens,
             speed=speed, sv_emb=sv, ge=ge,
         )
-        hop_up = int(np.prod(self.s2.cfg.upsample_rates))
-        trims = [int(lengths[i]) * 2 * hop_up for i in range(b)]
-        return wav_dev, trims
+        return wav_dev, out.lengths
 
     def _s2_fetch(self, state):
-        wav_dev, trims = state
+        wav_dev, lengths_dev = state
         wav = np.asarray(wav_dev)[..., 0]  # int16 on the wire (_wav_to_i16)
+        lengths = np.asarray(lengths_dev)  # ready long before the wav
+        hop_up = int(np.prod(self.s2.cfg.upsample_rates))
         return [
-            wav[i, :n].astype(np.float32) / 32767.0 for i, n in enumerate(trims)
+            wav[i, : int(lengths[i]) * 2 * hop_up].astype(np.float32) / 32767.0
+            for i in range(wav.shape[0])
         ]
 
     def _synthesize_batch(self, batch, key, *, top_k, top_p, temperature, repetition_penalty, speed, max_sec, early_stop_num=None):

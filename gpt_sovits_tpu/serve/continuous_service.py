@@ -73,6 +73,10 @@ class ContinuousTTSService:
             use_fused=use_fused,
         )
         self.cb = self._build_batcher()
+        # precompile every scheduler program (per-bucket prefill/install,
+        # segment, flag copy) — otherwise the first real request wave pays
+        # ~20 s of XLA compiles inside the serving path
+        self.cb.warmup(self.segment)
         self._jobs: dict[int, _Job] = {}  # rid -> job
         self._lock = threading.Lock()
         self._wake = threading.Condition(self._lock)
@@ -174,6 +178,7 @@ class ContinuousTTSService:
             yield
         finally:
             self.cb = self._build_batcher()
+            self.cb.warmup(self.segment)
             with self._wake:
                 self._draining = False
                 self._wake.notify_all()

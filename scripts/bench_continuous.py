@@ -60,7 +60,9 @@ def main():
         kv_quant=os.environ.get("GSVT_CB_KVQ", "int8"),
     )
 
-    # warmup / compile: one request through prefill + segment
+    # warmup / compile: every admit bucket's prefill/install + the segment
+    # program (bucket compiles otherwise land inside the measured window)
+    cb.warmup(SEGMENT)
     rid = cb.submit(*mk_req())
     while cb.pending:
         cb.step(SEGMENT)
