@@ -62,6 +62,7 @@ def build():
             max_new_tokens=FIRST_SEG_TOKENS, top_k=15, top_p=1.0,
             temperature=1.0, repetition_penalty=1.35,
             early_stop_num=FIRST_SEG_TOKENS, use_fused_kernel=True, weight_quant="int8",
+            kv_cache_quant="int8",  # TPU serving default
         )
 
     codes_lengths = jnp.full((b,), FIRST_SEG_TOKENS, jnp.int32)

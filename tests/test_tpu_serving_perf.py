@@ -99,3 +99,40 @@ def test_fused_decode_b8_runs_and_is_fast():
     dt = (time.perf_counter() - t0) / n_new
     assert np.isfinite(np.asarray(out.tokens)).all()
     assert dt < 4e-3, dt
+
+
+def test_fused_decode_b1_int8kv_floor():
+    """B=1 serving default (int8 weights + int8 KV) stays under 1 ms/token
+    wall (device ~118 us/token after the round-5 MXU-oriented KV sweep,
+    benchmarks/TRIAGE_s1_r05.json; the slack absorbs tunnel RTT)."""
+    import functools
+
+    from gpt_sovits_tpu.models.t2s import T2SDecoder, generate
+    from gpt_sovits_tpu.utils.config import S1Config
+
+    cfg = S1Config()
+    s1 = T2SDecoder(cfg, dtype=jnp.bfloat16)
+    key = jax.random.PRNGKey(0)
+    params = jax.jit(functools.partial(s1.init, method=T2SDecoder.init_all))(key)
+    b, tl, pt, n_new = 1, 64, 64, 128
+    phones = jnp.zeros((b, tl), jnp.int32)
+    bert = jnp.zeros((b, tl, cfg.bert_dim), jnp.bfloat16)
+    prompt = jnp.zeros((b, pt), jnp.int32)
+
+    def step(k):
+        return generate(
+            s1, params, phones, jnp.full((b,), tl, jnp.int32), bert, prompt,
+            jnp.full((b,), pt, jnp.int32), k, max_new_tokens=n_new, top_k=15,
+            top_p=1.0, temperature=1.0, repetition_penalty=1.35,
+            early_stop_num=n_new, use_fused_kernel=True, weight_quant="int8",
+            kv_cache_quant="int8",
+        )
+
+    out = step(key)
+    jax.block_until_ready(out.tokens)
+    t0 = time.perf_counter()
+    out = step(jax.random.PRNGKey(1))
+    jax.block_until_ready(out.tokens)
+    dt = (time.perf_counter() - t0) / n_new
+    assert np.isfinite(np.asarray(out.tokens)).all()
+    assert dt < 1e-3, dt

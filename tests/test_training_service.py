@@ -338,7 +338,10 @@ def _mk_char(svc, tmp, name):
     svc.store.write_manifest(name, [("up_0000.wav", "en", "hello")])
 
 
-def _wait_state(svc, name, states, timeout=5.0):
+def _wait_state(svc, name, states, timeout=60.0):
+    # generous: instant on the pass path, but under a loaded xdist run
+    # (16 workers compiling XLA) the worker thread can be starved for
+    # seconds — 5 s flaked (round 5)
     t0 = time.time()
     while time.time() - t0 < timeout:
         st = svc.training_status(name)
