@@ -331,13 +331,6 @@ class DiTBlock(nn.Module):
         mod = nn.Dense(6 * c.dim, name="ada_linear")(nn.silu(t_emb))  # (B, 6D)
         shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = jnp.split(mod, 6, axis=-1)
 
-        # cast the norm back to the working dtype: flax LayerNorm promotes
-        # to f32, which otherwise silently runs every downstream matmul,
-        # flash call, and transpose copy in f32 (measured: the whole DiT
-        # mid-section was f32 under bf16 serving — half the MXU rate)
-        norm = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6, name="attn_norm")(x)
-        norm = norm.astype(x.dtype) * (1 + scale_msa[:, None]) + shift_msa[:, None]
-
         b, tl, _ = x.shape
         q8 = c.quant == "int8"
         use_flash = (
@@ -358,18 +351,28 @@ class DiTBlock(nn.Module):
             and to_q.kernel.dtype == jnp.int8
         )
         if fused_qkv:
-            # one Pallas pass: quantize-once 3x s8 projection + head-0 rope
-            # + flash (B,H,T,dh) layout — the separate rope pass and the
-            # q/k/v HBM transposes disappear (ops/pallas/qmatmul.py)
+            # one Pallas pass: attn_norm LayerNorm + AdaLN modulation
+            # prologue (round 5 — previously separate XLA passes), then
+            # quantize-once 3x s8 projection + head-0 rope + flash
+            # (B,H,T,dh) layout — the separate rope pass and the q/k/v
+            # HBM transposes disappear (ops/pallas/qmatmul.py)
             from gpt_sovits_tpu.ops.pallas.qmatmul import qkv_rope_int8
 
             qf, kf, vf = qkv_rope_int8(
-                norm, to_q.kernel, to_k.kernel, to_v.kernel,
+                x, to_q.kernel, to_k.kernel, to_v.kernel,
                 to_q.kernel_scale, to_k.kernel_scale, to_v.kernel_scale,
-                to_q.bias, to_k.bias, to_v.bias, dim_head=c.dim_head,
+                to_q.bias, to_k.bias, to_v.bias,
+                ln_mod=(scale_msa, shift_msa), dim_head=c.dim_head,
             )
             qh = kh = vh = None
         else:
+            # cast the norm back to the working dtype: flax LayerNorm
+            # promotes to f32, which otherwise silently runs every
+            # downstream matmul, flash call, and transpose copy in f32
+            # (measured: the whole DiT mid-section was f32 under bf16
+            # serving — half the MXU rate)
+            norm = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6, name="attn_norm")(x)
+            norm = norm.astype(x.dtype) * (1 + scale_msa[:, None]) + shift_msa[:, None]
             q = to_q(norm)
             k = to_k(norm)
             v = to_v(norm)
@@ -412,26 +415,49 @@ class DiTBlock(nn.Module):
             if fused_qkv:
                 from gpt_sovits_tpu.ops.pallas.qmatmul import qdense_out_int8
 
-                # out-projection consumes the flash layout directly: the
-                # head-merge transpose happens in VMEM inside the kernel
-                attn = qdense_out_int8(attn_h, to_out.kernel, to_out.kernel_scale, to_out.bias)
+                # out-projection consumes the flash layout directly (the
+                # head-merge transpose happens in VMEM inside the kernel)
+                # and the pad-mask zeroing + gated residual x + gate*attn
+                # fuse in as the epilogue (round 5)
+                x = qdense_out_int8(
+                    attn_h, to_out.kernel, to_out.kernel_scale, to_out.bias,
+                    res_gate_mask=(x, gate_msa, None if mask is None else mask.astype(jnp.float32)),
+                )
             else:
                 attn = to_out(attn_h.transpose(0, 2, 1, 3).reshape(b, tl, inner))
+                if mask is not None:
+                    attn = jnp.where(mask[..., None], attn, 0.0)
+                x = x + gate_msa[:, None] * attn
         else:
             scores = jnp.einsum("bqhd,bkhd->bhqk", qh, kh, preferred_element_type=jnp.float32) / np.sqrt(c.dim_head)
             if mask is not None:
                 scores = jnp.where(mask[:, None, None, :], scores, -jnp.inf)
             probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
             attn = to_out(jnp.einsum("bhqk,bkhd->bqhd", probs, vh).reshape(b, tl, inner))
-        if mask is not None:
-            attn = jnp.where(mask[..., None], attn, 0.0)
-        x = x + gate_msa[:, None] * attn
+            if mask is not None:
+                attn = jnp.where(mask[..., None], attn, 0.0)
+            x = x + gate_msa[:, None] * attn
 
+        ff1 = QDense(c.dim * c.ff_mult, c.dim, quant=q8, name="ff1")
+        ff2 = QDense(c.dim, c.dim * c.ff_mult, quant=q8, name="ff2")
+        if fused_qkv:
+            # ff_norm LayerNorm + AdaLN modulation ride ff1's prologue,
+            # gelu its epilogue; the gated residual rides ff2's epilogue
+            from gpt_sovits_tpu.ops.pallas.qmatmul import qdense_int8
+
+            h1 = qdense_int8(
+                x, ff1.kernel, ff1.kernel_scale, ff1.bias,
+                ln_mod=(scale_mlp, shift_mlp), act="gelu",
+            )
+            return qdense_int8(
+                h1, ff2.kernel, ff2.kernel_scale, ff2.bias,
+                res_gate=(x, gate_mlp),
+            )
         norm2 = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6, name="ff_norm")(x)
         norm2 = norm2.astype(x.dtype) * (1 + scale_mlp[:, None]) + shift_mlp[:, None]
-        ff = QDense(c.dim * c.ff_mult, c.dim, quant=q8, name="ff1")(norm2)
+        ff = ff1(norm2)
         ff = nn.gelu(ff, approximate=True)
-        ff = QDense(c.dim, c.dim * c.ff_mult, quant=q8, name="ff2")(ff)
+        ff = ff2(ff)
         return x + gate_mlp[:, None] * ff
 
 

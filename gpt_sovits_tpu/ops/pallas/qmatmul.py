@@ -25,20 +25,60 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _qmm_kernel(x_ref, w_ref, sw_ref, b_ref, o_ref):
-    x = x_ref[0].astype(jnp.float32)
-    sx = jnp.max(jnp.abs(x), axis=-1, keepdims=True) * (1.0 / 127.0)
-    sx = jnp.maximum(sx, 1e-8)
-    xq = jnp.clip(jnp.round(x * pl.reciprocal(sx, approx=False)), -127, 127).astype(jnp.int8)
-    acc = jax.lax.dot_general(
-        xq, w_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
-    )
-    y = acc.astype(jnp.float32) * sx * sw_ref[:]
-    o_ref[0] = (y + b_ref[:]).astype(o_ref.dtype)
+def _ln_mod(x, sc, sh, eps=1e-6):
+    """Affine-free LayerNorm + AdaLN modulation: ln(x) * (1+sc) + sh."""
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean((x - mu) ** 2, axis=-1, keepdims=True)
+    xn = (x - mu) * jax.lax.rsqrt(var + eps)
+    return xn * (1.0 + sc) + sh
 
 
-@functools.partial(jax.jit, static_argnames=("block_m",))
-def qdense_int8(x, wq, sw, bias, *, block_m: int = 512):
+def _gelu_tanh(y):
+    # nn.gelu(approximate=True)
+    return 0.5 * y * (1.0 + jnp.tanh(0.7978845608028654 * (y + 0.044715 * y * y * y)))
+
+
+def _make_qmm_kernel(ln_mod: bool, act: str | None, res_gate: bool):
+    """quantize -> s8 dot -> rescale, with the DiT block's elementwise
+    glue fused in instead of separate XLA HBM round-trips (round 5):
+      ln_mod:   prologue LayerNorm(no affine, eps 1e-6) + AdaLN
+                modulation (reference models.py:1042-1084 AdaLN-Zero)
+      act:      "gelu" epilogue (ff1 -> gelu)
+      res_gate: epilogue y = res + gate * y (gated residual add)"""
+
+    def kernel(*refs):
+        refs = list(refs)
+        x_ref = refs.pop(0)
+        w_ref = refs.pop(0)
+        sw_ref = refs.pop(0)
+        b_ref = refs.pop(0)
+        sc_ref = refs.pop(0) if ln_mod else None
+        sh_ref = refs.pop(0) if ln_mod else None
+        res_ref = refs.pop(0) if res_gate else None
+        gate_ref = refs.pop(0) if res_gate else None
+        o_ref = refs.pop(0)
+
+        x = x_ref[0].astype(jnp.float32)
+        if ln_mod:
+            x = _ln_mod(x, sc_ref[0], sh_ref[0])
+        sx = jnp.max(jnp.abs(x), axis=-1, keepdims=True) * (1.0 / 127.0)
+        sx = jnp.maximum(sx, 1e-8)
+        xq = jnp.clip(jnp.round(x * pl.reciprocal(sx, approx=False)), -127, 127).astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            xq, w_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+        )
+        y = acc.astype(jnp.float32) * sx * sw_ref[:] + b_ref[:]
+        if act == "gelu":
+            y = _gelu_tanh(y)
+        if res_gate:
+            y = res_ref[0].astype(jnp.float32) + gate_ref[0] * y
+        o_ref[0] = y.astype(o_ref.dtype)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("block_m", "act"))
+def qdense_int8(x, wq, sw, bias, ln_mod=None, res_gate=None, *, act=None, block_m: int = 512):
     """y = dequant(quant(x) @ wq) + bias, one fused kernel.
 
     x: (B, T, K) or (T, K) float (bf16/f32); wq: (K, N) int8
@@ -48,7 +88,12 @@ def qdense_int8(x, wq, sw, bias, *, block_m: int = 512):
     in models/dit.py QDense, fused into one VMEM pass. The batch dim rides
     the grid directly (no host-side flatten: a reshape at the pallas_call
     boundary materializes as real device copies inside the CFM scan —
-    measured +30 ms per call, scripts/profile_cfm.py)."""
+    measured +30 ms per call, scripts/profile_cfm.py).
+
+    Optional DiT-block glue, fused instead of separate XLA passes:
+      ln_mod=(scale (B,K), shift (B,K)): LayerNorm(no affine) + AdaLN
+        modulation prologue;  act="gelu": gelu epilogue;
+      res_gate=(res (B,T,N), gate (B,N)): y = res + gate*y epilogue."""
     squeeze = x.ndim == 2
     if squeeze:
         x = x[None]
@@ -58,36 +103,64 @@ def qdense_int8(x, wq, sw, bias, *, block_m: int = 512):
     pad_t = -t % bm
     if pad_t:
         x = jnp.pad(x, ((0, 0), (0, pad_t), (0, 0)))
+        if res_gate is not None:
+            res_gate = (jnp.pad(res_gate[0], ((0, 0), (0, pad_t), (0, 0))), res_gate[1])
     tp = t + pad_t
     sw2 = sw.reshape(1, n).astype(jnp.float32)
     b2 = bias.reshape(1, n).astype(jnp.float32)
+    in_specs = [
+        pl.BlockSpec((1, bm, k), lambda i, j: (i, j, 0)),
+        pl.BlockSpec((k, n), lambda i, j: (0, 0)),
+        pl.BlockSpec((1, n), lambda i, j: (0, 0)),
+        pl.BlockSpec((1, n), lambda i, j: (0, 0)),
+    ]
+    args = [x, wq, sw2, b2]
+    if ln_mod is not None:
+        sc, sh = ln_mod
+        in_specs += [
+            pl.BlockSpec((1, 1, k), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, 1, k), lambda i, j: (i, 0, 0)),
+        ]
+        args += [sc.reshape(b, 1, k).astype(jnp.float32), sh.reshape(b, 1, k).astype(jnp.float32)]
+    if res_gate is not None:
+        res, gate = res_gate
+        in_specs += [
+            pl.BlockSpec((1, bm, n), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, 1, n), lambda i, j: (i, 0, 0)),
+        ]
+        args += [res, gate.reshape(b, 1, n).astype(jnp.float32)]
     out = pl.pallas_call(
-        _qmm_kernel,
+        _make_qmm_kernel(ln_mod is not None, act, res_gate is not None),
         grid=(b, tp // bm),
-        in_specs=[
-            pl.BlockSpec((1, bm, k), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((k, n), lambda i, j: (0, 0)),
-            pl.BlockSpec((1, n), lambda i, j: (0, 0)),
-            pl.BlockSpec((1, n), lambda i, j: (0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, bm, n), lambda i, j: (i, j, 0)),
         out_shape=jax.ShapeDtypeStruct((b, tp, n), x.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
-    )(x, wq, sw2, b2)
+    )(*args)
     if pad_t:
         out = out[:, :t]
     return out[0] if squeeze else out
 
 
-def _qkv_rope_kernel(dim_head: int):
-    """q/k/v projections + rope + head-split layout in one pass."""
+def _qkv_rope_kernel(dim_head: int, ln_mod: bool = False):
+    """q/k/v projections + rope + head-split layout in one pass; with
+    ln_mod, the attn_norm LayerNorm + AdaLN modulation fuse in as a
+    prologue (round 5 — two fewer (B, T, D) XLA passes per block)."""
 
-    def kernel(x_ref, wq_ref, wk_ref, wv_ref, sq_ref, sk_ref, sv_ref,
-               bq_ref, bk_ref, bv_ref, cos_ref, sin_ref,
-               q_out, k_out, v_out):
+    def kernel(*refs):
+        refs = list(refs)
+        x_ref = refs.pop(0)
+        (wq_ref, wk_ref, wv_ref, sq_ref, sk_ref, sv_ref,
+         bq_ref, bk_ref, bv_ref, cos_ref, sin_ref) = refs[:11]
+        refs = refs[11:]
+        sc_ref = refs.pop(0) if ln_mod else None
+        sh_ref = refs.pop(0) if ln_mod else None
+        q_out, k_out, v_out = refs
         x = x_ref[0].astype(jnp.float32)  # (bm, K)
+        if ln_mod:
+            x = _ln_mod(x, sc_ref[0], sh_ref[0])
         sx = jnp.max(jnp.abs(x), axis=-1, keepdims=True) * (1.0 / 127.0)
         sx = jnp.maximum(sx, 1e-8)
         xq = jnp.clip(jnp.round(x * pl.reciprocal(sx, approx=False)), -127, 127).astype(jnp.int8)
@@ -136,7 +209,7 @@ def _qkv_rope_kernel(dim_head: int):
 
 
 @functools.partial(jax.jit, static_argnames=("dim_head", "block_m"))
-def qkv_rope_int8(x, wq, wk, wv, sq, sk, sv, bq, bk, bv, *, dim_head: int, block_m: int = 512):
+def qkv_rope_int8(x, wq, wk, wv, sq, sk, sv, bq, bk, bv, ln_mod=None, *, dim_head: int, block_m: int = 512):
     """Fused q/k/v int8 projections + rope + flash-ready head layout.
 
     x: (B, T, K); w*: (K, N) int8; s*: (1, N) f32; b*: (N,) f32.
@@ -161,10 +234,7 @@ def qkv_rope_int8(x, wq, wk, wv, sq, sk, sv, bq, bk, bv, *, dim_head: int, block
     cos = jnp.asarray(np.cos(freqs), jnp.float32)
     sin = jnp.asarray(np.sin(freqs), jnp.float32)
 
-    outs = pl.pallas_call(
-        _qkv_rope_kernel(dim_head),
-        grid=(b, tp // bm),
-        in_specs=[
+    in_specs = [
             pl.BlockSpec((1, bm, k), lambda i, j: (i, j, 0)),
             pl.BlockSpec((k, n), lambda i, j: (0, 0)),
             pl.BlockSpec((k, n), lambda i, j: (0, 0)),
@@ -177,7 +247,19 @@ def qkv_rope_int8(x, wq, wk, wv, sq, sk, sv, bq, bk, bv, *, dim_head: int, block
             pl.BlockSpec((1, n), lambda i, j: (0, 0)),
             pl.BlockSpec((1, bm, dim_head), lambda i, j: (0, j, 0)),
             pl.BlockSpec((1, bm, dim_head), lambda i, j: (0, j, 0)),
-        ],
+    ]
+    extra = []
+    if ln_mod is not None:
+        sc, sh = ln_mod
+        in_specs += [
+            pl.BlockSpec((1, 1, k), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, 1, k), lambda i, j: (i, 0, 0)),
+        ]
+        extra = [sc.reshape(b, 1, k).astype(jnp.float32), sh.reshape(b, 1, k).astype(jnp.float32)]
+    outs = pl.pallas_call(
+        _qkv_rope_kernel(dim_head, ln_mod is not None),
+        grid=(b, tp // bm),
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, h, bm, dim_head), lambda i, j: (i, 0, j, 0)),
             pl.BlockSpec((1, h, bm, dim_head), lambda i, j: (i, 0, j, 0)),
@@ -192,6 +274,7 @@ def qkv_rope_int8(x, wq, wk, wv, sq, sk, sv, bq, bk, bv, *, dim_head: int, block
         bq.reshape(1, n).astype(jnp.float32), bk.reshape(1, n).astype(jnp.float32),
         bv.reshape(1, n).astype(jnp.float32),
         cos[None], sin[None],
+        *extra,
     )
     q, k_, v = outs
     if pad_t:
@@ -199,35 +282,52 @@ def qkv_rope_int8(x, wq, wk, wv, sq, sk, sv, bq, bk, bv, *, dim_head: int, block
     return q, k_, v
 
 
-def _heads_in_kernel(x_ref, w_ref, sw_ref, b_ref, o_ref):
+def _make_heads_in_kernel(res_gate_mask: bool):
     """(1, H, bm, dh) head-split input -> quantize -> s8 dot.
 
     The head merge rides the contraction instead of a shape cast (which
     Mosaic can't lower): w arrives reshaped (H, dh, N) and the dot batches
-    over H, summing partial products — y = sum_h x[h] @ w[h]."""
-    xh = x_ref[0].astype(jnp.float32)  # (H, bm, dh)
-    h = xh.shape[0]
-    # activation scale per ROW of the merged (bm, H*dh) matrix = max over
-    # heads of the per-head row max
-    sx = jnp.max(jnp.abs(xh), axis=(0, 2), keepdims=True) * (1.0 / 127.0)  # (1, bm, 1)
-    sx = jnp.maximum(sx, 1e-8)
-    xq = jnp.clip(jnp.round(xh * pl.reciprocal(sx, approx=False)), -127, 127).astype(jnp.int8)
-    acc = jax.lax.dot_general(
-        xq, w_ref[:],
-        (((2,), (1,)), ((0,), (0,))),  # contract dh, batch H -> (H, bm, N)
-        preferred_element_type=jnp.int32,
-    )
-    acc = jnp.sum(acc, axis=0)  # (bm, N)
-    y = acc.astype(jnp.float32) * sx[0] * sw_ref[:]
-    o_ref[0] = (y + b_ref[:]).astype(o_ref.dtype)
+    over H, summing partial products — y = sum_h x[h] @ w[h]. With
+    res_gate_mask, the attention-output glue (pad-mask zeroing + gated
+    residual x + gate*attn) fuses in as an epilogue (round 5)."""
+
+    def kernel(*refs):
+        refs = list(refs)
+        x_ref, w_ref, sw_ref, b_ref = refs[:4]
+        refs = refs[4:]
+        res_ref = refs.pop(0) if res_gate_mask else None
+        gate_ref = refs.pop(0) if res_gate_mask else None
+        msk_ref = refs.pop(0) if res_gate_mask else None
+        o_ref = refs.pop(0)
+        xh = x_ref[0].astype(jnp.float32)  # (H, bm, dh)
+        # activation scale per ROW of the merged (bm, H*dh) matrix = max
+        # over heads of the per-head row max
+        sx = jnp.max(jnp.abs(xh), axis=(0, 2), keepdims=True) * (1.0 / 127.0)  # (1, bm, 1)
+        sx = jnp.maximum(sx, 1e-8)
+        xq = jnp.clip(jnp.round(xh * pl.reciprocal(sx, approx=False)), -127, 127).astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            xq, w_ref[:],
+            (((2,), (1,)), ((0,), (0,))),  # contract dh, batch H -> (H, bm, N)
+            preferred_element_type=jnp.int32,
+        )
+        acc = jnp.sum(acc, axis=0)  # (bm, N)
+        y = acc.astype(jnp.float32) * sx[0] * sw_ref[:] + b_ref[:]
+        if res_gate_mask:
+            y = jnp.where(msk_ref[0, 0][:, None] > 0, y, 0.0)
+            y = res_ref[0].astype(jnp.float32) + gate_ref[0] * y
+        o_ref[0] = y.astype(o_ref.dtype)
+
+    return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("block_m",))
-def qdense_out_int8(attn, wq, sw, bias, *, block_m: int = 512):
+def qdense_out_int8(attn, wq, sw, bias, res_gate_mask=None, *, block_m: int = 512):
     """Attention-output projection taking the flash layout directly.
 
     attn: (B, H, T, dh) -> returns (B, T, N). The head-merge transpose
-    happens in VMEM inside the kernel instead of as an HBM copy."""
+    happens in VMEM inside the kernel instead of as an HBM copy.
+    res_gate_mask=(res (B,T,N), gate (B,N), mask (B,T)|None): fused
+    epilogue y = res + gate * (mask ? proj : 0)."""
     b, h, t, dh = attn.shape
     k = h * dh
     n = wq.shape[1]
@@ -235,20 +335,39 @@ def qdense_out_int8(attn, wq, sw, bias, *, block_m: int = 512):
     pad_t = -t % bm
     if pad_t:
         attn = jnp.pad(attn, ((0, 0), (0, 0), (0, pad_t), (0, 0)))
+        if res_gate_mask is not None:
+            res, gate, msk = res_gate_mask
+            res = jnp.pad(res, ((0, 0), (0, pad_t), (0, 0)))
+            msk = None if msk is None else jnp.pad(msk, ((0, 0), (0, pad_t)))
+            res_gate_mask = (res, gate, msk)
     tp = t + pad_t
+    in_specs = [
+        pl.BlockSpec((1, h, bm, dh), lambda i, j: (i, 0, j, 0)),
+        pl.BlockSpec((h, dh, n), lambda i, j: (0, 0, 0)),
+        pl.BlockSpec((1, n), lambda i, j: (0, 0)),
+        pl.BlockSpec((1, n), lambda i, j: (0, 0)),
+    ]
+    args = [attn, wq.reshape(h, dh, n), sw.reshape(1, n).astype(jnp.float32), bias.reshape(1, n).astype(jnp.float32)]
+    if res_gate_mask is not None:
+        res, gate, msk = res_gate_mask
+        if msk is None:
+            msk = jnp.ones((b, tp), jnp.float32)
+        in_specs += [
+            pl.BlockSpec((1, bm, n), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, 1, n), lambda i, j: (i, 0, 0)),
+            # (B, 1, T) with a unit row dim: TPU block shapes need the
+            # second-minor dim divisible by 8 or equal to the array dim
+            pl.BlockSpec((1, 1, bm), lambda i, j: (i, 0, j)),
+        ]
+        args += [res, gate.reshape(b, 1, n).astype(jnp.float32), msk.reshape(b, 1, tp).astype(jnp.float32)]
     out = pl.pallas_call(
-        _heads_in_kernel,
+        _make_heads_in_kernel(res_gate_mask is not None),
         grid=(b, tp // bm),
-        in_specs=[
-            pl.BlockSpec((1, h, bm, dh), lambda i, j: (i, 0, j, 0)),
-            pl.BlockSpec((h, dh, n), lambda i, j: (0, 0, 0)),
-            pl.BlockSpec((1, n), lambda i, j: (0, 0)),
-            pl.BlockSpec((1, n), lambda i, j: (0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, bm, n), lambda i, j: (i, j, 0)),
         out_shape=jax.ShapeDtypeStruct((b, tp, n), attn.dtype),
         compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary", "arbitrary")),
-    )(attn, wq.reshape(h, dh, n), sw.reshape(1, n).astype(jnp.float32), bias.reshape(1, n).astype(jnp.float32))
+    )(*args)
     if pad_t:
         out = out[:, :t]
     return out

@@ -69,6 +69,8 @@ def build(version: str):
             jnp.full((b,), PROMPT_TOKENS, jnp.int32), k,
             max_new_tokens=N_NEW_TOKENS, top_k=15, top_p=1.0, temperature=1.0,
             repetition_penalty=1.35, early_stop_num=N_NEW_TOKENS, use_fused_kernel=True,
+            # TPU serving defaults (infer/pipeline.py): int8 weights + int8 KV
+            weight_quant="int8", kv_cache_quant="int8",
         )
 
     v3_cfg = s2_config_for_version(version)

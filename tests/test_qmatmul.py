@@ -116,3 +116,78 @@ def test_qdense_out_matches_unfused_composition():
     merged = attn.transpose(0, 2, 1, 3).reshape(b, t, k)
     want = _xla_w8a8(merged, wq, s, bias)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-2, atol=2e-2)
+
+
+def _ln_mod_ref(x, sc, sh):
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+    xn = (xf - mu) * jax.lax.rsqrt(var + 1e-6)
+    return (xn * (1 + sc[:, None]) + sh[:, None]).astype(x.dtype)
+
+
+def test_qdense_fused_glue_matches_unfused():
+    """Round-5 glue fusion: LN+AdaLN prologue, gelu epilogue, gated
+    residual epilogue — vs the separate-ops composition in DiTBlock."""
+    b, t, k, n = 2, 128, 128, 256
+    x, wq, s, bias = _mk(b, t, k, n, jnp.float32)
+    key = jax.random.PRNGKey(9)
+    sc = jax.random.normal(key, (b, k)) * 0.3
+    sh = jax.random.normal(jax.random.fold_in(key, 1), (b, k)) * 0.3
+    with pltpu.force_tpu_interpret_mode():
+        got = qdense_int8(x, wq, s, bias, ln_mod=(sc, sh), act="gelu", block_m=64)
+    want = jax.nn.gelu(_xla_w8a8(_ln_mod_ref(x, sc, sh), wq, s, bias), approximate=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-2, atol=2e-2)
+
+    # gated residual epilogue
+    res = jax.random.normal(jax.random.fold_in(key, 2), (b, t, n))
+    gate = jax.random.normal(jax.random.fold_in(key, 3), (b, n)) * 0.5
+    with pltpu.force_tpu_interpret_mode():
+        got2 = qdense_int8(x, wq, s, bias, res_gate=(res, gate), block_m=64)
+    want2 = res + gate[:, None] * _xla_w8a8(x, wq, s, bias)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want2), rtol=2e-2, atol=2e-2)
+
+
+def test_qkv_rope_ln_mod_prologue():
+    from gpt_sovits_tpu.ops.pallas.qmatmul import qkv_rope_int8
+
+    b, t, k, n, dh = 1, 64, 128, 128, 64
+    key = jax.random.PRNGKey(4)
+    x = jax.random.normal(key, (b, t, k), jnp.float32)
+    ws, ss, bs_ = [], [], []
+    for i in range(3):
+        _, wq, s, bias = _mk(b, t, k, n, jnp.float32, seed=10 + i)
+        ws.append(wq); ss.append(s); bs_.append(bias)
+    sc = jax.random.normal(jax.random.fold_in(key, 7), (b, k)) * 0.3
+    sh = jax.random.normal(jax.random.fold_in(key, 8), (b, k)) * 0.3
+    with pltpu.force_tpu_interpret_mode():
+        q1, k1, v1 = qkv_rope_int8(
+            x, *ws, *ss, *bs_, dim_head=dh, block_m=64)
+        q2, k2, v2 = qkv_rope_int8(
+            _ln_mod_ref(x, sc, sh), *ws, *ss, *bs_, dim_head=dh, block_m=64)
+        q3, k3, v3 = qkv_rope_int8(
+            x, *ws, *ss, *bs_, ln_mod=(sc, sh), dim_head=dh, block_m=64)
+    # fused prologue == normalizing outside (same kernel downstream)
+    for a, bt in [(q2, q3), (k2, k3), (v2, v3)]:
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bt), rtol=2e-2, atol=2e-2)
+    # and it is NOT a no-op
+    assert float(jnp.max(jnp.abs(q1 - q3))) > 1e-3
+
+
+def test_qdense_out_res_gate_mask_epilogue():
+    from gpt_sovits_tpu.ops.pallas.qmatmul import qdense_out_int8
+
+    b, h, t, dh, n = 2, 4, 64, 32, 128
+    k = h * dh
+    key = jax.random.PRNGKey(5)
+    attn = jax.random.normal(key, (b, h, t, dh), jnp.float32)
+    _, wq, s, bias = _mk(b, t, k, n, jnp.float32, seed=20)
+    res = jax.random.normal(jax.random.fold_in(key, 1), (b, t, n))
+    gate = jax.random.normal(jax.random.fold_in(key, 2), (b, n)) * 0.5
+    mask = (jnp.arange(t)[None, :] < jnp.asarray([50, 64])[:, None]).astype(jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        got = qdense_out_int8(attn, wq, s, bias, res_gate_mask=(res, gate, mask), block_m=32)
+    merged = attn.transpose(0, 2, 1, 3).reshape(b, t, k)
+    proj = _xla_w8a8(merged, wq, s, bias)
+    want = res + gate[:, None] * jnp.where(mask[..., None] > 0, proj, 0.0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-2, atol=2e-2)
