@@ -217,7 +217,7 @@ class TTSPipeline:
         # TPU serving default is int8 weights AND int8 KV: faster at every
         # batch size on device-trace timing (benchmarks/TRIAGE_s1_r04.json)
         # with mel drift below bf16 rounding noise at production size
-        # (benchmarks/QUALITY_int8_kv_r05.json); "bf16" reverts.
+        # (benchmarks/QUALITY_kv_r05.json); "bf16" reverts.
         on_tpu = jax.default_backend() == "tpu"
         if s1_weight_quant is None:
             s1_weight_quant = os.environ.get("GSVT_S1_WEIGHT_QUANT") or ("int8" if on_tpu else "bf16")
