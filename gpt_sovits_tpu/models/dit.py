@@ -350,6 +350,17 @@ class DiTBlock(nn.Module):
             and not os.environ.get("GPT_SOVITS_NO_QMM")
             and to_q.kernel.dtype == jnp.int8
         )
+        use_qflash = (
+            # one-shot-softmax attention with int8 P@V (qflash.py): the
+            # generic bf16 flash kernel ran at ~29% MXU peak at
+            # dim_head=64 and was 44% of the CFM chunk
+            # (scripts/profile_cfm.py r5); qflash also emits the
+            # heads-MERGED (B,T,D) layout so the out-projection runs as
+            # a standard full-rate W8A8 qdense
+            fused_qkv
+            and tl <= 2048
+            and not os.environ.get("GPT_SOVITS_NO_QFLASH")
+        )
         if fused_qkv:
             # one Pallas pass: attn_norm LayerNorm + AdaLN modulation
             # prologue (round 5 — previously separate XLA passes), then
@@ -408,13 +419,25 @@ class DiTBlock(nn.Module):
                 q_in = qh.transpose(0, 2, 1, 3)
                 k_in = kh.transpose(0, 2, 1, 3)
                 v_in = vh.transpose(0, 2, 1, 3)
-            attn_h = flash_attention(
-                q_in, k_in, v_in,
-                segment_ids=seg, sm_scale=1.0 / float(np.sqrt(c.dim_head)), block_sizes=bs,
-            )
-            if fused_qkv:
+            if use_qflash:
+                from gpt_sovits_tpu.ops.pallas.qflash import flash_attn_int8
+                from gpt_sovits_tpu.ops.pallas.qmatmul import qdense_int8
+
+                attn_m = flash_attn_int8(
+                    q_in, k_in, v_in, mask,
+                    sm_scale=1.0 / float(np.sqrt(c.dim_head)),
+                )  # (B, T, inner), heads merged
+                x = qdense_int8(
+                    attn_m, to_out.kernel, to_out.kernel_scale, to_out.bias,
+                    res_gate=(x, gate_msa), mask=mask,
+                )
+            elif fused_qkv:
                 from gpt_sovits_tpu.ops.pallas.qmatmul import qdense_out_int8
 
+                attn_h = flash_attention(
+                    q_in, k_in, v_in,
+                    segment_ids=seg, sm_scale=1.0 / float(np.sqrt(c.dim_head)), block_sizes=bs,
+                )
                 # out-projection consumes the flash layout directly (the
                 # head-merge transpose happens in VMEM inside the kernel)
                 # and the pad-mask zeroing + gated residual x + gate*attn
@@ -424,6 +447,10 @@ class DiTBlock(nn.Module):
                     res_gate_mask=(x, gate_msa, None if mask is None else mask.astype(jnp.float32)),
                 )
             else:
+                attn_h = flash_attention(
+                    q_in, k_in, v_in,
+                    segment_ids=seg, sm_scale=1.0 / float(np.sqrt(c.dim_head)), block_sizes=bs,
+                )
                 attn = to_out(attn_h.transpose(0, 2, 1, 3).reshape(b, tl, inner))
                 if mask is not None:
                     attn = jnp.where(mask[..., None], attn, 0.0)

@@ -38,13 +38,15 @@ def _gelu_tanh(y):
     return 0.5 * y * (1.0 + jnp.tanh(0.7978845608028654 * (y + 0.044715 * y * y * y)))
 
 
-def _make_qmm_kernel(ln_mod: bool, act: str | None, res_gate: bool):
+def _make_qmm_kernel(ln_mod: bool, act: str | None, res_gate: bool, masked: bool):
     """quantize -> s8 dot -> rescale, with the DiT block's elementwise
     glue fused in instead of separate XLA HBM round-trips (round 5):
       ln_mod:   prologue LayerNorm(no affine, eps 1e-6) + AdaLN
                 modulation (reference models.py:1042-1084 AdaLN-Zero)
       act:      "gelu" epilogue (ff1 -> gelu)
-      res_gate: epilogue y = res + gate * y (gated residual add)"""
+      res_gate: epilogue y = res + gate * y (gated residual add)
+      masked:   pad-frame zeroing of y before the gated add (the
+                attention out-projection's pad fence)"""
 
     def kernel(*refs):
         refs = list(refs)
@@ -56,6 +58,7 @@ def _make_qmm_kernel(ln_mod: bool, act: str | None, res_gate: bool):
         sh_ref = refs.pop(0) if ln_mod else None
         res_ref = refs.pop(0) if res_gate else None
         gate_ref = refs.pop(0) if res_gate else None
+        msk_ref = refs.pop(0) if masked else None
         o_ref = refs.pop(0)
 
         x = x_ref[0].astype(jnp.float32)
@@ -70,6 +73,8 @@ def _make_qmm_kernel(ln_mod: bool, act: str | None, res_gate: bool):
         y = acc.astype(jnp.float32) * sx * sw_ref[:] + b_ref[:]
         if act == "gelu":
             y = _gelu_tanh(y)
+        if masked:
+            y = jnp.where(msk_ref[0, 0][:, None] > 0, y, 0.0)
         if res_gate:
             y = res_ref[0].astype(jnp.float32) + gate_ref[0] * y
         o_ref[0] = y.astype(o_ref.dtype)
@@ -78,7 +83,7 @@ def _make_qmm_kernel(ln_mod: bool, act: str | None, res_gate: bool):
 
 
 @functools.partial(jax.jit, static_argnames=("block_m", "act"))
-def qdense_int8(x, wq, sw, bias, ln_mod=None, res_gate=None, *, act=None, block_m: int = 512):
+def qdense_int8(x, wq, sw, bias, ln_mod=None, res_gate=None, mask=None, *, act=None, block_m: int = 512):
     """y = dequant(quant(x) @ wq) + bias, one fused kernel.
 
     x: (B, T, K) or (T, K) float (bf16/f32); wq: (K, N) int8
@@ -93,7 +98,8 @@ def qdense_int8(x, wq, sw, bias, ln_mod=None, res_gate=None, *, act=None, block_
     Optional DiT-block glue, fused instead of separate XLA passes:
       ln_mod=(scale (B,K), shift (B,K)): LayerNorm(no affine) + AdaLN
         modulation prologue;  act="gelu": gelu epilogue;
-      res_gate=(res (B,T,N), gate (B,N)): y = res + gate*y epilogue."""
+      res_gate=(res (B,T,N), gate (B,N)): y = res + gate*y epilogue;
+      mask (B,T): pad-frame zeroing of y before the gated add."""
     squeeze = x.ndim == 2
     if squeeze:
         x = x[None]
@@ -105,6 +111,8 @@ def qdense_int8(x, wq, sw, bias, ln_mod=None, res_gate=None, *, act=None, block_
         x = jnp.pad(x, ((0, 0), (0, pad_t), (0, 0)))
         if res_gate is not None:
             res_gate = (jnp.pad(res_gate[0], ((0, 0), (0, pad_t), (0, 0))), res_gate[1])
+        if mask is not None:
+            mask = jnp.pad(mask.astype(jnp.float32), ((0, 0), (0, pad_t)))
     tp = t + pad_t
     sw2 = sw.reshape(1, n).astype(jnp.float32)
     b2 = bias.reshape(1, n).astype(jnp.float32)
@@ -129,8 +137,13 @@ def qdense_int8(x, wq, sw, bias, ln_mod=None, res_gate=None, *, act=None, block_
             pl.BlockSpec((1, 1, n), lambda i, j: (i, 0, 0)),
         ]
         args += [res, gate.reshape(b, 1, n).astype(jnp.float32)]
+    if mask is not None:
+        # (B, 1, T) with a unit row dim (block second-minor dim must be
+        # divisible by 8 or equal to the array dim)
+        in_specs.append(pl.BlockSpec((1, 1, bm), lambda i, j: (i, 0, j)))
+        args.append(mask.astype(jnp.float32).reshape(b, 1, t + pad_t))
     out = pl.pallas_call(
-        _make_qmm_kernel(ln_mod is not None, act, res_gate is not None),
+        _make_qmm_kernel(ln_mod is not None, act, res_gate is not None, mask is not None),
         grid=(b, tp // bm),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, bm, n), lambda i, j: (i, j, 0)),
@@ -144,10 +157,14 @@ def qdense_int8(x, wq, sw, bias, ln_mod=None, res_gate=None, *, act=None, block_
     return out[0] if squeeze else out
 
 
-def _qkv_rope_kernel(dim_head: int, ln_mod: bool = False):
+def _qkv_rope_kernel(dim_head: int, ln_mod: bool = False, q_scale: float = 1.0):
     """q/k/v projections + rope + head-split layout in one pass; with
     ln_mod, the attn_norm LayerNorm + AdaLN modulation fuse in as a
-    prologue (round 5 — two fewer (B, T, D) XLA passes per block)."""
+    prologue (round 5 — two fewer (B, T, D) XLA passes per block).
+    q_scale: static multiplier folded into q's dequant (the attention
+    sm_scale — in-register, no extra operands: adding scaled scale/bias
+    buffers instead tipped the 16M scoped-VMEM budget by exactly their
+    8K)."""
 
     def kernel(*refs):
         refs = list(refs)
@@ -198,18 +215,23 @@ def _qkv_rope_kernel(dim_head: int, ln_mod: bool = False):
         h = n // dim_head
 
         # head-split via static minor-dim slices (Mosaic has no lowering
-        # for the transpose+reshape shape cast)
+        # for the transpose+reshape shape cast); q_scale applies on the
+        # per-head slice (small per-iteration temps — a full (bm, N)
+        # scaled copy tips the 16M scoped-VMEM stack budget)
         for hh in range(h):
             sl = slice(hh * dim_head, (hh + 1) * dim_head)
-            q_out[0, hh] = q[:, sl].astype(q_out.dtype)
+            qs = q[:, sl]
+            if q_scale != 1.0:
+                qs = qs * q_scale
+            q_out[0, hh] = qs.astype(q_out.dtype)
             k_out[0, hh] = k[:, sl].astype(k_out.dtype)
             v_out[0, hh] = v[:, sl].astype(v_out.dtype)
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("dim_head", "block_m"))
-def qkv_rope_int8(x, wq, wk, wv, sq, sk, sv, bq, bk, bv, ln_mod=None, *, dim_head: int, block_m: int = 512):
+@functools.partial(jax.jit, static_argnames=("dim_head", "block_m", "q_scale"))
+def qkv_rope_int8(x, wq, wk, wv, sq, sk, sv, bq, bk, bv, ln_mod=None, *, dim_head: int, block_m: int = 512, q_scale: float = 1.0):
     """Fused q/k/v int8 projections + rope + flash-ready head layout.
 
     x: (B, T, K); w*: (K, N) int8; s*: (1, N) f32; b*: (N,) f32.
@@ -257,7 +279,7 @@ def qkv_rope_int8(x, wq, wk, wv, sq, sk, sv, bq, bk, bv, ln_mod=None, *, dim_hea
         ]
         extra = [sc.reshape(b, 1, k).astype(jnp.float32), sh.reshape(b, 1, k).astype(jnp.float32)]
     outs = pl.pallas_call(
-        _qkv_rope_kernel(dim_head, ln_mod is not None),
+        _qkv_rope_kernel(dim_head, ln_mod is not None, float(q_scale)),
         grid=(b, tp // bm),
         in_specs=in_specs,
         out_specs=[
